@@ -1,0 +1,104 @@
+"""User-agent classification (reference P12, etl:109-112).
+
+The reference calls ``user_agents.parse(ua).browser.family`` /
+``.os.family`` per row. There is no Spark builtin for this, so two
+implementations are provided:
+
+- :func:`ua_families_udf` — exact-parity Arrow-batched pandas UDF
+  wrapping the ``user_agents`` library, used when the library is
+  importable on the executors.
+- :func:`ua_browser_family_expr` / :func:`ua_os_family_expr` — pure
+  column-expression regex ladders covering the dominant families.
+  These stay inside whole-stage codegen (no Python at all) and are the
+  default/scale path: at 100 TB a vectorized JVM expression beats even
+  an Arrow UDF, and family coverage for major browsers/OSes is what
+  downstream aggregation actually consumes.
+
+The ``"-"``/empty sentinel maps to ``Unknown`` in both paths (etl:110).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+try:  # optional exact-parity path; not installed in this sandbox
+    import user_agents as _user_agents  # type: ignore
+except ImportError:  # pragma: no cover
+    _user_agents = None
+
+HAVE_USER_AGENTS = _user_agents is not None
+
+
+def _is_blank(c: Column) -> Column:
+    return c.isNull() | (c == "") | (c == "-")
+
+
+def ua_browser_family_expr(ua: Column | str) -> Column:
+    """Browser family via an ordered regex ladder (most-specific first).
+
+    Order matters: Edge/Opera UAs contain "Chrome", Chrome UAs contain
+    "Safari", so specific tokens are matched before generic ones —
+    mirroring how the uap-core regex database resolves families.
+    """
+    c = F.col(ua) if isinstance(ua, str) else ua
+    return (
+        F.when(_is_blank(c), F.lit("Unknown"))
+        .when(c.rlike(r"Edg(e|A|iOS)?/"), F.lit("Edge"))
+        .when(c.rlike(r"OPR/|Opera"), F.lit("Opera"))
+        .when(c.rlike(r"SamsungBrowser/"), F.lit("Samsung Internet"))
+        .when(c.rlike(r"(CriOS)/"), F.lit("Chrome Mobile iOS"))
+        .when(c.rlike(r"Chrome/.*Mobile"), F.lit("Chrome Mobile"))
+        .when(c.rlike(r"Chrome/|Chromium/"), F.lit("Chrome"))
+        .when(c.rlike(r"FxiOS/"), F.lit("Firefox iOS"))
+        .when(c.rlike(r"Firefox/"), F.lit("Firefox"))
+        .when(c.rlike(r"Version/.*Mobile.*Safari"), F.lit("Mobile Safari"))
+        .when(c.rlike(r"Version/.*Safari"), F.lit("Safari"))
+        .when(c.rlike(r"MSIE |Trident/"), F.lit("IE"))
+        .when(c.rlike(r"(?i)(bot|crawler|spider|slurp|curl|wget|python-requests)"), F.lit("Other"))
+        .otherwise(F.lit("Other"))
+    )
+
+
+def ua_os_family_expr(ua: Column | str) -> Column:
+    c = F.col(ua) if isinstance(ua, str) else ua
+    return (
+        F.when(_is_blank(c), F.lit("Unknown"))
+        .when(c.rlike(r"Windows Phone"), F.lit("Windows Phone"))
+        .when(c.rlike(r"Windows NT|Win64|WOW64"), F.lit("Windows"))
+        .when(c.rlike(r"iPhone|iPad|iPod|iOS"), F.lit("iOS"))
+        .when(c.rlike(r"Android"), F.lit("Android"))
+        .when(c.rlike(r"Mac OS X|Macintosh"), F.lit("Mac OS X"))
+        .when(c.rlike(r"CrOS"), F.lit("Chrome OS"))
+        .when(c.rlike(r"Linux|X11"), F.lit("Linux"))
+        .otherwise(F.lit("Other"))
+    )
+
+
+def ua_families_udf():
+    """Exact-parity Arrow-batched UDF (requires ``user_agents``).
+
+    Returns a pandas UDF producing ``struct<browser:string,os:string>``.
+    Raises ImportError when the library is unavailable — callers should
+    fall back to the expression ladder.
+    """
+    if not HAVE_USER_AGENTS:
+        raise ImportError("user_agents not installed; use ua_*_expr fallbacks")
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<browser:string,os:string>")
+    def _parse(ua: pd.Series) -> pd.DataFrame:
+        def one(v):
+            if v is None or v in ("", "-"):
+                return ("Unknown", "Unknown")
+            parsed = _user_agents.parse(v)
+            return (parsed.browser.family, parsed.os.family)
+
+        pairs = ua.map(one)
+        return pd.DataFrame(
+            {"browser": pairs.map(lambda t: t[0]), "os": pairs.map(lambda t: t[1])}
+        )
+
+    return _parse

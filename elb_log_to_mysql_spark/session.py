@@ -1,0 +1,75 @@
+"""SparkSession construction for the engine.
+
+The reference binds its runtime config at import time (env -> boto3 S3
+client + SQLAlchemy engine, /root/reference/etl_elb_log_to_mysql.py:17-38).
+We instead build an explicit, tuned SparkSession once and pass it around.
+
+Scale posture (local[N] here, 1000-executor cluster in production):
+- AQE on: runtime coalescing of shuffle partitions, skew-join split.
+- shuffle.partitions sized for the local test box; on a real cluster
+  AQE's coalescing makes a high initial value safe.
+- Arrow enabled so the few Pandas UDFs batch via Arrow, never per-row.
+- Session timezone pinned to UTC: all timestamp->string rendering is
+  deterministic and independent of the host TZ (the reference instead
+  depends on pytz conversion at parse time, etl:41,76-77 — we convert
+  explicitly per-column with from_utc_timestamp).
+- ANSI off: the engine is permissive-by-contract (the reference's
+  parse layer coerces bad values instead of failing, etl:43-50); we
+  additionally use try_-style expressions so the plans stay correct
+  even under a caller-provided ANSI session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def build_session(
+    app_name: str = "elb-log-to-mysql-spark",
+    master: str | None = None,
+    shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime SQL conf to a caller-provided session.
+
+    The driver harness constructs its own SparkSession; these confs are
+    runtime-settable and define the engine's semantic contract
+    (deterministic UTC rendering, permissive casts, adaptive exec).
+    """
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf locked down by caller — plans still valid
+            pass
+    return spark
