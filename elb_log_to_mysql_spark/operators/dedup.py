@@ -1,0 +1,327 @@
+"""Deduplication operators for large-scale text corpora.
+
+The LLM-pipeline extension surface (driver contract; SURVEY §2.3):
+exact dedup, MinHash-LSH near-dedup, exact n-gram Jaccard, and
+SimHash. Everything is built-in column expressions + joins — no
+Python UDFs anywhere, so the whole pipeline stays in whole-stage
+codegen and scales with the cluster:
+
+- shingling:   split + transform/sliding slice (arrays, JVM-side)
+- hashing:     xxhash64(shingle, seed_i) — k independent 64-bit
+               hash families from one seed parameter
+- minhash:     array_min over the hashed shingle array per seed
+- LSH banding: group signature into bands, hash each band, shuffle
+               once on (band_idx, band_hash); only same-bucket pairs
+               are compared — candidate generation is O(docs·bands),
+               never O(docs²)
+- verification: exact Jaccard on the candidate pairs only.
+
+At 100 TB the only quadratic danger is a degenerate bucket (many
+near-identical docs); the band-bucket groupBy is AQE-skew-handled and
+a bucket-size cap (`max_bucket`) bounds the blow-up explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, keys: list[str], order: list[Column | str]
+) -> DataFrame:
+    """Keep exactly one row per key, chosen by a total order.
+
+    `dropDuplicates` keeps an *arbitrary* row — nondeterministic under
+    partitioning, so unacceptable for a reproducible pipeline. The
+    row_number formulation pins the survivor and costs the same single
+    shuffle.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def content_fingerprint(text: Column | str) -> Column:
+    """Canonical content hash: collapse whitespace, lowercase, md5.
+
+    Two docs with the same fingerprint are byte-identical up to case
+    and whitespace — the standard first pass before near-dedup.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.regexp_replace(F.trim(c), r"\s+", " ")))
+
+
+def dedup_documents_exact(documents: DataFrame) -> DataFrame:
+    """Exact content dedup over `documents`: one survivor (min doc_id)
+    per fingerprint, annotated with the duplicate count."""
+    with_fp = documents.withColumn("fp", content_fingerprint("text"))
+    groups = with_fp.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count")
+    )
+    return groups.select("doc_id", "fp", "dup_count")
+
+
+# ---------------------------------------------------------------------------
+# shingles + MinHash
+# ---------------------------------------------------------------------------
+def _tokens(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def word_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> column.
+
+    Built from a sequence of slice positions with `transform` —
+    array ops only, no explode needed at this stage.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = _tokens(c)
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n_sh - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: for seed i, min over xxhash64(shingle, i).
+
+    xxhash64 with distinct literal seeds gives `num_hashes`
+    effectively-independent hash families; array_min per family is
+    the minhash. All JVM expressions — ~num_hashes·|shingles| hashes
+    per doc, embarrassingly parallel.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def near_dedup_minhash(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Returns (doc_id_a, doc_id_b, jaccard) for candidate pairs whose
+    exact shingle-set Jaccard >= threshold, doc_id_a < doc_id_b.
+
+    With num_hashes=64, bands=16 (rows/band r=4) the LSH S-curve puts
+    the 50% capture point near s=(1/b)^(1/r)≈0.5 — tuned for a 0.6
+    threshold. Candidates come only from band-bucket collisions, so
+    the shuffle is on (band, band_hash) and never pairs the corpus
+    quadratically.
+    """
+    rows_per_band = num_hashes // bands
+
+    sh = documents.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(text_col, shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+
+    # band i = hash of signature slice [i*r, (i+1)*r)
+    banded = sig.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i * rows_per_band + j].cast("string")
+                                for j in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+    # cap degenerate buckets (spam clusters) — explicit skew bound
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    banded = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("bsz") > max_bucket)),
+        ["band_idx", "band_hash"],
+        "left_anti",
+    )
+
+    left = banded.select(
+        "band_idx",
+        "band_hash",
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    right = banded.select(
+        "band_idx",
+        "band_hash",
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similar pairs via shingle inverted index.
+
+    explode shingles -> self-join on shingle -> |intersection| per
+    pair -> Jaccard with |A|+|B|-|I|. This is the exact (non-LSH)
+    formulation: the join is on the shingle value (inverted index), so
+    only pairs sharing >=1 shingle are ever formed. SQL-expressible,
+    hence oracle-checkable; the MinHash path above is its sublinear
+    approximation for 100 TB.
+    """
+    sh = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+def simhash64(text: Column | str) -> Column:
+    """64-bit SimHash of the token multiset, as a bigint column.
+
+    Per token t: h = xxhash64(t). For bit b, vote +1 if set else -1;
+    the fingerprint sets bit b where the summed vote is positive.
+    Pure array expressions: one aggregate over tokens per bit-lane
+    batch. Near-duplicates then differ in few bits (Hamming distance
+    via bit_count(a XOR b)).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = _tokens(c)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit masks via shiftleft — a Python literal 1<<63 overflows long
+    def mask(b: int):
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
+    def bit_vote(b: int) -> Column:
+        # two-arg lambda only: PySpark binds a Column to every lambda
+        # parameter (defaults included), so close over the mask instead
+        m = mask(b)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        )
+
+    bit_votes = [bit_vote(b) for b in range(64)]
+    out = F.lit(0).cast("long")
+    for b, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, mask(b)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_near_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs by Hamming distance <= max_hamming.
+
+    Candidate generation blocks on 16-bit fingerprint quarters
+    (pigeonhole: distance<=3 over 4 blocks forces >=1 identical
+    block), so the join is equi on (block_idx, block_value) — same
+    shuffle shape as the MinHash bands, never quadratic.
+    """
+    fp = documents.select(
+        F.col(id_col).alias("doc_id"), simhash64(text_col).alias("fp")
+    )
+    blocks = fp.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("fp"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocks.select(
+        "block_idx", "block_val", F.col("doc_id").alias("doc_id_a"), F.col("fp").alias("fp_a")
+    )
+    b = blocks.select(
+        "block_idx", "block_val", F.col("doc_id").alias("doc_id_b"), F.col("fp").alias("fp_b")
+    )
+    return (
+        a.join(b, ["block_idx", "block_val"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )

@@ -1,0 +1,189 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale contract:
+
+- brute-force exact top-k — the correctness baseline. Query set ⋈
+  corpus with the query side broadcast, cosine as a pure column
+  expression (zip_with + aggregate, JVM-side), per-query top-k via
+  window row_number. Cost O(|Q|·|corpus|·dim): right when |Q| is
+  small or as the verifier for ANN.
+- random-hyperplane LSH — the 100 TB path. Sign-pattern bucketing
+  with deterministic pseudo-random hyperplanes derived from
+  xxhash64 (no stored model, reproducible across runs/executors),
+  multi-probe via several independent tables; candidates are only
+  same-bucket pairs, then exact cosine re-rank.
+
+An IVF variant (k-means coarse quantizer + nprobe search) is the
+natural next step and slots into the same candidate->rerank frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns, accumulated in
+    double, left-to-right (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def similarity_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    `queries` (small) is broadcast, so the corpus never shuffles for
+    the join; the only shuffle is the per-query top-k window on
+    |Q|·|corpus| scored pairs, which AQE coalesces. Tiebreak on
+    neighbor id keeps the k-boundary deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _hyperplane_sign(vec: Column, table: int, plane: int, dim: int) -> Column:
+    """Sign of <vec, h> for a deterministic pseudo-random hyperplane.
+
+    Component j of plane (table, plane) is derived from
+    xxhash64(j, plane, table) scaled to [-1, 1] — reproducible
+    everywhere with zero stored state.
+    """
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            (
+                F.xxhash64(j, F.lit(plane), F.lit(table)).cast("double")
+                / F.lit(float(2**63))
+            )
+        ),
+    )
+    dot = F.aggregate(
+        F.zip_with(vec, comps, lambda x, h: x.cast("double") * h),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (dot >= 0).cast("int")
+
+
+def lsh_bucket(vec: Column, table: int, n_planes: int, dim: int) -> Column:
+    """Bucket id = packed sign pattern over n_planes hyperplanes."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket * 2 + _hyperplane_sign(vec, table, p, dim)
+    return bucket
+
+
+def similarity_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: hyperplane-LSH candidates, exact rerank.
+
+    Each vector lands in n_tables buckets (independent sign patterns);
+    query x corpus joins are equi on (table, bucket) — at 100 TB this
+    replaces the |Q|·|corpus| scan with |Q|·E[bucket size]·n_tables.
+    Recall is tuned by (n_planes, n_tables).
+    """
+
+    def bucketize(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        return df.select(
+            F.col(idc),
+            F.col(vecc),
+            F.posexplode(
+                F.array(
+                    *[
+                        lsh_bucket(F.col(vecc), t, n_planes, dim)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("table_idx", "bucket"),
+        )
+
+    qb = bucketize(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        "query_id",
+        "q_vec",
+    )
+    cb = bucketize(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "neighbor_id",
+        "c_vec",
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["table_idx", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label vector statistics (norm distribution) — the sanity
+    profile run before any similarity job."""
+    norms = embeddings.select(
+        "label", _norm(F.col("embedding")).alias("norm")
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+    )

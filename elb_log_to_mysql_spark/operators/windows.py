@@ -1,0 +1,76 @@
+"""Window-function operators (SURVEY §2.3: window_rank / window_analytic / per-group top-k).
+
+Window functions shuffle once on the partition key then sort within
+partitions; AQE handles skewed partition keys. All orderings carry a
+unique tiebreaker column so ranks and frames are total-order
+deterministic (a bare ORDER BY on a non-unique key makes row_number
+nondeterministic across runs — unacceptable for a reproducible engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.functions.numeric import DET_DECIMAL
+
+
+def window_rank(customer: DataFrame) -> DataFrame:
+    """rank / dense_rank / row_number per nation by account balance."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    ).filter(F.col("rn") <= 5)
+
+
+def window_analytic(orders: DataFrame) -> DataFrame:
+    """lag / lead / running sum with an explicit frame, per customer.
+
+    The running sum uses the exact-decimal image of o_totalprice so
+    the cumulative double is identical under any physical ordering of
+    the partition sort (deterministic-aggregation contract).
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.sum(F.col("o_totalprice").cast(DET_DECIMAL))
+        .over(frame)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+def topk_per_group(lineitem: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k via row_number — the scalable pattern.
+
+    One shuffle on the group key, per-partition sort, early filter;
+    never collects groups to the driver. (A groupBy + collect_list +
+    slice would materialize whole groups — wrong at scale.)
+    """
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        lineitem.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= k)
+    )

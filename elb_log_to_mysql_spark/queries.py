@@ -1,0 +1,750 @@
+"""Query registry: every implemented operator bound to the driver's
+test tables, with a DuckDB-oracle SQL twin where SQL-expressible.
+
+Contract (driver harness): `QUERIES[name](spark, sf_dir) -> DataFrame`
+and `ORACLE_SQL[name]` = ANSI SQL over the same parquet views
+producing the same column NAMES and values (order-insensitive).
+Determinism rules used throughout:
+
+- double aggregates go through the exact-decimal contract
+  (functions/numeric.py) so values are partition-order independent
+  and bit-equal to the oracle;
+- every ranking/limit carries a unique tiebreaker;
+- timestamps are rendered to strings explicitly (never via host TZ);
+- float-derived scores (cosine) are excluded from oracle-checked
+  output (rank positions are checked instead) — ~1e-7 engine noise
+  vs rounding boundaries would otherwise flake.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.functions.numeric import DSUM_SQL
+from elb_log_to_mysql_spark.operators import dedup, relational, sessionize
+from elb_log_to_mysql_spark.operators import multimodal, similarity, textops, windows
+from elb_log_to_mysql_spark.session import tune_session
+from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
+from elb_log_to_mysql_spark.sources.tables import load_table
+from elb_log_to_mysql_spark.streaming.windows import run_stream_to_batch, tumbling_counts
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _dsum(expr: str) -> str:
+    return DSUM_SQL.format(expr=expr)
+
+
+# ===========================================================================
+# Relational core
+# ===========================================================================
+
+@_q(
+    "filter_project",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_quantity < 30
+    """,
+)
+def q_filter_project(spark, sf_dir):
+    return relational.filter_project(_t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "inner_join",
+    """
+    SELECT o_orderkey, o_custkey, c_name, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_inner_join(spark, sf_dir):
+    return relational.inner_join(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+@_q(
+    "left_join",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS order_cnt,
+             {_dsum('o_totalprice')} AS total_spent
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name,
+           COALESCE(order_cnt, 0) AS order_cnt,
+           COALESCE(total_spent, 0.0) AS total_spent
+    FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+    """,
+)
+def q_left_join(spark, sf_dir):
+    return relational.left_join(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_q(
+    "semi_join",
+    """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    return relational.semi_join(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_q(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+    """,
+)
+def q_anti_join(spark, sf_dir):
+    return relational.anti_join(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_q(
+    "broadcast_join",
+    f"""
+    SELECT r_name, COUNT(*) AS customers,
+           {_dsum('c_acctbal')} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_broadcast_join(spark, sf_dir):
+    return relational.broadcast_dim_join(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "range_join",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           COUNT(*) AS late_lines,
+           {_dsum('l_extendedprice')} AS late_value
+    FROM lineitem JOIN orders
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def q_range_join(spark, sf_dir):
+    return relational.range_join(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_q(
+    "hash_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+           {_dsum('l_extendedprice')} / COUNT(*) AS avg_price,
+           {_dsum('l_discount')} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_hash_agg(spark, sf_dir):
+    return relational.hash_agg_q1(_t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l_suppkey) AS distinct_supps,
+           COUNT(*) AS rows_total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg(spark, sf_dir):
+    return relational.distinct_agg(_t(spark, sf_dir, "lineitem"))
+
+
+@_q("approx_distinct")  # HLL sketch — estimator-specific, rows-only check
+def q_approx_distinct(spark, sf_dir):
+    return relational.approx_distinct(_t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "rollup_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {_dsum('l_quantity')} AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark, sf_dir):
+    return relational.rollup_agg(_t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "cube_agg",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS sum_price,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_prio
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_agg(spark, sf_dir):
+    return relational.cube_agg(_t(spark, sf_dir, "orders"))
+
+
+@_q(
+    "window_rank",
+    """
+    SELECT * FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rn <= 5
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    return windows.window_rank(_t(spark, sf_dir, "customer"))
+
+
+@_q(
+    "window_analytic",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend,
+           ROW_NUMBER() OVER w AS order_seq
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_analytic(spark, sf_dir):
+    return windows.window_analytic(_t(spark, sf_dir, "orders"))
+
+
+@_q(
+    "topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk(spark, sf_dir):
+    return relational.topk(_t(spark, sf_dir, "orders"))
+
+
+@_q(
+    "topk_per_group",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, price_rank
+    FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+               AS price_rank
+      FROM lineitem
+    ) WHERE price_rank <= 3
+    """,
+)
+def q_topk_per_group(spark, sf_dir):
+    return windows.topk_per_group(_t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "set_ops",
+    """
+    WITH with_orders AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+         building AS (SELECT c_custkey AS custkey FROM customer
+                      WHERE c_mktsegment = 'BUILDING')
+    SELECT custkey, 'union' AS op
+    FROM (SELECT custkey FROM with_orders UNION SELECT custkey FROM building)
+    UNION ALL
+    SELECT custkey, 'intersect' AS op
+    FROM (SELECT custkey FROM with_orders INTERSECT SELECT custkey FROM building)
+    UNION ALL
+    SELECT custkey, 'except' AS op
+    FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM with_orders)
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    return relational.set_ops(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_q(
+    "scalar_funcs",
+    """
+    SELECT o_orderkey,
+           UPPER(c_name) AS name_upper,
+           CAST(LENGTH(c_name) AS INT) AS name_len,
+           SUBSTRING(c_mktsegment, 1, 4) AS seg4,
+           CONCAT_WS('|', o_orderstatus, o_orderpriority) AS status_prio,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           o_totalprice / 1000.0 AS price_k,
+           ABS(c_acctbal) AS abs_bal,
+           o_orderkey % 7 AS key_mod7,
+           CASE WHEN o_totalprice > 150000 THEN 'high'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'low' END AS price_band
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_scalar_funcs(spark, sf_dir):
+    return relational.scalar_funcs(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+# ===========================================================================
+# Dedup family
+# ===========================================================================
+
+@_q(
+    "exact_dedup",
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = dedup.exact_dedup(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "value",
+    )
+
+
+@_q(
+    "dedup_docs_exact",
+    """
+    SELECT MIN(doc_id) AS doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 2
+    """,
+)
+def q_dedup_docs_exact(spark, sf_dir):
+    return dedup.dedup_documents_exact(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "ngram_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM shingled WHERE len(shingles) > 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_id_a
+    JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@_q("near_dedup")  # MinHash-LSH — sketch-based, rows-only check
+def q_near_dedup(spark, sf_dir):
+    return dedup.near_dedup_minhash(_t(spark, sf_dir, "documents"))
+
+
+@_q("simhash_pairs")  # SimHash Hamming blocking — rows-only check
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+@_q(
+    "similarity_topk",
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 20
+    ) WHERE rank <= 10
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.similarity_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 20), k=10
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+@_q("similarity_topk_lsh")  # approximate ANN — recall-bound, rows-only
+def q_similarity_topk_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.similarity_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 20), k=10
+    )
+
+
+@_q("embedding_stats")  # float norm accumulation — rows-only
+def q_embedding_stats(spark, sf_dir):
+    return similarity.embedding_stats(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+@_q(
+    "text_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, lang,
+             string_split(lower(trim(text)), ' ') AS toks,
+             CAST(LENGTH(text) AS INT) AS n_chars_m,
+             CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS INT) AS punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id, lang,
+             CAST(len(toks) AS INT) AS n_tokens, n_chars_m,
+             CASE WHEN len(toks) > 0
+                  THEN (n_chars_m - (len(toks) - 1)) / len(toks)
+                  ELSE 0.0 END AS avg_token_len,
+             punct / greatest(n_chars_m, 1) AS punct_ratio,
+             len(list_filter(toks, t -> list_contains(
+                 ['the','and','of','to','in','is','that','for','with','a'], t)))
+                 / greatest(len(toks), 1) AS stopword_ratio
+      FROM base
+    )
+    SELECT doc_id, lang, n_tokens, n_chars_m, avg_token_len, punct_ratio,
+           stopword_ratio,
+           CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN punct_ratio < 0.2 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END
+             AS quality_score
+    FROM m
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    return textops.text_stats(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "token_count",
+    """
+    WITH per_doc AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT)
+               AS bpe_tokens
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(ws_tokens) AS total_ws_tokens,
+           SUM(bpe_tokens) AS total_bpe_tokens,
+           MIN(bpe_tokens) AS min_bpe_tokens,
+           MAX(bpe_tokens) AS max_bpe_tokens
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_token_count(spark, sf_dir):
+    return textops.token_count(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "lang_id",
+    """
+    WITH base AS (
+      SELECT doc_id, lang AS labeled_lang,
+             string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, labeled_lang,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['the','and','of','to','in','is','that','for','with','a'], t))) AS INT) AS h_en,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['el','la','de','que','y','en','un','por','con','los'], t))) AS INT) AS h_es,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['le','la','de','et','les','des','en','un','du','que'], t))) AS INT) AS h_fr,
+        CAST(len(list_filter(toks, t -> list_contains(
+          ['der','die','und','das','von','zu','mit','den','ist','im'], t))) AS INT) AS h_de
+      FROM base
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'unknown'
+                WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                ELSE 'de' END AS predicted_lang,
+           greatest(h_en, h_es, h_fr, h_de) AS stopword_hits
+    FROM hits
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS md5_fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    return textops.doc_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "md5_fp"
+    )
+
+
+@_q(
+    "tfidf",
+    """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1 HAVING COUNT(*) >= 2
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    return textops.tfidf(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Sessionization + streaming
+# ===========================================================================
+
+@_q(
+    "sessionize",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ids AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS session_value
+    FROM ids GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    return sessionize.sessionize(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "stream_tumbling",
+    f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    # Execute genuinely under Structured Streaming (AvailableNow) —
+    # identical plan to a continuous deployment; see streaming/windows.py.
+    ev = _t(spark, sf_dir, "events")  # sets nanosAsLong conf + schema
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def transform(stream):
+        converted = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+        return tumbling_counts(converted)
+
+    return run_stream_to_batch(
+        spark, os.path.join(sf_dir, "events.parquet"), transform, raw_schema
+    )
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+@_q(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha,
+           CASE WHEN text LIKE 'the%' THEN 'text/en-start'
+                ELSE 'text/other' END AS sniffed_format
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    return multimodal.binary_metadata(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "byte_len", "sha", "sniffed_format"
+    )
+
+
+@_q("multimodal_decode")  # mapInPandas decode stub — rows-only
+def q_multimodal_decode(spark, sf_dir):
+    media = multimodal.binary_metadata(_t(spark, sf_dir, "documents"))
+    return multimodal.decode_media(media)
+
+
+# ===========================================================================
+# Reference-surface ALB parse (rows-only: UA/url parse not DuckDB-expressible)
+# ===========================================================================
+
+@_q("elb_parse")
+def q_elb_parse(spark, sf_dir):
+    """Flagship reference pipeline on deterministic synthetic ALB lines:
+    generate -> parse (full P1-P16 chain) -> status/browser rollup."""
+    methods = F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT"))
+    uas = F.array(
+        F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/136.0.0.0 Safari/537.36"),
+        F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Version/17.4 Safari/605.1.15"),
+        F.lit("-"),
+    )
+    statuses = F.array(F.lit("200"), F.lit("404"), F.lit("500"), F.lit("-"))
+    n = F.col("id")
+    line = F.format_string(
+        'h2 2025-05-26T%02d:%02d:%02d.000123Z app/demo/x 10.0.%d.%d:443 10.1.0.1:80 '
+        '0.001 0.0%d 0.000 %s 200 %d 10%d "%s https://example.com/api/item/%d HTTP/2.0" '
+        '"%s" TLS_AES_128_GCM_SHA256 TLSv1.3 arn:xxx',
+        (n % 24).cast("int"),
+        (n % 60).cast("int"),
+        ((n * 7) % 60).cast("int"),
+        (n % 256).cast("int"),
+        ((n * 3) % 256).cast("int"),
+        (n % 10).cast("int"),
+        statuses[(n % 4).cast("int")],
+        (n % 1000).cast("int"),
+        (n % 89).cast("int"),
+        methods[(n % 3).cast("int")],
+        (n % 50).cast("int"),
+        uas[(n % 3).cast("int")],
+    )
+    lines = spark.range(0, 5000).select(line.alias("value"))
+    parsed = parse_alb_lines(lines, source_file=F.lit("synthetic://alb"))
+    return (
+        parsed.groupBy("elb_status_code", "http_method", "ua_browser_family")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum("received_bytes").alias("total_received"),
+            F.sum("sent_bytes").alias("total_sent"),
+        )
+    )

@@ -12,7 +12,28 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects (PARQUET_TYPE_ILLEGAL). Read it as raw int64 nanoseconds
+    via the legacy conf, then truncate to Spark's native microsecond
+    timestamps with INTEGER division (`div`) — a double division would
+    lose precision above 2^53 (~epoch ns is ~1.7e18). Matches DuckDB's
+    own ns->us truncation exactly. Fully distributed: the conversion
+    is a per-row expression in the scan stage.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_tables(

@@ -1,0 +1,134 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` twin on
+DuckDB over the same sf dir, then compares row count, sorted column
+names, dtypes, and cell values (exact for ints/strings, 1e-9 rel for
+floats — stricter than any plausible driver hash normalization, so
+passing here predicts passing there).
+
+Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return pdf
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(oracle_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
+    scols, ocols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
+    if scols != ocols:
+        problems.append(f"columns spark={scols} oracle={ocols}")
+        return problems
+    if problems:
+        return problems
+    s, o = normalize(spark_pdf), normalize(oracle_pdf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            a = sv.astype(float).to_numpy()
+            b = ov.astype(float).to_numpy()
+            both_nan = np.isnan(a) & np.isnan(b)
+            close = np.isclose(a, b, rtol=1e-9, atol=1e-12) | both_nan
+            exact = (a == b) | both_nan
+            if not close.all():
+                i = int(np.argmin(close))
+                problems.append(f"col {c}: value mismatch row{i}: {a[i]} vs {b[i]}")
+            elif not exact.all():
+                i = int(np.argmin(exact))
+                problems.append(
+                    f"col {c}: INEXACT (close but not bit-equal) row{i}: {a[i]!r} vs {b[i]!r}"
+                )
+        else:
+            eq = (sv.astype(object).where(pd.notna(sv), None)
+                  == ov.astype(object).where(pd.notna(ov), None)) | (
+                pd.isna(sv) & pd.isna(ov)
+            )
+            if not eq.all():
+                i = int(np.argmin(eq.to_numpy()))
+                problems.append(
+                    f"col {c}: value mismatch row{i}: {sv.iloc[i]!r} vs {ov.iloc[i]!r} "
+                    f"(dtypes {sv.dtype}/{ov.dtype})"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    from elb_log_to_mysql_spark.session import build_session
+
+    import __spark_entry__ as e
+
+    spark = build_session(master="local[8]")
+    con = duckdb_con(sf_dir)
+    qs, oracles = e.queries(), e.oracle_sql()
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as ex:
+            print(f"FAIL  {name}: spark error: {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(spdf)} rows (rows-only) [{time.time()-t0:.1f}s]")
+            if len(spdf) == 0:
+                print(f"  WARN {name}: zero rows")
+            continue
+        try:
+            opdf = con.sql(oracles[name]).df()
+        except Exception as ex:
+            print(f"FAIL  {name}: oracle error: {ex}")
+            failures += 1
+            continue
+        problems = compare(name, spdf, opdf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems[:6]:
+                print(f"      {p}")
+        else:
+            print(f"OK    {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
+    spark.stop()
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
