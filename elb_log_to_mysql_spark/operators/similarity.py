@@ -122,15 +122,20 @@ def similarity_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
 ) -> DataFrame:
     """Approximate cosine top-k: hyperplane-LSH candidates, exact rerank.
 
     Each vector lands in n_tables buckets (independent sign patterns);
     query x corpus joins are equi on (table, bucket) — at 100 TB this
     replaces the |Q|·|corpus| scan with |Q|·E[bucket size]·n_tables.
-    Recall is tuned by (n_planes, n_tables).
+
+    Recall/cost trade-off: P(collide in one table) = p^n_planes with
+    p = 1 - θ/π; recall over tables = 1-(1-p^planes)^tables. Short
+    patterns + more tables favor recall (defaults 4×8 give ~0.9+ for
+    cos≈0.8 neighbors); raise n_planes as corpus density grows to
+    keep buckets small.
     """
 
     def bucketize(df: DataFrame, idc: str, vecc: str) -> DataFrame:

@@ -1,0 +1,161 @@
+"""ALB parse-pipeline parity tests.
+
+Golden line + negative fixtures from the reference's (commented-out)
+tests at /root/reference/tests/test_utils.py:14-44, plus a
+property-based sweep comparing the Spark pipeline against a pure
+Python oracle transcribed from the reference parser semantics
+(etl:64-131).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
+
+GOLDEN = (
+    "h2 2025-05-26T23:55:02.179979Z app/erank-app/xxxxxxx 1.2.3.4:5678 5.6.7.8:80 "
+    "0.001 0.303 0.000 200 200 74 1013 "
+    '"POST https://example.com:443/api/browser-ext-user HTTP/2.0" '
+    '"Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) '
+    'Chrome/136.0.0.0 Safari/537.36" '
+    "TLS_AES_128_GCM_SHA256 TLSv1.3 arn:aws:elasticloadbalancing:us-east-1:xxx "
+    '"Root=1-xxx" "example.com" "arn:cert" 0 2025-05-26T23:55:01.875000Z '
+    '"waf,forward" "-" "-" "5.6.7.8:80" "200" "-" "-" TID_xxx'
+)
+
+
+def parse(spark, lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    return parse_alb_lines(df, source_file=F.lit("test.gz")).collect()
+
+
+def test_golden_line(spark):
+    rows = parse(spark, [GOLDEN])
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.client_ip == "1.2.3.4"
+    assert r.http_method == "POST"
+    assert r.requested_path == "/api/browser-ext-user"
+    assert r.elb_status_code == 200
+    assert r.backend_status_code == 200
+    assert r.total_processing_time_ms == 304.0
+    assert r.received_bytes == 74
+    assert r.sent_bytes == 1013
+    assert r.ua_browser_family == "Chrome"
+    assert r.ua_os_family == "Windows"
+    assert r.log_source_file == "test.gz"
+    # UTC 23:55 -> America/New_York (EDT, -4) 19:55, microseconds kept
+    assert r.log_timestamp == datetime.datetime(2025, 5, 26, 19, 55, 2, 179979)
+
+
+def test_short_line_dropped(spark):
+    assert parse(spark, ["only this"]) == []
+
+
+def test_bad_timestamp_dropped(spark):
+    assert parse(spark, [GOLDEN.replace("2025-05-26T23:55:02.179979Z", "badts", 1)]) == []
+
+
+def test_sentinel_coercions(spark):
+    line = (
+        "http 2025-01-05T12:00:00Z app/x/y 9.8.7.6:1111 - -1 -1 -1 - - -1 -1 "
+        '"GET /test HTTP/1.1" "-" - - -'
+    )
+    r = parse(spark, [line])[0]
+    assert r.elb_status_code == 0 and r.backend_status_code == 0
+    assert r.received_bytes == 0 and r.sent_bytes == 0
+    assert r.total_processing_time_ms == -3000.0  # floats keep -1 (etl:46-50)
+    assert r.requested_path == "/test"  # relative URL passthrough
+    assert r.ua_browser_family == "Unknown" and r.ua_os_family == "Unknown"
+    # winter date: EST (-5)
+    assert r.log_timestamp == datetime.datetime(2025, 1, 5, 7, 0, 0)
+
+
+def test_malformed_request_field(spark):
+    line = (
+        "http 2025-06-05T12:00:00Z app/x/y 9.8.7.6:1111 1.1.1.1:80 0.1 0.1 0.1 "
+        '200 200 10 20 "justoneword" "UA here" c p a'
+    )
+    r = parse(spark, [line])[0]
+    assert r.http_method == "Unknown"
+    assert r.requested_path == ""
+
+
+# -- property-based: Spark pipeline vs pure-Python reference oracle ---------
+
+_INT_TOKENS = st.sampled_from(["-", "-1", "0", "200", "404", "999", "x"])
+_FLOAT_TOKENS = st.sampled_from(["-1", "0.001", "0.5", "-", "abc", "2"])
+_TS_TOKENS = st.sampled_from(
+    [
+        "2025-05-26T23:55:02.179979Z",
+        "2025-05-26T23:55:02Z",
+        "2025-01-01T00:00:00Z",
+        "badtimestamp",
+        "2025-13-40T99:99:99Z",
+    ]
+)
+_REQ = st.sampled_from(
+    [
+        '"GET https://h.example/a/b HTTP/1.1"',
+        '"POST /rel/path HTTP/2.0"',
+        '"weird"',
+        '"-"',
+    ]
+)
+
+
+def _py_oracle_keep(ts: str, nums_ok: bool = True) -> bool:
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%dT%H:%M:%SZ"):
+        try:
+            datetime.datetime.strptime(ts, fmt)
+            return True
+        except ValueError:
+            continue
+    return False
+
+
+def _py_to_int(v: str) -> int:
+    return int(v) if v.isdigit() else 0
+
+
+def _py_to_float(v: str) -> float:
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return 0.0
+
+
+@given(
+    ts=_TS_TOKENS,
+    f1=_FLOAT_TOKENS,
+    f2=_FLOAT_TOKENS,
+    elb_code=_INT_TOKENS,
+    rb=_INT_TOKENS,
+    req=_REQ,
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_parse_matches_python_oracle(spark, ts, f1, f2, elb_code, rb, req):
+    line = (
+        f"h2 {ts} app/x/y 10.0.0.1:443 10.1.1.1:80 {f1} {f2} 0.000 "
+        f'{elb_code} 200 {rb} 555 {req} "Mozilla/5.0 test" CIPHER TLSv1.3 arn'
+    )
+    rows = parse(spark, [line])
+    if not _py_oracle_keep(ts):
+        assert rows == []
+        return
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.elb_status_code == _py_to_int(elb_code)
+    assert r.received_bytes == _py_to_int(rb)
+    expected_ms = round((_py_to_float(f1) + _py_to_float(f2) + 0.0) * 1000, 3)
+    assert abs(r.total_processing_time_ms - expected_ms) < 1e-9
+    assert r.client_ip == "10.0.0.1"
