@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is fully materialized through the noop sink (no driver
+collect, no result-size bias) after a small JVM warm-up. Designed to
+be comparable run-to-run: fixed query list, fixed session conf.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from elb_log_to_mysql_spark.queries import QUERIES  # noqa: E402
+from elb_log_to_mysql_spark.session import build_session  # noqa: E402
+
+HEADLINE = [
+    "elb_parse",
+    "filter_project",
+    "hash_agg",
+    "inner_join",
+    "broadcast_join",
+    "range_join",
+    "distinct_agg",
+    "window_analytic",
+    "topk_per_group",
+    "set_ops",
+    "exact_dedup",
+    "sessionize",
+    "text_stats",
+    "token_count",
+    "tfidf",
+    "ngram_jaccard",
+    "near_dedup",
+    "simhash_pairs",
+    "similarity_topk",
+    "similarity_topk_lsh",
+    "stream_tumbling",
+    "multimodal_meta",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up JVM / codegen / parquet footer caches
+    materialize(QUERIES["hash_agg"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -95,18 +95,18 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: for seed i, min over xxhash64(shingle, i).
+    """MinHash signature over an array of shingles.
 
-    xxhash64 with distinct literal seeds gives `num_hashes`
-    effectively-independent hash families; array_min per family is
-    the minhash. All JVM expressions — ~num_hashes·|shingles| hashes
-    per doc, embarrassingly parallel.
+    The (variable-length string) shingle is hashed ONCE to a long;
+    the num_hashes families then re-hash that fixed-width long with
+    distinct seeds — O(|shingles|) string hashes + O(k·|shingles|)
+    cheap long hashes instead of k full string hashes, a large
+    constant-factor win on long shingles.
     """
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.array(
         *[
-            F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i)))
-            )
+            F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, F.lit(i))))
             for i in range(num_hashes)
         ]
     )
@@ -135,11 +135,28 @@ def near_dedup_minhash(
     """
     rows_per_band = num_hashes // bands
 
+    # Shingle hashes (array<long>) are the working representation from
+    # here on: signatures derive from them, and exact-Jaccard
+    # verification intersects them — distinct xxhash64 values stand in
+    # for distinct shingles (collision odds ~n²/2^64, negligible), and
+    # fixed-width longs join/intersect far cheaper than long strings.
     sh = documents.select(
         F.col(id_col).alias("doc_id"),
-        word_shingles(text_col, shingle_n).alias("shingles"),
+        F.transform(
+            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sig = sh.withColumn("sig", minhash_signature(F.col("shingles"), num_hashes))
+    sig = sh.withColumn(
+        "sig",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("shingles"), lambda h: F.xxhash64(h, F.lit(i)))
+                )
+                for i in range(num_hashes)
+            ]
+        ),
+    )
 
     # band i = hash of signature slice [i*r, (i+1)*r)
     banded = sig.select(
@@ -162,6 +179,11 @@ def near_dedup_minhash(
             )
         ).alias("band_idx", "band_hash"),
     )
+    # The banded table feeds three consumers (bucket census + both
+    # self-join legs); persist so the signature computation runs once.
+    # At cluster scale this is the materialized signature table one
+    # would keep alongside the corpus anyway.
+    banded = banded.persist()
 
     # cap degenerate buckets (spam clusters) — explicit skew bound
     bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
@@ -224,7 +246,7 @@ def ngram_jaccard_pairs(
     sh = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    )
+    ).persist()  # feeds sizes + both join legs — compute shingles once
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
@@ -282,6 +304,40 @@ def simhash64(text: Column | str) -> Column:
     return out
 
 
+def simhash_fingerprints(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash fingerprints via explode + one aggregation.
+
+    Rather than 64 per-row array aggregates (a codegen-hostile
+    expression tree), tokens are exploded once, each row contributes
+    64 small ±1 vote columns (pure bit ops on one xxhash64), and a
+    single groupBy(doc_id) sums them — partial aggregation combines
+    votes map-side, so the shuffle carries 64 ints per doc regardless
+    of document length. Sign of each vote sum sets the fingerprint bit.
+    """
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("token"),
+    ).withColumn("h", F.xxhash64("token"))
+
+    def mask(b: int) -> Column:
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(mask(b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp + F.when(F.col(f"v{b}") > 0, mask(b)).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", fp.alias("fp"))
+
+
 def simhash_near_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -295,9 +351,7 @@ def simhash_near_pairs(
     block), so the join is equi on (block_idx, block_value) — same
     shuffle shape as the MinHash bands, never quadratic.
     """
-    fp = documents.select(
-        F.col(id_col).alias("doc_id"), simhash64(text_col).alias("fp")
-    )
+    fp = simhash_fingerprints(documents, id_col, text_col).persist()
     blocks = fp.select(
         "doc_id",
         "fp",

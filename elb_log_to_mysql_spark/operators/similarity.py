@@ -83,35 +83,31 @@ def similarity_topk_bruteforce(
     )
 
 
-def _hyperplane_sign(vec: Column, table: int, plane: int, dim: int) -> Column:
-    """Sign of <vec, h> for a deterministic pseudo-random hyperplane.
+def _hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int = 42):
+    """Deterministic random hyperplanes as plain Python floats.
 
-    Component j of plane (table, plane) is derived from
-    xxhash64(j, plane, table) scaled to [-1, 1] — reproducible
-    everywhere with zero stored state.
+    Seeded numpy Gaussians baked into the plan as array literals:
+    reproducible across runs/executors with zero stored model state,
+    and far cheaper than deriving components with per-element hash
+    expressions (the literals fold into codegen constants).
     """
-    comps = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (
-            (
-                F.xxhash64(j, F.lit(plane), F.lit(table)).cast("double")
-                / F.lit(float(2**63))
-            )
-        ),
-    )
-    dot = F.aggregate(
-        F.zip_with(vec, comps, lambda x, h: x.cast("double") * h),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (dot >= 0).cast("int")
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_tables, n_planes, dim)
 
 
-def lsh_bucket(vec: Column, table: int, n_planes: int, dim: int) -> Column:
-    """Bucket id = packed sign pattern over n_planes hyperplanes."""
+def lsh_bucket(vec: Column, planes) -> Column:
+    """Bucket id = packed sign pattern of <vec, h_p> over the planes."""
     bucket = F.lit(0)
-    for p in range(n_planes):
-        bucket = bucket * 2 + _hyperplane_sign(vec, table, p, dim)
+    for plane in planes:
+        comps = F.array(*[F.lit(float(c)) for c in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, comps, lambda x, h: x.cast("double") * h),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket * 2 + (dot >= 0).cast("int")
     return bucket
 
 
@@ -138,16 +134,15 @@ def similarity_topk_lsh(
     keep buckets small.
     """
 
+    planes = _hyperplanes(n_tables, n_planes, dim)
+
     def bucketize(df: DataFrame, idc: str, vecc: str) -> DataFrame:
         return df.select(
             F.col(idc),
             F.col(vecc),
             F.posexplode(
                 F.array(
-                    *[
-                        lsh_bucket(F.col(vecc), t, n_planes, dim)
-                        for t in range(n_tables)
-                    ]
+                    *[lsh_bucket(F.col(vecc), planes[t]) for t in range(n_tables)]
                 )
             ).alias("table_idx", "bucket"),
         )
