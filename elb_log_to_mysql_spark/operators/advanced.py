@@ -1,0 +1,237 @@
+"""Advanced relational operators: multi-join analytical queries,
+pivot, moment-based statistics, JSON access, date/string function
+batteries, percentiles, grouping sets, ordered collection.
+
+Everything follows the engine's determinism contract: double
+aggregates go through exact decimal power sums; collections are
+sorted before emission; rankings carry tiebreakers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.functions.numeric import DET_DECIMAL, dsum
+
+
+def tpch_q3(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Shipping-priority revenue (TPC-H Q3 shape): top-10 open orders
+    by revenue in the BUILDING segment. The c_custkey filter output is
+    tiny -> broadcast; lineitem⋈orders shuffles on orderkey once."""
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > "1996-01-01")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(building), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def tpch_q5(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5 shape): revenue per nation where
+    customer and supplier share the nation. Exercises a 6-table join
+    with both broadcast (dims) and shuffle (facts) strategies and a
+    join-key-equality side condition."""
+    dims = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+PIVOT_STATUSES = ["F", "O", "P"]
+
+
+def pivot_agg(orders: DataFrame) -> DataFrame:
+    """Pivot order value per priority across order-status columns.
+
+    Explicit pivot values keep the plan a single pass (no extra job to
+    discover the domain) — required practice at scale.
+    """
+    p = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", PIVOT_STATUSES)
+        .agg(F.sum(F.col("o_totalprice").cast(DET_DECIMAL)).cast("double"))
+    )
+    return p.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0.0)).alias(f"total_{s.lower()}")
+            for s in PIVOT_STATUSES
+        ],
+    )
+
+
+def stats_agg(lineitem: DataFrame) -> DataFrame:
+    """Mean / variance / stddev / correlation from exact power sums.
+
+    Spark's built-in var_samp/corr use streaming single-pass updates
+    whose float accumulation is partition-order dependent — fine for
+    estimation, wrong for a reproducible engine. Here the five power
+    sums are exact decimals (order-independent), and the moments are
+    derived in double with one fixed expression, so results are
+    bit-stable under any parallelism AND match the oracle running the
+    same formula.
+    """
+    x = F.col("l_extendedprice")
+    y = F.col("l_quantity")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(x * x).alias("sxx"),
+        dsum(y).alias("sy"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    var_x = (n * F.col("sxx") - F.col("sx") * F.col("sx")) / (n * (n - 1))
+    var_y = (n * F.col("syy") - F.col("sy") * F.col("sy")) / (n * (n - 1))
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (n * (n - 1))
+    # Quantize derived moments: the a*b - c*d shapes are subject to FMA
+    # contraction, which differs between the JVM and native engines in
+    # the last ulp. Rounding orders of magnitude above that noise (but
+    # far below statistical meaning) restores cross-engine bit equality.
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / n).alias("mean_price"),
+        F.round(var_x, 2).alias("var_price"),
+        F.round(F.sqrt(var_x), 4).alias("std_price"),
+        F.round(cov / F.sqrt(var_x * var_y), 8).alias("corr_price_qty"),
+    )
+
+
+def json_funcs(events: DataFrame) -> DataFrame:
+    """JSON access over the events.props payload column."""
+    k_str = F.get_json_object("props", "$.k")
+    return events.select(
+        "event_id",
+        "event_type",
+        k_str.alias("k_str"),
+        k_str.try_cast("long").alias("k_int"),
+        (k_str.try_cast("long") % 10).alias("k_mod10"),
+    )
+
+
+def date_funcs(orders: DataFrame) -> DataFrame:
+    """Date/time function battery on o_orderdate."""
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias("quarter_start"),
+        (F.weekday(d) + 1).cast("int").alias("iso_dow"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d).cast("int").alias(
+            "days_to_end"
+        ),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
+    )
+
+
+def string_funcs(part: DataFrame) -> DataFrame:
+    """String function battery on part names/brands/types."""
+    return part.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_vowels_up"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.instr("p_name", "a").cast("int").alias("first_a"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).cast("int").alias("brand_dist"),
+        F.left("p_name", F.lit(5)).alias("name5"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_masked"),
+    )
+
+
+def percentile_agg(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based within
+    group). For 100 TB prefer approx_percentile (t-digest sketch,
+    map-side combinable) — exposed as the _approx twin below."""
+    q = F.col("l_quantity")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.25)).alias("p25"),
+        F.percentile(q, F.lit(0.5)).alias("p50"),
+        F.percentile(q, F.lit(0.75)).alias("p75"),
+        F.min(q).alias("q_min"),
+        F.max(q).alias("q_max"),
+    )
+
+
+def percentile_approx_agg(lineitem: DataFrame) -> DataFrame:
+    """Sketch-based percentile twin — the scale path (rows-only check)."""
+    q = F.col("l_quantity")
+    return lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx(q, F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+    )
+
+
+def grouping_sets_agg(spark: SparkSession, lineitem: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) via Spark SQL."""
+    lineitem.createOrReplaceTempView("__gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS {DET_DECIMAL})) AS DOUBLE)
+                 AS sum_price,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+def collect_sorted(customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """Deterministic per-group collection: distinct market segments per
+    nation, sorted then joined. collect_list alone is partition-order
+    nondeterministic — array_sort(array_distinct(...)) restores a
+    stable value, the only safe way to emit collections from a
+    distributed engine."""
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.collect_list("c_mktsegment"))), "|"
+            ).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from elb_log_to_mysql_spark.functions.numeric import DSUM_SQL
-from elb_log_to_mysql_spark.operators import dedup, relational, sessionize
+from elb_log_to_mysql_spark.operators import advanced, dedup, relational, sessionize
 from elb_log_to_mysql_spark.operators import multimodal, similarity, textops, windows
 from elb_log_to_mysql_spark.session import tune_session
 from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
@@ -370,6 +370,216 @@ def q_scalar_funcs(spark, sf_dir):
 
 
 # ===========================================================================
+# Advanced relational
+# ===========================================================================
+
+@_q(
+    "tpch_q3",
+    f"""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    return advanced.tpch_q3(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@_q(
+    "tpch_q5",
+    f"""
+    SELECT n_name,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    return advanced.tpch_q5(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "pivot_agg",
+    """
+    SELECT o_orderpriority,
+           COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+             THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS DOUBLE), 0.0)
+             AS total_f,
+           COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+             THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS DOUBLE), 0.0)
+             AS total_o,
+           COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+             THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS DOUBLE), 0.0)
+             AS total_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_agg(spark, sf_dir):
+    return advanced.pivot_agg(_t(spark, sf_dir, "orders"))
+
+
+@_q(
+    "stats_agg",
+    f"""
+    WITH sums AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             {_dsum('l_extendedprice')} AS sx,
+             {_dsum('l_extendedprice * l_extendedprice')} AS sxx,
+             {_dsum('l_quantity')} AS sy,
+             {_dsum('l_quantity * l_quantity')} AS syy,
+             {_dsum('l_extendedprice * l_quantity')} AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           sx / n AS mean_price,
+           ROUND((n * sxx - sx * sx) / (n * (n - 1)), 2) AS var_price,
+           ROUND(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 4) AS std_price,
+           ROUND(((n * sxy - sx * sy) / (n * (n - 1)))
+             / sqrt(((n * sxx - sx * sx) / (n * (n - 1)))
+                  * ((n * syy - sy * sy) / (n * (n - 1)))), 8) AS corr_price_qty
+    FROM sums
+    """,
+)
+def q_stats_agg(spark, sf_dir):
+    return advanced.stats_agg(_t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "json_funcs",
+    """
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k') AS k_str,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+    FROM events
+    """,
+)
+def q_json_funcs(spark, sf_dir):
+    return advanced.json_funcs(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INT)
+             AS days_to_end,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo
+    FROM orders
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    return advanced.date_funcs(_t(spark, sf_dir, "orders"))
+
+
+@_q(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_brand, 2) AS brand_twice,
+           translate(p_type, 'aeiou', 'AEIOU') AS type_vowels_up,
+           split_part(p_type, ' ', 1) AS type_first_word,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           CAST(levenshtein(p_brand, 'Brand#00') AS INT) AS brand_dist,
+           left(p_name, 5) AS name5,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked
+    FROM part
+    """,
+)
+def q_string_funcs(spark, sf_dir):
+    return advanced.string_funcs(_t(spark, sf_dir, "part"))
+
+
+@_q(
+    "percentile_agg",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           MIN(l_quantity) AS q_min,
+           MAX(l_quantity) AS q_max
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile_agg(spark, sf_dir):
+    return advanced.percentile_agg(_t(spark, sf_dir, "lineitem"))
+
+
+@_q("percentile_approx")  # t-digest sketch — rows-only
+def q_percentile_approx(spark, sf_dir):
+    return advanced.percentile_approx_agg(_t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {_dsum('l_extendedprice')} AS sum_price,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    return advanced.grouping_sets_agg(spark, _t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "collect_sorted",
+    """
+    SELECT n_name,
+           array_to_string(list_sort(list_distinct(list(c_mktsegment))), '|')
+             AS segments,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_collect_sorted(spark, sf_dir):
+    return advanced.collect_sorted(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    )
+
+
+# ===========================================================================
 # Dedup family
 # ===========================================================================
 
@@ -676,6 +886,70 @@ def q_stream_tumbling(spark, sf_dir):
     return run_stream_to_batch(
         spark, os.path.join(sf_dir, "events.parquet"), transform, raw_schema
     )
+
+
+@_q(
+    "stream_sliding",
+    f"""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+               AS window_start,
+             event_type, value
+      FROM events CROSS JOIN unnest([0, 1, 2, 3]) AS t(k)
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS sum_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    from elb_log_to_mysql_spark.streaming.windows import sliding_counts
+
+    _t(spark, sf_dir, "events")  # sets nanosAsLong conf
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def transform(stream):
+        return sliding_counts(
+            stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+
+    return run_stream_to_batch(
+        spark, os.path.join(sf_dir, "events.parquet"), transform, raw_schema
+    )
+
+
+@_q(
+    "session_window",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), ids AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end_gap,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS session_value
+    FROM ids GROUP BY user_id, session_seq
+    """,
+)
+def q_session_window(spark, sf_dir):
+    # Spark's native merging session-window operator, cross-checked
+    # against the independent gap-and-island SQL formulation.
+    from elb_log_to_mysql_spark.streaming.windows import session_window_agg
+
+    return session_window_agg(_t(spark, sf_dir, "events"))
 
 
 # ===========================================================================

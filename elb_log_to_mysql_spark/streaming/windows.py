@@ -53,6 +53,67 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window_dur: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding event-time windows: each event lands in dur/slide
+    overlapping windows (here 4). State growth is windows-per-slide x
+    groups; the watermark finalizes and evicts old windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_dur, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DET_DECIMAL)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows (Spark's merging-window state operator):
+    per-user sessions closed by a `gap` of inactivity. The streaming
+    twin of operators/sessionize.py's batch gap-and-island — same
+    session boundaries, so the island SQL doubles as its oracle.
+
+    Session end follows Spark's definition: last event time + gap.
+    """
+    return (
+        events.groupBy(
+            F.session_window("ts", gap).alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DET_DECIMAL)).cast("double").alias(
+                "session_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end_gap"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def run_stream_to_batch(
     spark: SparkSession, source_dir: str, transform, schema
 ) -> DataFrame:
