@@ -952,6 +952,56 @@ def q_session_window(spark, sf_dir):
     return session_window_agg(_t(spark, sf_dir, "events"))
 
 
+@_q(
+    "stream_stateful",
+    """
+    WITH gaps AS (
+      SELECT user_id, value,
+             epoch_us(ts) - epoch_us(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           COALESCE(MAX(gap_us), 0) AS max_gap_us
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running profile; final state checked against a batch SQL
+    oracle (integer cents/µs state makes it order-independent)."""
+    from elb_log_to_mysql_spark.streaming.stateful import user_profile_stream
+
+    _t(spark, sf_dir, "events")  # sets nanosAsLong conf
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def transform(stream):
+        prepared = stream.select(
+            "user_id",
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "value",
+        )
+        return user_profile_stream(prepared)
+
+    updates = run_stream_to_batch(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        transform,
+        raw_schema,
+        output_mode="update",
+    )
+    # update mode emits one row per (user, micro-batch); the final
+    # profile is the row with the highest running count.
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("sum_cents", "n_events").alias("sum_cents"),
+        F.max_by("max_gap_us", "n_events").alias("max_gap_us"),
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing
 # ===========================================================================

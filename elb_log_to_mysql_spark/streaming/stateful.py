@@ -1,0 +1,94 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The built-in windowed aggregations (streaming/windows.py) cover
+time-bucketed state; this operator demonstrates arbitrary per-key
+state the built-ins cannot express: a per-user running profile
+(event count, value total, max inter-event gap) maintained across
+micro-batches with explicit state schema.
+
+State lives in the state store (checkpointed, partitioned by key);
+each micro-batch streams Arrow record batches per key through the
+Python function. At scale, state size is O(distinct keys), not
+O(events) — the operator is the streaming analog of a groupBy that
+never ends.
+
+Determinism: totals accumulate as integer cents and gaps as integer
+microseconds, so the final profile is bit-identical regardless of
+batch boundaries or accumulation order — and therefore checkable
+against a batch SQL oracle (unlike float accumulation in arrival
+order, which no set-oriented engine reproduces).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("max_gap_us", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+        T.StructField("max_gap_us", T.LongType()),
+    ]
+)
+
+
+def _update_user_profile(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, cents, last_us, max_gap = state.get
+        last_us = None if last_us < 0 else last_us
+    else:
+        n, cents, last_us, max_gap = 0, 0, None, 0
+
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, value in zip(pdf["ts_us"], pdf["value"]):
+            if last_us is not None:
+                gap = int(ts_us) - int(last_us)
+                if gap > max_gap:
+                    max_gap = gap
+            last_us = int(ts_us)
+            n += 1
+            cents += int(round(float(value) * 100))
+
+    state.update((n, cents, -1 if last_us is None else last_us, max_gap))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_cents": [cents],
+            "max_gap_us": [max_gap],
+        }
+    )
+
+
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """Apply the stateful per-user profile over a (streaming) events
+    DataFrame with columns (user_id, event_id, ts_us, value)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -115,7 +115,11 @@ def session_window_agg(
 
 
 def run_stream_to_batch(
-    spark: SparkSession, source_dir: str, transform, schema
+    spark: SparkSession,
+    source_dir: str,
+    transform,
+    schema,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Execute a streaming transform over a bounded source and return
     the final result as a batch DataFrame.
@@ -138,7 +142,7 @@ def run_stream_to_batch(
         transform(stream)
         .writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
