@@ -28,6 +28,12 @@ HEADLINE = [
     "inner_join",
     "broadcast_join",
     "range_join",
+    "asof_join",
+    "tpch_q3",
+    "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
+    "skew_salted_agg",
     "distinct_agg",
     "window_analytic",
     "topk_per_group",

@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from elb_log_to_mysql_spark.functions.numeric import DSUM_SQL
-from elb_log_to_mysql_spark.operators import advanced, dedup, relational, sessionize
-from elb_log_to_mysql_spark.operators import multimodal, similarity, textops, windows
+from elb_log_to_mysql_spark.operators import advanced, asof, dedup, relational
+from elb_log_to_mysql_spark.operators import multimodal, sessionize, similarity, skew
+from elb_log_to_mysql_spark.operators import textops, tpch, windows
 from elb_log_to_mysql_spark.session import tune_session
 from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
 from elb_log_to_mysql_spark.sources.tables import load_table
@@ -423,6 +424,197 @@ def q_tpch_q5(spark, sf_dir):
         _t(spark, sf_dir, "supplier"),
         _t(spark, sf_dir, "nation"),
         _t(spark, sf_dir, "region"),
+    )
+
+
+@_q(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf_dir):
+    return tpch.tpch_q4(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "tpch_q6",
+    f"""
+    SELECT COALESCE({_dsum('l_extendedprice * l_discount')}, 0.0) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf_dir):
+    return tpch.tpch_q6(_t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "tpch_q10",
+    f"""
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    return tpch.tpch_q10(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_q(
+    "tpch_q13",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark, sf_dir):
+    return tpch.tpch_q13(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_q(
+    "tpch_q18",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {_dsum('l_quantity')} > 180.0
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_totalprice, sum_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    return tpch.tpch_q18(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@_q(
+    "tpch_q19",
+    f"""
+    SELECT COALESCE({_dsum('l_extendedprice * (1 - l_discount)')}, 0.0) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark, sf_dir):
+    return tpch.tpch_q19(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+@_q(
+    "asof_join",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), merged AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER w AS purchase_event_id,
+             last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+               OVER w AS purchase_value
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id AS click_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           purchase_event_id, purchase_value
+    FROM merged WHERE side = 1
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: each click matched to the user's most
+    recent preceding purchase (union-merge, one shuffle, no join
+    operator — operators/asof.py)."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return asof.asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values={"event_id": "purchase_event_id", "value": "purchase_value"},
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        "purchase_event_id",
+        "purchase_value",
+    )
+
+
+@_q(
+    "skew_salted_agg",
+    f"""
+    SELECT l_suppkey,
+           {_dsum('l_extendedprice')} AS value_sum,
+           COUNT(*) AS n_rows,
+           MIN(l_extendedprice) AS value_min,
+           MAX(l_extendedprice) AS value_max
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q_skew_salted_agg(spark, sf_dir):
+    """Two-stage salted aggregation (operators/skew.py): bit-identical
+    to the plain GROUP BY oracle because partials are exact decimals."""
+    return skew.salted_agg(
+        _t(spark, sf_dir, "lineitem"), key="l_suppkey", value="l_extendedprice"
     )
 
 

@@ -1,0 +1,67 @@
+"""As-of join semantics: backward match, simultaneous-tie resolution,
+no-match nulls, tolerance expiry, name-collision guard."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from elb_log_to_mysql_spark.operators.asof import asof_join
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _frames(spark):
+    trades = spark.createDataFrame(
+        [(1, 101, _ts(10)), (1, 102, _ts(30)), (2, 201, _ts(20)), (3, 301, _ts(5))],
+        "key int, trade_id int, t timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, _ts(8), 99.0),
+            (1, _ts(10), 100.0),   # simultaneous with trade 101 -> must match
+            (1, _ts(25), 101.0),
+            (2, _ts(19), 55.0),
+            # key 3 has no quotes at all
+        ],
+        "key int, t timestamp, px double",
+    )
+    return trades, quotes
+
+
+def test_backward_match_and_ties(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(
+        trades, quotes, ["key"], "t", "t", {"px": "quote_px"}
+    )
+    got = {r.trade_id: r.quote_px for r in out.collect()}
+    assert got == {101: 100.0, 102: 101.0, 201: 55.0, 301: None}
+
+
+def test_tolerance_expires_old_matches(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(
+        trades, quotes, ["key"], "t", "t", {"px": "quote_px"},
+        tolerance_us=2_000_000,  # 2s
+    )
+    got = {r.trade_id: r.quote_px for r in out.collect()}
+    # 102's best quote is 5s old, 201's is 1s old
+    assert got == {101: 100.0, 102: None, 201: 55.0, 301: None}
+
+
+def test_left_columns_preserved(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(trades, quotes, ["key"], "t", "t", {"px": "quote_px"})
+    assert set(out.columns) == {"key", "trade_id", "t", "quote_px"}
+    assert out.count() == trades.count()
+
+
+def test_output_name_collision_raises(spark):
+    trades, quotes = _frames(spark)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(trades, quotes, ["key"], "t", "t", {"px": "trade_id"})

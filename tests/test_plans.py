@@ -1,0 +1,83 @@
+"""Physical-plan property tests: the engine's scale contract.
+
+Correctness says the right rows come back; these tests pin HOW —
+filters reach the parquet scan, projections prune the read schema,
+dimensions broadcast, aggregates combine map-side, hot paths stay in
+JVM codegen, and the as-of join runs join-free with one shuffle.
+A regression here is a 100 TB incident that sf0.01 correctness tests
+would never see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.operators import advanced, asof, relational, tpch
+from elb_log_to_mysql_spark.plans.inspect import plan_report
+from elb_log_to_mysql_spark.sources.tables import load_table
+
+
+def _report(df):
+    df.collect()  # materialize so AQE finalizes the executed plan
+    return plan_report(df)
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    rep = _report(relational.filter_project(load_table(spark, sf_dir, "lineitem")))
+    assert any("l_shipdate" in p for p in rep["pushed_filters"])
+    # projection needs 5 source cols; the scan must not read the other 6
+    assert rep["read_schemas"] and all(
+        "l_returnflag" not in s and "l_tax" not in s for s in rep["read_schemas"]
+    )
+    assert rep["python_evals"] == 0
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    df = tpch.tpch_q10(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    rep = _report(df)
+    assert rep["broadcast_joins"] >= 2
+    assert rep["sortmerge_joins"] == 0
+    assert rep["python_evals"] == 0
+
+
+def test_agg_has_partial_phase(spark, sf_dir):
+    rep = _report(relational.hash_agg_q1(load_table(spark, sf_dir, "lineitem")))
+    assert rep["partial_aggs"] >= 1
+    assert rep["wholestage_codegen"] >= 1
+    assert rep["python_evals"] == 0
+
+
+def test_q3_broadcasts_filtered_dim(spark, sf_dir):
+    df = advanced.tpch_q3(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    rep = _report(df)
+    assert rep["broadcast_joins"] >= 1
+    assert any("c_mktsegment" in p for p in rep["pushed_filters"])
+
+
+def test_asof_join_is_join_free(spark, sf_dir):
+    """The union-merge as-of join must contain NO join operator and
+    exactly one shuffle (the per-key window) — the property that makes
+    it linear instead of quadratic at scale."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    df = asof.asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts",
+        {"event_id": "purchase_event_id", "value": "purchase_value"},
+    )
+    rep = _report(df)
+    assert rep["broadcast_joins"] + rep["sortmerge_joins"] + rep["shuffled_hash_joins"] == 0
+    assert rep["exchanges"] == 1
