@@ -13,8 +13,10 @@ Two paths, per the scale contract:
   multi-probe via several independent tables; candidates are only
   same-bucket pairs, then exact cosine re-rank.
 
-An IVF variant (k-means coarse quantizer + nprobe search) is the
-natural next step and slots into the same candidate->rerank frame.
+The IVF variant (k-means coarse quantizer + nprobe search) slots into
+the same candidate->rerank frame: assign corpus vectors to their
+nearest centroid once (one pass, one small broadcast of centroids),
+probe only the `nprobe` nearest cells per query.
 """
 
 from __future__ import annotations
@@ -169,6 +171,156 @@ def similarity_topk_lsh(
     )
     return (
         cand.withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b with
+    cosine >= threshold).
+
+    This is the EXACT twin: an all-pairs comparison with the smaller
+    side broadcast and the cosine evaluated as a pure column
+    expression. O(n²·dim) — correct at verification scale, and the
+    ground truth the approximate paths are measured against. At
+    100 TB, candidate generation goes through `similarity_topk_lsh`'s
+    hyperplane buckets (or MinHash over quantized components) and this
+    function reranks only the candidates.
+
+    Output carries pair ids but not the float score: engines disagree
+    at ~1e-7 (float32 vs double accumulation), so the checkable
+    contract is membership under a threshold with margin, not score
+    bits.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def similarity_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) search.
+
+    1. Train a k-means coarse quantizer on the corpus (seeded MLlib
+       KMeans; the model is |centroids|·dim floats — tiny).
+    2. Assign every corpus vector to its nearest centroid — one pass,
+       centroids baked into the plan as literals, pure expressions.
+    3. Per query, probe the `nprobe` nearest cells only; candidates
+       join equi on cell id, then exact cosine rerank.
+
+    Cost per query falls from O(|corpus|) to O(|corpus|·nprobe/
+    n_centroids) expected; the equi-join on cell id shuffles the
+    corpus once and is AQE-skew-handled if cells are unbalanced.
+    Recall loss is bounded by neighbors living in unprobed cells —
+    raise nprobe to trade cost for recall.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # Quantizer training is an iterative MLlib job: bound its input (a
+    # seeded sample is standard IVF practice — centroids need density,
+    # not every row) and cache it so the 10 Lloyd iterations don't
+    # rescan the source.
+    max_train_rows = 100_000
+    n = embeddings.count()
+    sampled = (
+        embeddings.sample(fraction=max_train_rows / n, seed=seed)
+        if n > max_train_rows
+        else embeddings
+    )
+    train = (
+        sampled.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        .coalesce(8)
+        .cache()
+    )
+    try:
+        model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+    finally:
+        train.unpersist()
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def dist2_to_centers(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in centers
+            ]
+        )
+
+    corpus = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            dist2_to_centers(F.col(vec_col)).alias("_dists"),
+        )
+        .select(
+            "neighbor_id",
+            "c_vec",
+            (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+    probed = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.zip_with(
+                            dist2_to_centers(F.col(vec_col)),
+                            F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                        )
+                    ),
+                    lambda s: s.getField("i"),
+                ),
+                1,
+                nprobe,
+            )
+        ).alias("cell"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        corpus.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))

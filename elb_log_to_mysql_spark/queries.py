@@ -889,6 +889,32 @@ def q_similarity_topk_lsh(spark, sf_dir):
     )
 
 
+@_q(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    """,
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact twin. The 0.45
+    threshold has >5e-4 margin to the nearest pair at sf0.01, so
+    float32 (DuckDB) vs double (Spark) accumulation cannot flip
+    membership."""
+    return similarity.embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+@_q("similarity_topk_ivf")  # approximate ANN (IVF) — recall-bound, rows-only
+def q_similarity_topk_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.similarity_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 20), k=10
+    )
+
+
 @_q("embedding_stats")  # float norm accumulation — rows-only
 def q_embedding_stats(spark, sf_dir):
     return similarity.embedding_stats(_t(spark, sf_dir, "embeddings"))

@@ -71,6 +71,38 @@ def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_ivf(emb, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_embedding_near_dup_matches_bruteforce_scores(spark, sf_dir):
+    """Every emitted pair must actually have cosine >= threshold when
+    recomputed, and the pair set must be symmetric-free (id_a < id_b)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup(emb, threshold=0.40).collect()
+    assert pairs, "threshold 0.40 should produce pairs at sf0.001+"
+    assert all(r.id_a < r.id_b for r in pairs)
+    by_id = {r.vec_id: r.embedding for r in emb.collect()}
+    import math
+
+    for r in pairs:
+        a, b = by_id[r.id_a], by_id[r.id_b]
+        dot = sum(x * y for x, y in zip(a, b))
+        cos = dot / math.sqrt(sum(x * x for x in a) * sum(y * y for y in b))
+        assert cos >= 0.40 - 1e-9, (r.id_a, r.id_b, cos)
+
+
 def test_broadcast_join_uses_broadcast(spark, sf_dir):
     plan = relational.broadcast_dim_join(
         load_table(spark, sf_dir, "customer"),
