@@ -65,6 +65,18 @@ def main() -> None:
 
     # warm up JVM / codegen / parquet footer caches
     materialize(QUERIES["hash_agg"](spark, sf_dir))
+    # warm up the Python UDF workers: the first Arrow-UDF stage forks
+    # 32 workers that each import pandas/numpy (~10s one-time); pay it
+    # here so no measured query carries the startup instead of its
+    # own cost. Workers are reused afterwards (spark.python.worker.reuse).
+    from pyspark.sql import functions as F
+    from elb_log_to_mysql_spark.functions.vectorops import pairwise_cosine
+
+    spark.range(10_000).select(
+        pairwise_cosine(
+            F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))
+        )
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

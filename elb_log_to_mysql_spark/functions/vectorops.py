@@ -1,0 +1,143 @@
+"""Vectorized dense-vector kernels (Arrow-batched pandas UDFs).
+
+The engine's rule is JVM expressions first — but Spark's higher-order
+array functions (`zip_with`/`aggregate`) are *interpreted*, not
+codegen'd: a dot product against k hyperplanes written as HOFs costs
+~ms per row. Dense linear algebra over fixed-width embedding columns
+is the one place a Python UDF beats the JVM path by orders of
+magnitude, because Arrow hands the batch to numpy as one matrix and
+the work becomes a single BLAS matmul. These kernels keep that
+boundary narrow: in = array column, out = small array/scalar column,
+no per-row Python.
+
+Determinism: float64 matmul with fixed operand order; sign/argmin
+boundaries are measure-zero for real data. Batches are independent
+rows, so partitioning cannot change any row's result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    return np.vstack(s.to_numpy())
+
+
+def lsh_bucket_ids(vec: Column, planes: np.ndarray) -> Column:
+    """All LSH table bucket ids for a vector column in one matmul.
+
+    `planes` has shape (n_tables, n_planes, dim). Bucket id for table
+    t = packed sign bits of planes[t] @ vec. Returns array<long> of
+    length n_tables.
+    """
+    n_tables, n_planes, dim = planes.shape
+    flat = planes.reshape(n_tables * n_planes, dim).T.astype(np.float64)
+    weights = (2 ** np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        x = _stack(v).astype(np.float64)             # (n, dim)
+        signs = (x @ flat) >= 0                      # (n, tables*planes)
+        bits = signs.reshape(len(x), n_tables, n_planes)
+        ids = (bits * weights).sum(axis=2)           # (n, tables)
+        return pd.Series(list(ids))
+
+    return _buckets(vec)
+
+
+def center_distances(vec: Column, centers: np.ndarray) -> Column:
+    """Squared L2 distance from a vector column to every center:
+    one (n, dim) @ (dim, k) matmul per Arrow batch. Returns
+    array<double> of length k.
+    """
+    c = centers.astype(np.float64)                   # (k, dim)
+    c_sq = (c * c).sum(axis=1)                       # (k,)
+
+    @pandas_udf("array<double>")
+    def _dists(v: pd.Series) -> pd.Series:
+        x = _stack(v).astype(np.float64)             # (n, dim)
+        x_sq = (x * x).sum(axis=1, keepdims=True)    # (n, 1)
+        d2 = x_sq - 2.0 * (x @ c.T) + c_sq           # (n, k)
+        return pd.Series(list(np.maximum(d2, 0.0)))
+
+    return _dists(vec)
+
+
+def minhash_signatures(
+    shingle_hashes: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signatures over an array<long> column of shingle hashes.
+
+    Hash family: Dietzfelbinger multiply-shift — sig_i = min over
+    shingles of (a_i·h + b_i) mod 2^64 with odd a_i, computed as one
+    (total_shingles, k) outer product per Arrow batch with natural
+    uint64 wraparound, then a per-row segment min via
+    `np.minimum.reduceat` (the flattened shingles are already in row
+    order). Replaces k interpreted HOF passes per row with two
+    vectorized numpy ops.
+
+    Rows with no shingles get the all-max signature (callers filter
+    empty docs anyway).
+    """
+    rng = np.random.RandomState(seed)
+    a_co = (rng.randint(0, 2**63, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b_co = rng.randint(0, 2**63, size=num_hashes).astype(np.uint64)
+
+    @pandas_udf("array<long>")
+    def _mh(sh: pd.Series) -> pd.Series:
+        n = len(sh)
+        rows = [np.asarray(x, dtype=np.int64) for x in sh]
+        lens = np.array([len(r) for r in rows], dtype=np.int64)
+        out = np.full((n, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate([r for r in rows if len(r)]).view(np.uint64)
+            h_all = flat[:, None] * a_co[None, :] + b_co[None, :]  # mod 2^64
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            mins = np.minimum.reduceat(h_all, starts, axis=0)
+            out[nonempty] = mins.view(np.int64)
+        return pd.Series(list(out))
+
+    return _mh(shingle_hashes)
+
+
+def pairwise_cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two aligned vector columns (one value per
+    row), batch-vectorized. For candidate-pair rerank stages where
+    both sides vary per row."""
+
+    @pandas_udf("double")
+    def _pc(va: pd.Series, vb: pd.Series) -> pd.Series:
+        x = _stack(va).astype(np.float64)
+        y = _stack(vb).astype(np.float64)
+        num = np.einsum("ij,ij->i", x, y)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+        den[den == 0] = 1.0
+        return pd.Series(num / den)
+
+    return _pc(a, b)
+
+
+def cosine_to_queries(vec: Column, queries: np.ndarray) -> Column:
+    """Cosine similarity of a vector column to a fixed query matrix
+    (k, dim); returns array<double> of length k."""
+    q = queries.astype(np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+
+    @pandas_udf("array<double>")
+    def _cos(v: pd.Series) -> pd.Series:
+        x = _stack(v).astype(np.float64)
+        xn = np.linalg.norm(x, axis=1, keepdims=True)
+        xn[xn == 0] = 1.0
+        sims = (x @ q.T) / (xn * qn)
+        return pd.Series(list(sims))
+
+    return _cos(vec)

@@ -2,14 +2,17 @@
 
 The LLM-pipeline extension surface (driver contract; SURVEY §2.3):
 exact dedup, MinHash-LSH near-dedup, exact n-gram Jaccard, and
-SimHash. Everything is built-in column expressions + joins — no
-Python UDFs anywhere, so the whole pipeline stays in whole-stage
-codegen and scales with the cluster:
+SimHash. Set-oriented steps (shingling, banding, bucket joins,
+verification) are built-in column expressions + joins, staying in
+whole-stage codegen; the one dense-numeric kernel (the k-family
+MinHash signature) is an Arrow-vectorized numpy op
+(functions/vectorops.py) because Spark's higher-order array
+functions evaluate interpreted:
 
 - shingling:   split + transform/sliding slice (arrays, JVM-side)
-- hashing:     xxhash64(shingle, seed_i) — k independent 64-bit
-               hash families from one seed parameter
-- minhash:     array_min over the hashed shingle array per seed
+- hashing:     xxhash64(shingle) — one 64-bit hash per shingle
+- minhash:     multiply-shift family over the hashed shingles, all k
+               at once per Arrow batch (one matmul-shaped op)
 - LSH banding: group signature into bands, hash each band, shuffle
                once on (band_idx, band_hash); only same-bucket pairs
                are compared — candidate generation is O(docs·bands),
@@ -25,6 +28,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.functions.vectorops import minhash_signatures
+from elb_log_to_mysql_spark.session import ensure_min_partitions
 
 
 # ---------------------------------------------------------------------------
@@ -93,25 +99,6 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
         )
     )
 
-
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature over an array of shingles.
-
-    The (variable-length string) shingle is hashed ONCE to a long;
-    the num_hashes families then re-hash that fixed-width long with
-    distinct seeds — O(|shingles|) string hashes + O(k·|shingles|)
-    cheap long hashes instead of k full string hashes, a large
-    constant-factor win on long shingles.
-    """
-    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
-    return F.array(
-        *[
-            F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-
-
 def near_dedup_minhash(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -140,28 +127,24 @@ def near_dedup_minhash(
     # verification intersects them — distinct xxhash64 values stand in
     # for distinct shingles (collision odds ~n²/2^64, negligible), and
     # fixed-width longs join/intersect far cheaper than long strings.
+    documents = ensure_min_partitions(documents)
     sh = documents.select(
         F.col(id_col).alias("doc_id"),
         F.transform(
             word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
         ).alias("shingles"),
     ).filter(F.size("shingles") > 0)
+    sh = sh.persist()  # reused: signature derivation + pair verification
+    # Signature via the Arrow-vectorized multiply-shift kernel: the
+    # HOF formulation (k × array_min(transform(...)) passes) is
+    # interpreted per row and was the operator's dominant cost.
     sig = sh.withColumn(
-        "sig",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("shingles"), lambda h: F.xxhash64(h, F.lit(i)))
-                )
-                for i in range(num_hashes)
-            ]
-        ),
+        "sig", minhash_signatures(F.col("shingles"), num_hashes)
     )
 
     # band i = hash of signature slice [i*r, (i+1)*r)
     banded = sig.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.array(
                 *[
@@ -179,10 +162,12 @@ def near_dedup_minhash(
             )
         ).alias("band_idx", "band_hash"),
     )
-    # The banded table feeds three consumers (bucket census + both
-    # self-join legs); persist so the signature computation runs once.
-    # At cluster scale this is the materialized signature table one
-    # would keep alongside the corpus anyway.
+    # The banded table is (doc_id, band_idx, band_hash) ONLY — three
+    # longs per row. Shingle arrays stay out of the band self-join: at
+    # scale they are the dominant byte volume, and shuffling them
+    # 2·bands times per doc would swamp the exchange. They re-attach
+    # later, for the (few) surviving candidate pairs. Persist: the
+    # signature computation feeds the bucket census and both join legs.
     banded = banded.persist()
 
     # cap degenerate buckets (spam clusters) — explicit skew bound
@@ -195,23 +180,20 @@ def near_dedup_minhash(
         "left_anti",
     )
 
-    left = banded.select(
-        "band_idx",
-        "band_hash",
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    right = banded.select(
-        "band_idx",
-        "band_hash",
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("shingles").alias("sh_b"),
-    )
-    cand = (
+    left = banded.select("band_idx", "band_hash", F.col("doc_id").alias("doc_id_a"))
+    right = banded.select("band_idx", "band_hash", F.col("doc_id").alias("doc_id_b"))
+    cand_ids = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
+        .select("doc_id_a", "doc_id_b")
         .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    cand = cand_ids.join(
+        sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")),
+        "doc_id_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")),
+        "doc_id_b",
     )
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -243,26 +225,42 @@ def ngram_jaccard_pairs(
     hence oracle-checkable; the MinHash path above is its sublinear
     approximation for 100 TB.
     """
-    sh = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    ).persist()  # feeds sizes + both join legs — compute shingles once
+    # Shingles are joined as xxhash64 longs, not strings: fixed-width
+    # shuffle keys, cheap equality (collision odds ~n²/2^64 — the same
+    # argument as the MinHash path; the string itself never shuffles).
+    # Each leg also carries its doc's shingle count so size-incompatible
+    # pairs (jaccard upper bound min/max < threshold) are pruned BEFORE
+    # the pair-count aggregation — that bound needs no intersection
+    # knowledge, and it cuts the second shuffle's input, which at scale
+    # is the dominant one (every co-occurring pair × shared shingles).
+    documents = ensure_min_partitions(documents)
+    sh = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle_s"),
+        )
+        .select("doc_id", F.xxhash64("shingle_s").alias("shingle"))
+        .persist()  # feeds sizes + both join legs — compute shingles once
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    a = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = sh.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
     inter = (
         a.join(b, "shingle")
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
+        .filter(
+            F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * F.lit(threshold)
+        )
+        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
@@ -316,7 +314,7 @@ def simhash_fingerprints(
     votes map-side, so the shuffle carries 64 ints per doc regardless
     of document length. Sign of each vote sum sets the fingerprint bit.
     """
-    tok = documents.select(
+    tok = ensure_min_partitions(documents).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("token"),
     ).withColumn("h", F.xxhash64("token"))

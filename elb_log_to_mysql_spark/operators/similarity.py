@@ -25,6 +25,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from elb_log_to_mysql_spark.functions.vectorops import (
+    center_distances,
+    lsh_bucket_ids,
+    pairwise_cosine,
+)
+from elb_log_to_mysql_spark.session import ensure_min_partitions
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float/double> columns, accumulated in
@@ -67,7 +74,7 @@ def similarity_topk_bruteforce(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = embeddings.select(
+    c = ensure_min_partitions(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -138,15 +145,18 @@ def similarity_topk_lsh(
 
     planes = _hyperplanes(n_tables, n_planes, dim)
 
+    # All n_tables bucket ids come from ONE Arrow-batched matmul per
+    # row batch (functions/vectorops.py): Spark's higher-order array
+    # functions are interpreted, and evaluating n_tables·n_planes
+    # literal-array dot products per row through them is ~1000× slower
+    # than BLAS on the same batch.
     def bucketize(df: DataFrame, idc: str, vecc: str) -> DataFrame:
         return df.select(
             F.col(idc),
             F.col(vecc),
-            F.posexplode(
-                F.array(
-                    *[lsh_bucket(F.col(vecc), planes[t]) for t in range(n_tables)]
-                )
-            ).alias("table_idx", "bucket"),
+            F.posexplode(lsh_bucket_ids(F.col(vecc), planes)).alias(
+                "table_idx", "bucket"
+            ),
         )
 
     qb = bucketize(
@@ -155,23 +165,29 @@ def similarity_topk_lsh(
         "q_vec",
     )
     cb = bucketize(
-        embeddings.select(
+        ensure_min_partitions(embeddings).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
         ),
         "neighbor_id",
         "c_vec",
     )
+    # Cosine is computed in the (map-side) join stage and the vectors
+    # are dropped immediately: the dedup + rank shuffles then move only
+    # (query_id, neighbor_id, cos) triples. A same-pair collision in
+    # multiple tables recomputes a cosine instead of shuffling two
+    # dim-width arrays twice — compute is cheaper than exchange bytes.
     cand = (
         cb.join(F.broadcast(qb), ["table_idx", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", pairwise_cosine(F.col("q_vec"), F.col("c_vec")))
+        .select("query_id", "neighbor_id", "cos")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     return (
-        cand.withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
@@ -199,7 +215,7 @@ def embedding_near_dup(
     contract is membership under a threshold with margin, not score
     bits.
     """
-    a = embeddings.select(
+    a = ensure_min_partitions(embeddings).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
     b = embeddings.select(
@@ -207,7 +223,7 @@ def embedding_near_dup(
     )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .filter(pairwise_cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
         .select("id_a", "id_b")
     )
 
@@ -262,26 +278,18 @@ def similarity_topk_ivf(
         model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
     finally:
         train.unpersist()
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    import numpy as np
 
+    centers = np.array([list(c) for c in model.clusterCenters()])
+
+    # One Arrow-batched matmul yields all centroid distances per batch
+    # (functions/vectorops.py) — the HOF-expression equivalent is
+    # interpreted per row and dominated total runtime.
     def dist2_to_centers(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(x) for x in c]),
-                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for c in centers
-            ]
-        )
+        return center_distances(vec, centers)
 
     corpus = (
-        embeddings.select(
+        ensure_min_partitions(embeddings).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
             dist2_to_centers(F.col(vec_col)).alias("_dists"),
@@ -320,7 +328,7 @@ def similarity_topk_ivf(
     return (
         corpus.join(F.broadcast(probed), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cos", pairwise_cosine(F.col("q_vec"), F.col("c_vec")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))

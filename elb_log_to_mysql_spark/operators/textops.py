@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from elb_log_to_mysql_spark.session import ensure_min_partitions
+
 # Tiny per-language stopword lists for the n-gram/stopword-hit
 # heuristic language classifier. Deliberately small: the classifier
 # is a deterministic, SQL-expressible heuristic, not a model.
@@ -52,7 +54,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
     # output: int/int division and literal sums are bit-identical IEEE
     # ops in Spark and DuckDB, while round() diverges on repr ties
     # (Spark rounds the shortest decimal repr, DuckDB the binary value).
-    scored = documents.select(
+    scored = ensure_min_partitions(documents).select(
         "doc_id",
         "lang",
         n_tok.alias("n_tokens"),
@@ -78,7 +80,7 @@ def token_count(documents: DataFrame) -> DataFrame:
     """
     ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0))
-    per_doc = documents.select(
+    per_doc = ensure_min_partitions(documents).select(
         "doc_id", "lang", ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
     )
     return per_doc.groupBy("lang").agg(
@@ -113,7 +115,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
         pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("unknown"))
 
-    return documents.select(
+    return ensure_min_partitions(documents).select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         pred.alias("predicted_lang"),
@@ -136,7 +138,7 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * 31 + F.pmod(F.xxhash64(t), mersenne)) % mersenne,
     )
-    return documents.select(
+    return ensure_min_partitions(documents).select(
         "doc_id",
         F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("md5_fp"),
         rolling.alias("rolling_fp"),
@@ -151,7 +153,7 @@ def tfidf(documents: DataFrame, vocab_size_min_df: int = 2) -> DataFrame:
     df filter prunes hapax terms before the join back.
     """
     n_docs = documents.count()  # driver scalar: one job, fine at any scale
-    terms = documents.select(
+    terms = ensure_min_partitions(documents).select(
         "doc_id", F.explode(_ws_tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

@@ -54,6 +54,23 @@ def build_session(
     return builder.getOrCreate()
 
 
+def ensure_min_partitions(df, target: int | None = None):
+    """Spread a narrow input across the cluster for compute-dense
+    derivations (hashing, shingling, vector math).
+
+    A small parquet file arrives as ONE input split, so every
+    downstream expression runs on one core no matter how wide the
+    cluster is. Repartition ONLY when the scan is narrower than the
+    target: at real scale the source already has thousands of splits
+    and this is a no-op — it never adds a shuffle to a big read.
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime SQL conf to a caller-provided session.
 
