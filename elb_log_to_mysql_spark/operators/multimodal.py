@@ -112,3 +112,76 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(
         decode_batches, DECODED_SCHEMA
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+        T.StructField("frame_len", T.LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: 1 payload row -> up to `n_frames` evenly-spaced
+    chunk rows (the video-keyframe access pattern). mapInPandas is the
+    right operator because the fan-out is row-generating: each Arrow
+    batch yields a longer frame batch without a driver round-trip.
+    Real codecs would seek to keyframes; the stub slices the payload
+    into equal spans, which exercises identical plumbing (binary
+    slicing, row explosion, schema typing).
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_len": []
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                k = min(n_frames, n) or 1
+                span = max(n // k, 1)
+                for i in range(k):
+                    chunk = payload[i * span : (i + 1) * span] or payload[:1]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(chunk)
+                    out["frame_len"].append(len(chunk))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(
+        frame_batches, FRAME_SCHEMA
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature extraction stub: payload -> fixed-width float vector.
+
+    A real extractor would run an image/audio encoder over the decoded
+    media; the stub derives a deterministic pseudo-embedding from a
+    rolling byte histogram, normalized to unit length — same schema
+    (`array<float>`), same batch shape, same downstream compatibility
+    with the similarity operators (the extracted vectors feed
+    `similarity_topk_*` unchanged).
+    """
+    import numpy as np
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype(np.float64)
+                norm = np.linalg.norm(hist)
+                vecs.append((hist / norm if norm else hist).astype(np.float32))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": vecs})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return media.select("doc_id", "payload").mapInPandas(feature_batches, schema)

@@ -1247,6 +1247,42 @@ def q_multimodal_decode(spark, sf_dir):
     return multimodal.decode_media(media)
 
 
+@_q(
+    "multimodal_frames",
+    """
+    WITH sized AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             GREATEST(LEAST(4, octet_length(encode(text))), 1) AS k
+      FROM documents
+    )
+    SELECT doc_id, k AS n_frames,
+           k * GREATEST(n // k, 1) AS sampled_bytes
+    FROM sized
+    """,
+)
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling fan-out (1 payload -> k chunk rows), aggregated
+    per doc so the oracle checks the fan-out arity and sampled byte
+    accounting without shipping binary columns through the compare."""
+    media = multimodal.binary_metadata(_t(spark, sf_dir, "documents"))
+    frames = multimodal.sample_frames(media, n_frames=4)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_len").alias("sampled_bytes"),
+    )
+
+
+@_q("multimodal_features")  # mapInPandas feature-extraction stub — rows-only
+def q_multimodal_features(spark, sf_dir):
+    """Pseudo-embeddings from payload bytes; output feeds the
+    similarity operators unchanged (same array<float> contract)."""
+    media = multimodal.binary_metadata(_t(spark, sf_dir, "documents"))
+    feats = multimodal.extract_features(media, dim=16)
+    return feats.select(
+        "doc_id", F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0")
+    )
+
+
 # ===========================================================================
 # Reference-surface ALB parse (rows-only: UA/url parse not DuckDB-expressible)
 # ===========================================================================

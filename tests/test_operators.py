@@ -167,3 +167,34 @@ def test_streaming_matches_batch_windows(spark, sf_dir):
     assert {tuple(r) for r in streamed.collect()} == {
         tuple(r) for r in batch.collect()
     }
+
+
+def test_multimodal_frame_sampling_fanout(spark):
+    from elb_log_to_mysql_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, b"0123456789abcdef"), (2, b"xy"), (3, b"q")],
+        "doc_id long, payload binary",
+    )
+    frames = multimodal.sample_frames(media, n_frames=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 16 bytes -> 4 frames of 4; 2 bytes -> 2 frames of 1; 1 byte -> 1 frame
+    assert [len(by_doc[d]) for d in (1, 2, 3)] == [4, 2, 1]
+    assert all(r.frame_len == 4 for r in by_doc[1])
+    assert b"".join(r.frame_bytes for r in sorted(by_doc[1], key=lambda r: r.frame_idx)) == b"0123456789abcdef"
+
+
+def test_multimodal_features_unit_norm(spark):
+    import math
+
+    from elb_log_to_mysql_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [(1, b"hello world"), (2, b"\x00\x01\x02")], "doc_id long, payload binary"
+    )
+    feats = {r.doc_id: r.feature for r in multimodal.extract_features(media, dim=8).collect()}
+    for v in feats.values():
+        assert len(v) == 8
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
