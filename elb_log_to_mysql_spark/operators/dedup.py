@@ -268,40 +268,6 @@ def ngram_jaccard_pairs(
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
 
-
-def simhash64(text: Column | str) -> Column:
-    """64-bit SimHash of the token multiset, as a bigint column.
-
-    Per token t: h = xxhash64(t). For bit b, vote +1 if set else -1;
-    the fingerprint sets bit b where the summed vote is positive.
-    Pure array expressions: one aggregate over tokens per bit-lane
-    batch. Near-duplicates then differ in few bits (Hamming distance
-    via bit_count(a XOR b)).
-    """
-    c = F.col(text) if isinstance(text, str) else text
-    toks = _tokens(c)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit masks via shiftleft — a Python literal 1<<63 overflows long
-    def mask(b: int):
-        return F.shiftleft(F.lit(1).cast("long"), b)
-
-    def bit_vote(b: int) -> Column:
-        # two-arg lambda only: PySpark binds a Column to every lambda
-        # parameter (defaults included), so close over the mask instead
-        m = mask(b)
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
-        )
-
-    bit_votes = [bit_vote(b) for b in range(64)]
-    out = F.lit(0).cast("long")
-    for b, vote in enumerate(bit_votes):
-        out = out + F.when(vote > 0, mask(b)).otherwise(F.lit(0).cast("long"))
-    return out
-
-
 def simhash_fingerprints(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

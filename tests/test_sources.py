@@ -88,3 +88,42 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
         if d.startswith("order_year=")
     }
     assert "1996" in years and len(years) > 1
+
+
+def test_alb_streaming_matches_batch(spark, tmp_path):
+    """The reference pipeline under Structured Streaming: dropping gz
+    files into a watched dir yields exactly the batch parse of the
+    same files (same expression chain, only the source node differs)."""
+    import uuid
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    for f in range(2):
+        with gzip.open(src / f"drop{f}.log.gz", "wt") as fh:
+            for i in range(20):
+                fh.write(
+                    LINE_TMPL.format(sec=i, i=i, status=200 if i % 3 else 301) + "\n"
+                )
+
+    from elb_log_to_mysql_spark.sources.alb import read_alb_logs_stream
+
+    name = f"alb_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_alb_logs_stream(spark, str(src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.sql(
+        f"SELECT client_ip, http_method, elb_status_code, requested_path FROM {name}"
+    ).collect()
+    batch = (
+        read_alb_logs(spark, str(src / "*.log.gz"))
+        .select("client_ip", "http_method", "elb_status_code", "requested_path")
+        .collect()
+    )
+    assert len(streamed) == 40
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
