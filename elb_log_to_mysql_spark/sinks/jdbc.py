@@ -64,3 +64,58 @@ def write_sqlite_fallback(df: DataFrame, db_path: str, table: str = DEFAULT_TABL
     with sqlite3.connect(db_path) as con:
         pdf.to_sql(table, con, if_exists="append", index=False)
     return len(pdf)
+
+
+def distinct_source_files(df: DataFrame, source_col: str = "log_source_file") -> list[str]:
+    """The batch's lineage keys — one per ingested file, so the list is
+    small (it is the unit of re-ingest) and safe to collect."""
+    return [r[0] for r in df.select(source_col).distinct().collect()]
+
+
+def write_idempotent(
+    df: DataFrame,
+    delete_files,
+    append,
+    source_col: str = "log_source_file",
+) -> list[str]:
+    """File-scoped replace: delete-then-append keyed on lineage.
+
+    The reference's append-only `to_sql` duplicates every row on
+    re-run (etl:155). Re-ingest is always file-scoped (a log file is
+    re-delivered or re-parsed), so idempotence = delete the rows of
+    exactly this batch's `log_source_file` values, then append the
+    batch. `delete_files(files)` and `append(df)` are sink callables:
+    JDBC DELETE + df.write.jdbc in production (wrap both in one
+    transaction where the DB allows), sqlite in the sandbox.
+
+    Returns the replaced file list (for audit logging).
+    """
+    files = distinct_source_files(df, source_col)
+    delete_files(files)
+    append(df)
+    return files
+
+
+def write_sqlite_idempotent(
+    df: DataFrame,
+    db_path: str,
+    table: str = DEFAULT_TABLE,
+    source_col: str = "log_source_file",
+) -> list[str]:
+    """Sandbox twin of the JDBC delete-then-append flow (one sqlite
+    transaction: a failed append rolls the delete back)."""
+    import sqlite3
+
+    pdf = df.toPandas()
+    files = sorted(pdf[source_col].dropna().unique().tolist())
+    with sqlite3.connect(db_path) as con:
+        exists = con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' AND name=?", (table,)
+        ).fetchone()
+        if exists and files:
+            marks = ",".join("?" * len(files))
+            con.execute(
+                f"DELETE FROM {table} WHERE {source_col} IN ({marks})", files
+            )
+        pdf.to_sql(table, con, if_exists="append", index=False)
+    return files
