@@ -54,6 +54,34 @@ def window_analytic(orders: DataFrame) -> DataFrame:
     )
 
 
+def window_range_trailing(orders: DataFrame, days: int = 90) -> DataFrame:
+    """RANGE-frame analytics: orders and spend in the trailing `days`
+    window per customer (value-based frame, not row-count-based — the
+    frame a ROWS spec cannot express when order density varies).
+
+    Spark's rangeBetween needs a numeric sort key; epoch seconds map
+    order-dates monotonically, so date peers stay peers and the frame
+    `[ts - days·86400, ts]` matches SQL's
+    `RANGE BETWEEN INTERVAL d DAYS PRECEDING AND CURRENT ROW`.
+    """
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch.alias("epoch"))
+        .rangeBetween(-days * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum(F.col("o_totalprice").cast(DET_DECIMAL))
+        .over(w)
+        .cast("double")
+        .alias("trailing_spend"),
+    )
+
+
 def topk_per_group(lineitem: DataFrame, k: int = 3) -> DataFrame:
     """Per-group top-k via row_number — the scalable pattern.
 

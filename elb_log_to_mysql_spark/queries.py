@@ -292,6 +292,75 @@ def q_window_analytic(spark, sf_dir):
 
 
 @_q(
+    "scalar_subquery",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE o_totalprice > (SELECT {_dsum('o_totalprice')} / COUNT(*)
+                          FROM orders)
+      AND o_totalprice > (SELECT {_dsum('o2.o_totalprice')} / COUNT(*)
+                          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar + correlated scalar subqueries (orders above both the
+    global and the customer's own average). Spark SQL is the engine's
+    query language — Catalyst rewrites the correlated subquery into an
+    aggregate + join, no driver-side loop. Both averages use the
+    exact-decimal image so the predicate boundary is bit-identical to
+    the oracle's."""
+    from elb_log_to_mysql_spark.sources.tables import load_tables
+
+    load_tables(spark, sf_dir, ["orders"])
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT {_dsum('o_totalprice')} / COUNT(*)
+                              FROM orders)
+          AND o_totalprice > (SELECT {_dsum('o2.o_totalprice')} / COUNT(*)
+                              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@_q(
+    "window_range",
+    f"""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           COUNT(*) OVER w AS trailing_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) OVER w AS DOUBLE)
+             AS trailing_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL '90 days' PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range(spark, sf_dir):
+    return windows.window_range_trailing(_t(spark, sf_dir, "orders"))
+
+
+@_q(
+    "group_map_profile",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           CAST(median(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             AS median_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_group_map_profile(spark, sf_dir):
+    """applyInPandas grouped-map: holistic per-group computation (exact
+    integer-cents median) — bit-checkable because the midpoint of two
+    ints is an exact double."""
+    from elb_log_to_mysql_spark.operators.groupmap import user_profile_groupmap
+
+    return user_profile_groupmap(_t(spark, sf_dir, "events"))
+
+
+@_q(
     "topk",
     """
     SELECT o_orderkey, o_custkey, o_totalprice,
