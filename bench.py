@@ -35,7 +35,10 @@ HEADLINE = [
     "tpch_q18",
     "skew_salted_agg",
     "distinct_agg",
+    "scalar_subquery",
     "window_analytic",
+    "window_range",
+    "group_map_profile",
     "topk_per_group",
     "set_ops",
     "exact_dedup",
@@ -50,6 +53,7 @@ HEADLINE = [
     "similarity_topk_lsh",
     "stream_tumbling",
     "multimodal_meta",
+    "multimodal_frames",
 ]
 
 
