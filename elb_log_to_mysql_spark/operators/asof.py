@@ -73,9 +73,14 @@ def asof_join(
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
+    # Total order: ts, then side, then the right payload itself — so
+    # when several right rows share one timestamp the survivor is the
+    # greatest payload tuple, deterministically, at any partitioning
+    # (payload columns are null on left rows, which leaves their
+    # relative order irrelevant: they carry no values to propagate).
     w = (
         Window.partitionBy(*on)
-        .orderBy(_TS, _SIDE)
+        .orderBy(_TS, _SIDE, *[F.col(c).asc_nulls_first() for c in out_names])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [

@@ -65,3 +65,48 @@ def test_output_name_collision_raises(spark):
     trades, quotes = _frames(spark)
     with pytest.raises(ValueError, match="collide"):
         asof_join(trades, quotes, ["key"], "t", "t", {"px": "trade_id"})
+
+
+def test_asof_matches_pandas_merge_asof_randomized(spark):
+    """Property check against pandas.merge_asof on randomized inputs
+    (unique right timestamps per key, pandas's tie rules differ)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    for trial in range(3):
+        n_l, n_r = 40, 30
+        lk = rng.randint(0, 4, n_l)
+        rk = rng.randint(0, 4, n_r)
+        lts = rng.choice(np.arange(0, 500), n_l, replace=False)
+        rts = rng.choice(np.arange(0, 500), n_r, replace=False)
+        left = pd.DataFrame(
+            {"key": lk, "t": pd.to_datetime(lts, unit="s"), "lid": np.arange(n_l)}
+        )
+        right = pd.DataFrame(
+            {"key": rk, "t": pd.to_datetime(rts, unit="s"),
+             "px": rng.rand(n_r).round(3)}
+        )
+        expected = pd.merge_asof(
+            left.sort_values("t"),
+            right.sort_values("t"),
+            on="t",
+            by="key",
+            direction="backward",
+        ).set_index("lid")["px"]
+
+        out = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            ["key"],
+            "t",
+            "t",
+            {"px": "quote_px"},
+        ).collect()
+        got = {r.lid: r.quote_px for r in out}
+        for lid, exp in expected.items():
+            g = got[lid]
+            if pd.isna(exp):
+                assert g is None, (trial, lid, g)
+            else:
+                assert g is not None and abs(g - exp) < 1e-12, (trial, lid, g, exp)
