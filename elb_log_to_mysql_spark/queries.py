@@ -840,6 +840,54 @@ def q_collect_sorted(spark, sf_dir):
     )
 
 
+@_q(
+    "map_funcs",
+    """
+    WITH per_status AS (
+      SELECT o_custkey, o_orderstatus, COUNT(*) AS cnt
+      FROM orders GROUP BY o_custkey, o_orderstatus
+    )
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderstatus)), ',') AS status_keys,
+           array_to_string(list_sort(list(o_orderstatus || ':' || CAST(cnt AS VARCHAR))), ',')
+             AS status_counts,
+           COALESCE(MAX(CASE WHEN o_orderstatus = 'F' THEN cnt END), 0) AS f_count
+    FROM per_status
+    GROUP BY o_custkey
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """Map-typed column battery: build a per-customer status->count map
+    (map_from_entries over sorted entries), then map_keys / transform /
+    element_at — projected to strings so the oracle compares exact
+    text rather than engine-specific map renderings."""
+    orders = _t(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    with_map = per_status.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("status_map")
+    )
+    return with_map.select(
+        "o_custkey",
+        F.concat_ws(",", F.map_keys("status_map")).alias("status_keys"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.map_entries("status_map"),
+                lambda e: F.concat_ws(
+                    ":", e.getField("key"), e.getField("value").cast("string")
+                ),
+            ),
+        ).alias("status_counts"),
+        F.coalesce(
+            F.element_at(F.col("status_map"), F.lit("F")), F.lit(0)
+        ).alias("f_count"),
+    )
+
+
 # ===========================================================================
 # Dedup family
 # ===========================================================================
