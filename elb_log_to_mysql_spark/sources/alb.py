@@ -67,12 +67,19 @@ def parse_alb_lines(
     value_col: str = "value",
     source_file: Column | None = None,
     exact_ua: bool | None = None,
+    observation=None,
 ) -> DataFrame:
     """Parse a DataFrame of raw ALB log lines into the 13-col table.
 
     `lines` is any DataFrame with a string column `value_col` (from
     ``spark.read.text``, ``readStream.text`` or a test literal).
     `source_file` defaults to ``input_file_name()`` (P16, etl:127).
+
+    `observation`: optional `pyspark.sql.Observation` receiving the
+    per-run parse census (n_lines / n_arity_dropped / n_ts_dropped /
+    n_emitted) — the Spark-native replacement for the reference's
+    per-row WARN logging of skipped lines (X1: logger.py used at
+    etl:68, etl:82; counters ride the existing job, no second scan).
     """
     if exact_ua is None:
         exact_ua = HAVE_USER_AGENTS
@@ -84,6 +91,17 @@ def parse_alb_lines(
         ).alias("t"),
         src.alias("log_source_file"),
     ).select("t.*", "log_source_file")
+
+    if observation is not None:
+        arity_ok = F.col("ssl_cipher").isNotNull()
+        ts_ok = _parse_timestamp(F.col("raw_timestamp")).isNotNull()
+        t = t.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((~arity_ok).cast("long")).alias("n_arity_dropped"),
+            F.sum((arity_ok & ~ts_ok).cast("long")).alias("n_ts_dropped"),
+            F.sum((arity_ok & ts_ok).cast("long")).alias("n_emitted"),
+        )
 
     # P2 arity guard: >=15 tokens <=> ssl_cipher (pos 14) present (etl:67).
     t = t.filter(F.col("ssl_cipher").isNotNull())

@@ -159,3 +159,32 @@ def test_parse_matches_python_oracle(spark, ts, f1, f2, elb_code, rb, req):
     expected_ms = round((_py_to_float(f1) + _py_to_float(f2) + 0.0) * 1000, 3)
     assert abs(r.total_processing_time_ms - expected_ms) < 1e-9
     assert r.client_ip == "10.0.0.1"
+
+
+def test_parse_observation_census(spark):
+    """observe() metrics replace the reference's per-row skip logging
+    (etl:68, etl:82): counts ride the job, no second scan."""
+    from pyspark.sql import Observation
+
+    from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
+
+    good = (
+        'h2 2025-05-26T10:00:00.000123Z app/x/y 1.2.3.4:5678 5.6.7.8:80 '
+        '0.001 0.020 0.000 200 200 100 2000 "GET https://ex.com/p HTTP/2.0" '
+        '"UA" CIPHER TLSv1.3 arn'
+    )
+    bad_ts = good.replace("2025-05-26T10:00:00.000123Z", "badtimestamp")
+    short = "only this"
+    lines = spark.createDataFrame(
+        [(good,), (good,), (bad_ts,), (short,)], "value string"
+    )
+    obs = Observation("alb_census")
+    out = parse_alb_lines(lines, source_file=F.lit("test"), observation=obs)
+    assert out.count() == 2
+    got = obs.get
+    assert got == {
+        "n_lines": 4,
+        "n_arity_dropped": 1,
+        "n_ts_dropped": 1,
+        "n_emitted": 2,
+    }

@@ -71,3 +71,55 @@ def test_watermark_drops_late_events(spark, tmp_path):
         assert final[("2024-03-01 12:00:00", "click")] == 1
     finally:
         q.stop()
+
+
+def test_stateful_stream_restart_resumes_state(spark, tmp_path):
+    """applyInPandasWithState state survives a query restart through
+    the checkpoint: the second run sees only new files yet reports
+    cumulative per-user profiles."""
+    import uuid
+
+    from elb_log_to_mysql_spark.streaming.stateful import user_profile_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, event_id long, ts_us long, value double"
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run_once(qname):
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        collected = []
+
+        def sink(batch_df, _batch_id):
+            collected.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            user_profile_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.user_id: r for r in collected}
+
+    write_file("f1", [(1, 1, 1_000_000, 1.0), (1, 2, 3_000_000, 2.0), (2, 3, 1_000_000, 5.0)])
+    first = run_once(f"sr_{uuid.uuid4().hex[:8]}")
+    assert first[1].n_events == 2 and first[1].sum_cents == 300
+    assert first[1].max_gap_us == 2_000_000
+
+    write_file("f2", [(1, 4, 10_000_000, 0.5), (3, 5, 1_000_000, 9.0)])
+    second = run_once(f"sr_{uuid.uuid4().hex[:8]}")
+    # user 1: cumulative across restart — 3 events, 350 cents, gap 7s
+    assert second[1].n_events == 3 and second[1].sum_cents == 350
+    assert second[1].max_gap_us == 7_000_000
+    # user 2 had no new events: update mode emits nothing for it
+    assert 2 not in second
+    assert second[3].n_events == 1
