@@ -169,3 +169,52 @@ def tfidf(documents: DataFrame, vocab_size_min_df: int = 2) -> DataFrame:
         )
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-embedding segmentation of an LLM data pipeline.
+
+    One row per chunk with (doc_id, chunk_idx, chunk_text, n_tokens):
+    stride = chunk_tokens - overlap; chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens). Pure array expressions
+    (sequence -> transform -> slice -> posexplode): the fan-out stays
+    JVM-side and the shuffle, if any, is whatever the caller does
+    next. Short docs yield exactly one chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = _ws_tokens(F.col("text"))
+    n_tok = F.size(toks)
+    # ceil((n - overlap) / stride) chunks, min 1
+    n_chunks = F.greatest(
+        F.ceil((n_tok - F.lit(overlap)).cast("double") / stride).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)),
+    )
+    return ensure_min_partitions(documents).select(
+        "doc_id",
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    ).withColumn(
+        "n_tokens", F.size(F.split(F.col("chunk_text"), " "))
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, hex_threshold: str = "1a", hex_len: int = 2
+) -> DataFrame:
+    """Reproducible sampling: keep rows whose md5(key) hex prefix sorts
+    below the threshold (fraction = int(threshold,16) / 16**hex_len).
+    Unlike rand()-based sampling, membership is a pure function of the
+    key — stable across runs, partitionings, and engines, and
+    (critically) JOINABLE: sampling two tables by the same key keeps
+    referential integrity of the sample. Lexicographic hex comparison
+    is engine-portable (no bigint hex parsing required)."""
+    prefix = F.substring(F.md5(F.col(key).cast("string")), 1, hex_len)
+    return df.filter(prefix < hex_threshold)

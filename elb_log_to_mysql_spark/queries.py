@@ -888,6 +888,82 @@ def q_map_funcs(spark, sf_dir):
     )
 
 
+@_q(
+    "unpivot",
+    """
+    WITH totals AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ), p AS (SELECT DISTINCT o_orderpriority FROM orders),
+       s AS (SELECT unnest(['F','O','P']) AS st)
+    SELECT p.o_orderpriority,
+           'total_' || lower(s.st) AS status_col,
+           COALESCE(t.total, 0.0) AS total
+    FROM p CROSS JOIN s
+    LEFT JOIN totals t ON t.o_orderpriority = p.o_orderpriority
+                      AND t.o_orderstatus = s.st
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Wide->long reshaping: the pivot result melted back to rows
+    (unpivot/melt — the inverse relational reshape)."""
+    wide = advanced.pivot_agg(_t(spark, sf_dir, "orders"))
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["total_f", "total_o", "total_p"],
+        variableColumnName="status_col",
+        valueColumnName="total",
+    )
+
+
+@_q(
+    "text_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sized AS (
+      SELECT doc_id, t,
+             GREATEST(CAST(ceil((len(t) - 16) / 48.0) AS INT), 1) AS k
+      FROM toks
+    ), exploded AS (
+      SELECT doc_id, t, unnest(generate_series(0, k - 1)) AS i FROM sized
+    )
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(list_slice(t, i * 48 + 1, i * 48 + 64), ' ')
+             AS chunk_text,
+           len(string_split(
+             array_to_string(list_slice(t, i * 48 + 1, i * 48 + 64), ' '),
+             ' ')) AS n_tokens
+    FROM exploded
+    """,
+)
+def q_text_chunking(spark, sf_dir):
+    """Overlapping token-window chunking (64-token windows, 16-token
+    overlap) — the pre-embedding segmentation step of an LLM corpus
+    pipeline, exact-checked chunk text included."""
+    return textops.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+@_q(
+    "deterministic_sample",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def q_deterministic_sample(spark, sf_dir):
+    """Hash-prefix sampling (~10%): membership is a pure function of
+    the key — reproducible across runs/engines and joinable across
+    tables, unlike rand()-based sampling."""
+    return textops.deterministic_sample(
+        _t(spark, sf_dir, "customer"), key="c_custkey"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
 # ===========================================================================
 # Dedup family
 # ===========================================================================
