@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from elb_log_to_mysql_spark.functions.numeric import DSUM_SQL
+from elb_log_to_mysql_spark.functions.numeric import DSUM_SQL, dsum
 from elb_log_to_mysql_spark.operators import advanced, asof, dedup, relational
 from elb_log_to_mysql_spark.operators import multimodal, sessionize, similarity, skew
 from elb_log_to_mysql_spark.operators import textops, tpch, windows
@@ -616,6 +616,103 @@ def q_tpch_q18(spark, sf_dir):
 )
 def q_tpch_q19(spark, sf_dir):
     return tpch.tpch_q19(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+@_q(
+    "tpch_q7",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark, sf_dir):
+    """Volume shipping between nation pairs (TPC-H Q7 shape): two
+    broadcast joins against the same dimension under different keys,
+    a cross-nation inequality, per-year rollup."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).alias("l_year"),
+        )
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@_q(
+    "tpch_q17",
+    f"""
+    WITH part_avg AS (
+      SELECT l_partkey AS pk,
+             {_dsum('l_quantity')} / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT COALESCE({_dsum('l_extendedprice')}, 0.0) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg ON pk = l_partkey
+    WHERE p_brand = 'Brand#12' AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q_tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (TPC-H Q17 shape): the correlated
+    per-part average decorrelates into an aggregate + self-join on
+    partkey — one extra shuffle of (partkey, avg), not a per-row
+    subquery. Exact-decimal average keeps the 0.2·avg boundary
+    bit-identical to the oracle."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    part_avg = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#12")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(part_avg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.coalesce(dsum("l_extendedprice"), F.lit(0.0)) / 7.0).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
 
 
 @_q(
@@ -1410,6 +1507,29 @@ def q_stream_stateful(spark, sf_dir):
         F.max("n_events").alias("n_events"),
         F.max_by("sum_cents", "n_events").alias("sum_cents"),
         F.max_by("max_gap_us", "n_events").alias("max_gap_us"),
+    )
+
+
+@_q(
+    "stream_dedup",
+    """
+    SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup: the distinct-fingerprint set emitted by
+    a watermark-bounded dropDuplicates over the document stream equals
+    the batch DISTINCT (state keyed on fingerprint)."""
+    from elb_log_to_mysql_spark.streaming.windows import stream_exact_dedup
+
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return run_stream_to_batch(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        lambda s: stream_exact_dedup(s),
+        raw_schema,
+        output_mode="append",
     )
 
 

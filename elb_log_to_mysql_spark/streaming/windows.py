@@ -148,3 +148,27 @@ def run_stream_to_batch(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_exact_dedup(
+    documents, watermark: str = "1 hour", event_time: str | None = None
+):
+    """Streaming exact dedup: emit each content fingerprint once.
+
+    `dropDuplicates` on a stream keeps per-key state forever unless a
+    watermark bounds it; with an event-time column + watermark the
+    state for fingerprints older than the horizon is evicted — the
+    streaming form of the batch groupBy(fingerprint). Without an
+    event-time column (this test-table shape) state is unbounded and
+    the operator documents that explicitly: at 100 TB continuous
+    ingest you ALWAYS pair it with a watermark on arrival time.
+    """
+    from elb_log_to_mysql_spark.operators.dedup import content_fingerprint
+
+    fp = documents.select(content_fingerprint("text").alias("fp"))
+    if event_time is not None:
+        fp = documents.select(
+            content_fingerprint("text").alias("fp"), F.col(event_time)
+        ).withWatermark(event_time, watermark)
+        return fp.dropDuplicates(["fp"]).select("fp")
+    return fp.dropDuplicates(["fp"])
