@@ -1511,6 +1511,44 @@ def q_stream_stateful(spark, sf_dir):
 
 
 @_q(
+    "stream_stream_join",
+    """
+    SELECT c.user_id, c.event_id AS click_event_id,
+           p.event_id AS purchase_event_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts <= c.ts
+     AND p.ts >= c.ts - INTERVAL '1 hour'
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks and a two-sided time
+    bound (bounded buffer state); result equals the batch time-window
+    join exactly."""
+    from elb_log_to_mysql_spark.streaming.windows import (
+        stream_stream_click_purchase_join,
+    )
+
+    _t(spark, sf_dir, "events")  # sets nanosAsLong conf
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def transform(stream):
+        ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        clicks = ev.filter(F.col("event_type") == "click")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        return stream_stream_click_purchase_join(clicks, purchases)
+
+    return run_stream_to_batch(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        transform,
+        raw_schema,
+        output_mode="append",
+    )
+
+
+@_q(
     "stream_dedup",
     """
     SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp

@@ -172,3 +172,44 @@ def stream_exact_dedup(
         ).withWatermark(event_time, watermark)
         return fp.dropDuplicates(["fp"]).select("fp")
     return fp.dropDuplicates(["fp"])
+
+
+def stream_stream_click_purchase_join(
+    clicks, purchases, within: str = "1 hour", watermark: str = "2 hours"
+):
+    """Stream-stream inner join: each click paired with same-user
+    purchases in the preceding `within` interval.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides — that pair is what lets Spark evict buffered
+    rows (state is the last `watermark`+`within` of each stream per
+    key, not the whole history). Without the time bound a
+    stream-stream join is unbounded state and Spark rejects it in
+    append mode.
+    """
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_event_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {within}"))
+    )
+    return c.join(p, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_event_id",
+        "purchase_event_id",
+    )
