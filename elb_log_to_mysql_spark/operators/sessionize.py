@@ -45,3 +45,47 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             dsum("value").alias("session_value"),
         )
     )
+
+
+def resample_events(
+    events: DataFrame, bucket_minutes: int = 15
+) -> DataFrame:
+    """Gap-filled resampling: per-user event counts on a complete
+    fixed-interval grid (empty buckets present with zeros) — the
+    time-series densification step before rolling models.
+
+    The grid generates per user from their own [min, max] span via
+    `sequence` + explode: grid size is bounded by each user's activity
+    span, not the global corpus span, and builds distributed (no
+    driver-side date loop). One shuffle for the per-user span, one for
+    the bucket counts; the grid join is on (user_id, bucket) — both
+    sides pre-bucketed, so it is a plain equi-join.
+    """
+    step = bucket_minutes * 60
+    bucket = (
+        (F.col("ts").cast("timestamp").cast("long") / step).cast("long") * step
+    ).cast("timestamp")
+    counts = events.select(
+        "user_id", bucket.alias("bucket"), "value"
+    ).groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,8)")).cast("double").alias("sum_value"),
+    )
+    spans = counts.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL {bucket_minutes} MINUTES"))
+        ).alias("bucket"),
+    )
+    return (
+        grid.join(counts, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )

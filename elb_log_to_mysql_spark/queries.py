@@ -1511,6 +1511,38 @@ def q_stream_stateful(spark, sf_dir):
 
 
 @_q(
+    "resample_gapfill",
+    f"""
+    WITH counts AS (
+      SELECT user_id,
+             to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900) AS bucket,
+             COUNT(*) AS n_events,
+             {_dsum('value')} AS sum_value
+      FROM events GROUP BY user_id, bucket
+    ), spans AS (
+      SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM counts
+      GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL '15 minutes')) AS bucket
+      FROM spans
+    )
+    SELECT g.user_id,
+           strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           COALESCE(c.n_events, 0) AS n_events,
+           COALESCE(c.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN counts c
+      ON c.user_id = g.user_id AND c.bucket = g.bucket
+    """,
+)
+def q_resample_gapfill(spark, sf_dir):
+    """Per-user 15-minute resampling with gap fill (empty buckets
+    emitted as zeros) — grid generated distributed from each user's
+    own span."""
+    return sessionize.resample_events(_t(spark, sf_dir, "events"))
+
+
+@_q(
     "stream_stream_join",
     """
     SELECT c.user_id, c.event_id AS click_event_id,
