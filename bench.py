@@ -82,11 +82,16 @@ def main() -> None:
         )
     ).write.format("noop").mode("overwrite").save()
 
+    # min of two runs per query: the shared host shows ±2x noise on
+    # individual timings; the minimum is the reproducible cost.
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        materialize(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            materialize(QUERIES[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
