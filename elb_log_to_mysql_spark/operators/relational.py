@@ -290,3 +290,32 @@ def scalar_funcs(customer: DataFrame, orders: DataFrame) -> DataFrame:
         .otherwise("low")
         .alias("price_band"),
     )
+
+
+def full_outer_join(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """FULL OUTER on nation membership profiles: nations seen from the
+    customer side, the supplier side, or both — unmatched sides kept
+    with nulls. Aggregate-then-join keeps the outer join small (one
+    row per nation per side), the pattern that makes full outer
+    viable at scale (outer joins cannot broadcast their outer side)."""
+    c = customer.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+    s = supplier.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+def cross_join_small(region: DataFrame, nation: DataFrame) -> DataFrame:
+    """Explicit cartesian product of two SMALL inputs (the only scale
+    at which a cross join is legitimate): every (region, nation) pair
+    with a same-region flag. Spark requires crossJoin() spelled out —
+    an implicit cartesian is almost always a bug."""
+    return region.crossJoin(nation).select(
+        "r_regionkey",
+        "r_name",
+        "n_nationkey",
+        "n_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).cast("int").alias("same_region"),
+    )

@@ -619,6 +619,78 @@ def q_tpch_q19(spark, sf_dir):
 
 
 @_q(
+    "full_outer_join",
+    """
+    WITH c AS (SELECT c_nationkey, COUNT(*) AS n_customers FROM customer
+               GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey, COUNT(*) AS n_suppliers FROM supplier
+               GROUP BY s_nationkey)
+    SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+    """,
+)
+def q_full_outer_join(spark, sf_dir):
+    return relational.full_outer_join(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    )
+
+
+@_q(
+    "cross_join",
+    """
+    SELECT r_regionkey, r_name, n_nationkey, n_name,
+           CAST(n_regionkey = r_regionkey AS INT) AS same_region
+    FROM region CROSS JOIN nation
+    """,
+)
+def q_cross_join(spark, sf_dir):
+    return relational.cross_join_small(
+        _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation")
+    )
+
+
+@_q(
+    "array_funcs",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list_sort(list(o_orderkey)) AS keys,
+             list_sort(list_distinct(list(o_orderpriority))) AS prios
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           len(keys) AS n_orders,
+           keys[1] AS first_key,
+           keys[len(keys)] AS last_key,
+           array_to_string(prios, ',') AS priorities,
+           CAST(list_contains(prios, '1-URGENT') AS INT) AS has_urgent,
+           len(list_filter(keys, k -> k % 2 = 0)) AS n_even_keys
+    FROM per_cust
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """Array-function battery over per-customer collected arrays:
+    sort/distinct/element_at/contains/filter — all JVM collection
+    expressions on arrays built by one aggregation."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("keys"),
+        F.array_sort(F.collect_set("o_orderpriority")).alias("prios"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.size("keys").alias("n_orders"),
+        F.element_at("keys", 1).alias("first_key"),
+        F.element_at("keys", -1).alias("last_key"),
+        F.concat_ws(",", "prios").alias("priorities"),
+        F.array_contains("prios", "1-URGENT").cast("int").alias("has_urgent"),
+        F.size(F.filter("keys", lambda k: k % 2 == 0)).alias("n_even_keys"),
+    )
+
+
+@_q(
     "tpch_q7",
     f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
