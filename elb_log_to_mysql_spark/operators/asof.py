@@ -39,8 +39,9 @@ def asof_join(
     right_ts: str,
     right_values: dict[str, str],
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join (backward or forward).
 
     Parameters
     ----------
@@ -48,13 +49,18 @@ def asof_join(
     left_ts       : event-time column on `left`
     right_ts      : event-time column on `right`
     right_values  : {right column -> output name} payload to attach
-    tolerance_us  : optional max age of the match in microseconds;
-                    older matches are nulled out (pandas merge_asof
-                    `tolerance` semantics)
+    tolerance_us  : optional max |right_ts - left_ts| in microseconds;
+                    matches further away are nulled out (pandas
+                    merge_asof `tolerance` semantics)
+    direction     : "backward" (latest right row <= left_ts, default)
+                    or "forward" (earliest right row >= left_ts)
 
     Returns `left`'s columns plus the renamed right payload (null
-    where no right row precedes the left row).
+    where no right row qualifies). Both directions are the same
+    union-merge plan; forward just walks time reversed.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     out_names = list(right_values.values())
     reserved = set(on) | {_TS, _SIDE, "_asof_right_ts"}
     clash = (set(left.columns) & set(out_names)) | (set(out_names) & reserved)
@@ -78,9 +84,10 @@ def asof_join(
     # greatest payload tuple, deterministically, at any partitioning
     # (payload columns are null on left rows, which leaves their
     # relative order irrelevant: they carry no values to propagate).
+    ts_key = F.col(_TS).asc() if direction == "backward" else F.col(_TS).desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy(_TS, _SIDE, *[F.col(c).asc_nulls_first() for c in out_names])
+        .orderBy(ts_key, _SIDE, *[F.col(c).asc_nulls_first() for c in out_names])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [
@@ -97,7 +104,8 @@ def asof_join(
     )
 
     if tolerance_us is not None:
-        age = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("_asof_right_ts"))
+        lt, rt = F.unix_micros(F.col(left_ts)), F.unix_micros(F.col("_asof_right_ts"))
+        age = (lt - rt) if direction == "backward" else (rt - lt)
         stale = F.col("_asof_right_ts").isNull() | (age > F.lit(tolerance_us))
         for c in out_names:
             result = result.withColumn(

@@ -110,3 +110,46 @@ def test_asof_matches_pandas_merge_asof_randomized(spark):
                 assert g is None, (trial, lid, g)
             else:
                 assert g is not None and abs(g - exp) < 1e-12, (trial, lid, g, exp)
+
+
+def test_forward_direction(spark):
+    trades, quotes = _frames(spark)
+    out = asof_join(
+        trades, quotes, ["key"], "t", "t", {"px": "quote_px"},
+        direction="forward",
+    )
+    got = {r.trade_id: r.quote_px for r in out.collect()}
+    # forward: earliest quote at-or-after each trade
+    assert got == {101: 100.0, 102: None, 201: None, 301: None}
+
+
+def test_forward_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    lk, rk = rng.randint(0, 3, 30), rng.randint(0, 3, 25)
+    lts = rng.choice(np.arange(0, 400), 30, replace=False)
+    rts = rng.choice(np.arange(0, 400), 25, replace=False)
+    left = pd.DataFrame(
+        {"key": lk, "t": pd.to_datetime(lts, unit="s"), "lid": np.arange(30)}
+    )
+    right = pd.DataFrame(
+        {"key": rk, "t": pd.to_datetime(rts, unit="s"), "px": rng.rand(25).round(3)}
+    )
+    expected = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"),
+        on="t", by="key", direction="forward",
+    ).set_index("lid")["px"]
+    got = {
+        r.lid: r.quote_px
+        for r in asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            ["key"], "t", "t", {"px": "quote_px"}, direction="forward",
+        ).collect()
+    }
+    for lid, exp in expected.items():
+        if pd.isna(exp):
+            assert got[lid] is None
+        else:
+            assert got[lid] is not None and abs(got[lid] - exp) < 1e-12

@@ -219,3 +219,30 @@ def test_idempotent_sink_replaces_reingested_file(spark, tmp_path):
     with sqlite3.connect(db) as con:
         rows = sorted(con.execute("SELECT k, log_source_file FROM t").fetchall())
     assert rows == [(3, "b.gz"), (9, "a.gz")]
+
+
+def test_salted_agg_equals_plain_agg_any_config(spark, sf_dir):
+    """Two-stage salted aggregation is bit-identical to the plain
+    groupBy at any salt count and input partitioning (exact-decimal
+    partials are associative)."""
+    from elb_log_to_mysql_spark.functions.numeric import dsum
+    from elb_log_to_mysql_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_suppkey: (r.value_sum, r.n_rows)
+        for r in li.groupBy("l_suppkey")
+        .agg(
+            dsum("l_extendedprice").alias("value_sum"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .collect()
+    }
+    for n_salts, parts in [(4, 3), (64, 17)]:
+        salted = {
+            r.l_suppkey: (r.value_sum, r.n_rows)
+            for r in salted_agg(
+                li.repartition(parts), "l_suppkey", "l_extendedprice", n_salts
+            ).collect()
+        }
+        assert salted == plain, (n_salts, parts)
