@@ -80,7 +80,7 @@ def similarity_topk_bruteforce(
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("cos", pairwise_cosine(F.col("q_vec"), F.col("c_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")

@@ -68,3 +68,22 @@ def test_pairwise_cosine_python_oracle(spark):
     exp = dot / (math.sqrt(5) * math.sqrt(2.25))
     assert abs(got[0] - exp) < 1e-12
     assert got[1] == 0.0  # zero vector guarded, not NaN
+
+
+def test_pairwise_cosine_matches_jvm_reference(spark, sf_dir):
+    """Arrow kernel vs the JVM HOF cosine expression: equal to 1e-12
+    on real embeddings (summation order differs; ranks never flip at
+    observed neighbor separations)."""
+    from elb_log_to_mysql_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("ida") == F.col("idb") - 1)
+    both = pairs.select(
+        pairwise_cosine("va", "vb").alias("fast"),
+        cosine(F.col("va"), F.col("vb")).alias("ref"),
+    ).collect()
+    assert both
+    for r in both:
+        assert abs(r.fast - r.ref) < 1e-12
