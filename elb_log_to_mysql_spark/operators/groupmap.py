@@ -48,3 +48,51 @@ def user_profile_groupmap(events: DataFrame) -> DataFrame:
     return events.select("user_id", "event_type", "value").groupBy(
         "user_id"
     ).applyInPandas(_profile_one, PROFILE_SCHEMA)
+
+
+def gini_udaf():
+    """Custom aggregate (pandas grouped-agg UDF): Gini coefficient of
+    integer cents per group.
+
+    The UDAF surface the reference lacks entirely (SURVEY §2.1 "no
+    UDAF/UDTF"). Exactness: values are integer cents, the formula is
+    G = (2·Σ i·x_(i) ) / (n·Σx) - (n+1)/n over the sorted sample —
+    both numerator sums are exact integers, so the one double division
+    is bit-deterministic and oracle-checkable with window SQL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _gini(value: pd.Series) -> float:
+        cents = np.sort(
+            np.round(value.to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        )
+        n = len(cents)
+        total = int(cents.sum())
+        if n == 0 or total == 0:
+            return 0.0
+        weighted = int((np.arange(1, n + 1, dtype=np.int64) * cents).sum())
+        return (2.0 * weighted) / (n * total) - (n + 1.0) / n
+
+    return _gini
+
+
+def gini_by_type(events: DataFrame) -> DataFrame:
+    """Per-event-type value inequality via the custom UDAF — one
+    shuffle, partial-agg-free (holistic aggregate: Spark ships each
+    group's values to one reducer, which is the UDAF contract).
+
+    Spark refuses to mix pandas grouped-agg UDFs with JVM aggregates
+    in one agg(), so the row count rides as a second pandas UDAF.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _n(value: pd.Series) -> int:
+        return len(value)
+
+    return events.groupBy("event_type").agg(
+        _n(F.col("value")).alias("n_events"),
+        gini_udaf()(F.col("value")).alias("gini_cents"),
+    )

@@ -30,7 +30,7 @@ from elb_log_to_mysql_spark.operators import multimodal, sessionize, similarity,
 from elb_log_to_mysql_spark.operators import textops, tpch, windows
 from elb_log_to_mysql_spark.session import tune_session
 from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
-from elb_log_to_mysql_spark.sources.tables import load_table
+from elb_log_to_mysql_spark.sources.tables import load_table, load_tables
 from elb_log_to_mysql_spark.streaming.windows import run_stream_to_batch, tumbling_counts
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1580,6 +1580,65 @@ def q_stream_stateful(spark, sf_dir):
         F.max_by("sum_cents", "n_events").alias("sum_cents"),
         F.max_by("max_gap_us", "n_events").alias("max_gap_us"),
     )
+
+
+@_q(
+    "udtf_sentences",
+    """
+    WITH parts AS (
+      SELECT doc_id, string_split(text, '. ') AS p FROM documents
+    ), e AS (
+      SELECT doc_id, p, unnest(generate_series(1, len(p))) AS i FROM parts
+    )
+    SELECT doc_id, i - 1 AS sentence_idx, p[i] AS sentence,
+           len(p[i]) AS n_chars
+    FROM e
+    """,
+)
+def q_udtf_sentences(spark, sf_dir):
+    """Python UDTF (table function): one input row fans out to one row
+    per sentence — the UDTF surface the reference lacks (SURVEY §2.1),
+    registered and invoked through LATERAL in Spark SQL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_idx int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                yield i, s, len(s)
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_tables(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_idx, s.sentence, s.n_chars
+        FROM documents d, LATERAL sentence_split(d.text) s
+        """
+    )
+
+
+@_q(
+    "udaf_gini",
+    """
+    WITH cents AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 100) AS BIGINT)) AS i
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           (2.0 * SUM(i * c)) / (COUNT(*) * SUM(c))
+             - (COUNT(*) + 1.0) / COUNT(*) AS gini_cents
+    FROM cents GROUP BY event_type
+    """,
+)
+def q_udaf_gini(spark, sf_dir):
+    """Custom holistic aggregate (pandas grouped-agg UDF): Gini
+    coefficient over integer cents — exact integer sums make the one
+    double division bit-checkable against window SQL."""
+    from elb_log_to_mysql_spark.operators.groupmap import gini_by_type
+
+    return gini_by_type(_t(spark, sf_dir, "events"))
 
 
 @_q(
