@@ -1840,3 +1840,280 @@ def q_elb_parse(spark, sf_dir):
             F.sum("sent_bytes").alias("total_sent"),
         )
     )
+
+
+# ===========================================================================
+# TPC-H battery: remaining canonical shapes (Q2/Q8/Q9/Q11/Q12/Q14/Q15/
+# Q16/Q20/Q21/Q22), adapted to the test schema (operators/tpch.py)
+# ===========================================================================
+
+@_q(
+    "tpch_q2",
+    """
+    WITH eu_supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), catalog AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supp_price
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM eu_supp)
+      GROUP BY l_partkey, l_suppkey
+    ), min_price AS (
+      SELECT l_partkey AS mp_partkey, MIN(supp_price) AS min_price
+      FROM catalog GROUP BY l_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ROUND(supp_price, 6) AS supp_price
+    FROM catalog
+    JOIN min_price ON l_partkey = mp_partkey AND supp_price = min_price
+    JOIN part ON p_partkey = l_partkey
+    JOIN eu_supp ON l_suppkey = s_suppkey
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+    """,
+)
+def q_tpch_q2(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem", "nation", "region"])
+    return tpch.tpch_q2(t["part"], t["supplier"], t["lineitem"], t["nation"], t["region"])
+
+
+@_q(
+    "tpch_q8",
+    f"""
+    SELECT year(o_orderdate) AS o_year,
+           {_dsum("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+           / {_dsum('l_extendedprice * (1 - l_discount)')} AS mkt_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark, sf_dir):
+    t = load_tables(
+        spark, sf_dir,
+        ["part", "supplier", "lineitem", "orders", "customer", "nation", "region"],
+    )
+    return tpch.tpch_q8(
+        t["part"], t["supplier"], t["lineitem"], t["orders"], t["customer"],
+        t["nation"], t["region"],
+    )
+
+
+@_q(
+    "tpch_q9",
+    f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           {_dsum('l_extendedprice * (1 - l_discount) - 0.1 * p_retailprice * l_quantity')} AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    """,
+)
+def q_tpch_q9(spark, sf_dir):
+    t = load_tables(
+        spark, sf_dir, ["part", "supplier", "lineitem", "orders", "nation"]
+    )
+    return tpch.tpch_q9(t["part"], t["supplier"], t["lineitem"], t["orders"], t["nation"])
+
+
+@_q(
+    "tpch_q11",
+    f"""
+    WITH asia_supp AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ), per_part AS (
+      SELECT l_partkey,
+             {_dsum('l_extendedprice * (1 - l_discount)')} AS part_value
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM asia_supp)
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM per_part
+    WHERE part_value > (
+      SELECT {_dsum('part_value')} * 0.001 FROM per_part
+    )
+    """,
+)
+def q_tpch_q11(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation", "region"])
+    return tpch.tpch_q11(t["lineitem"], t["supplier"], t["nation"], t["region"])
+
+
+@_q(
+    "tpch_q12",
+    """
+    SELECT l_linestatus AS ship_mode,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_shipdate >= o_orderdate
+    GROUP BY ship_mode
+    """,
+)
+def q_tpch_q12(spark, sf_dir):
+    return tpch.tpch_q12(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+@_q(
+    "tpch_q14",
+    f"""
+    SELECT 100.0 * {_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+           / {_dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+)
+def q_tpch_q14(spark, sf_dir):
+    return tpch.tpch_q14(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
+
+
+@_q(
+    "tpch_q15",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON supplier_no = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark, sf_dir):
+    return tpch.tpch_q15(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"))
+
+
+@_q(
+    "tpch_q16",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 14, 19, 23, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem"])
+    return tpch.tpch_q16(t["part"], t["supplier"], t["lineitem"])
+
+
+@_q(
+    "tpch_q20",
+    f"""
+    WITH qty96 AS (
+      SELECT l_partkey, l_suppkey, {_dsum('l_quantity')} AS ps_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_partkey, l_suppkey
+    ), per_part AS (
+      SELECT l_partkey AS pp_partkey, {_dsum('ps_qty')} AS part_qty
+      FROM qty96 GROUP BY l_partkey
+    ), over_suppliers AS (
+      SELECT DISTINCT l_suppkey FROM qty96
+      JOIN per_part ON l_partkey = pp_partkey
+      WHERE ps_qty > 0.2 * part_qty
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (SELECT l_suppkey FROM over_suppliers)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q20(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem", "nation", "region"])
+    return tpch.tpch_q20(
+        t["part"], t["supplier"], t["lineitem"], t["nation"], t["region"]
+    )
+
+
+@_q(
+    "tpch_q21",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ), pairs AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM li
+    ), late_pairs AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE is_late
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late_pairs w
+    JOIN supplier ON w.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM pairs p
+                  WHERE p.l_orderkey = w.l_orderkey
+                    AND p.l_suppkey <> w.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late_pairs lp
+                      WHERE lp.l_orderkey = w.l_orderkey
+                        AND lp.l_suppkey <> w.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q_tpch_q21(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders", "nation"])
+    return tpch.tpch_q21(t["supplier"], t["lineitem"], t["orders"], t["nation"])
+
+
+@_q(
+    "tpch_q22",
+    f"""
+    SELECT n_name AS cntry, COUNT(*) AS numcust,
+           {_dsum('c_acctbal')} AS totacctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_nationkey IN (0, 3, 7, 11, 17)
+      AND c_acctbal > (
+        SELECT {_dsum('c_acctbal')} / COUNT(*) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY cntry
+    """,
+)
+def q_tpch_q22(spark, sf_dir):
+    t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
+    return tpch.tpch_q22(t["customer"], t["orders"], t["nation"])

@@ -81,3 +81,54 @@ def test_asof_join_is_join_free(spark, sf_dir):
     rep = _report(df)
     assert rep["broadcast_joins"] + rep["sortmerge_joins"] + rep["shuffled_hash_joins"] == 0
     assert rep["exchanges"] == 1
+
+
+def test_q21_pair_sets_stay_semi_anti(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS must compile to one semi and one anti
+    join over deduplicated pair sets — never a row-multiplying inner
+    join that re-aggregates, which explodes on multi-line orders at
+    scale."""
+    df = tpch.tpch_q21(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    df.collect()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q9_single_fact_shuffle(spark, sf_dir):
+    """Q9 joins four dimensions and one fact-fact pair; everything but
+    lineitem⋈orders must broadcast, leaving ≤2 exchanges (the
+    fact-fact join under AQE resolves broadcast too at this sf, plus
+    the final aggregate)."""
+    df = tpch.tpch_q9(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    rep = _report(df)
+    assert rep["broadcast_joins"] >= 3
+    assert rep["sortmerge_joins"] == 0
+    assert rep["python_evals"] == 0
+    assert any("p_name" in p for p in rep["pushed_filters"])
+
+
+def test_q11_threshold_is_broadcast_scalar(spark, sf_dir):
+    """The HAVING threshold must arrive as a broadcast 1-row join, not
+    a shuffled one — a shuffle of the full per-part aggregate against
+    one row is pure waste at scale."""
+    df = tpch.tpch_q11(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+    rep = _report(df)
+    assert rep["broadcast_joins"] >= 1
+    assert rep["sortmerge_joins"] == 0
