@@ -31,8 +31,10 @@ HEADLINE = [
     "asof_join",
     "tpch_q3",
     "tpch_q6",
+    "tpch_q9",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q21",
     "skew_salted_agg",
     "distinct_agg",
     "scalar_subquery",
@@ -54,6 +56,9 @@ HEADLINE = [
     "stream_tumbling",
     "multimodal_meta",
     "multimodal_frames",
+    "decontaminate",
+    "shuffle_index",
+    "pii_scrub",
 ]
 
 

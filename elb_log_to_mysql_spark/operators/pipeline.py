@@ -1,0 +1,170 @@
+"""Training-data pipeline operators: PII scrubbing, benchmark
+decontamination, deterministic global shuffle, stratified sampling.
+
+The LLM-corpus extension surface beyond dedup/similarity (SURVEY
+§2.3): the reference engine has no analog (its one pipeline is
+scan→parse→project→sink — /root/reference/etl_elb_log_to_mysql.py:162-177);
+these are the operations a 100 TB corpus build needs between ingest
+and tokenization.
+
+Scale notes baked into each operator:
+
+- `pii_scrub` is pure `regexp_replace`/`regexp_extract_all` column
+  expressions — whole-stage codegen, zero shuffles, scan-bound.
+- `decontaminate` broadcasts the benchmark n-gram set (benchmarks are
+  MB-scale even when the corpus is 100 TB) so the corpus side never
+  shuffles: one semi join to find contaminated doc ids, one anti join
+  to drop them.
+- `shuffle_index` produces a total deterministic permutation without
+  a single-partition global sort: range-repartition by hash key, a
+  per-partition count pass, a cumulative-offset table (tiny: one row
+  per partition), and a per-partition rank. This is the standard
+  two-pass distributed enumeration — every stage is bounded by
+  partition size, never by total rows.
+- `stratified_sample` filters on an md5 threshold — deterministic,
+  joinable across tables/runs (same row always sampled), no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.operators.dedup import word_shingles
+
+# Patterns restricted to syntax shared by Java regex (Spark) and RE2
+# (DuckDB oracle): no lookaround, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "phone": r"\b\d{3}[- ]\d{3}[- ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Redact PII spans and count redactions per category.
+
+    Counts are taken on the ORIGINAL text (before any replacement so
+    categories don't shadow each other); replacements then apply in
+    fixed dict order — email before ipv4 so a host-part like
+    `user@10.0.0.1` is consumed by the email rule, ssn before phone
+    so `123-45-6789` never half-matches the phone rule.
+    """
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+    clean: Column = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return out.withColumn(out_col, clean)
+
+
+def decontaminate(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = 97,
+    ngram: int = 5,
+) -> DataFrame:
+    """Drop training docs sharing any word n-gram with the benchmark
+    set (here: every doc whose id ≡ 0 mod `bench_mod`, standing in for
+    an eval suite). Returns the clean training docs.
+
+    The benchmark gram set is deduplicated then BROADCAST: the corpus
+    side is touched by one semi join (which doc ids are contaminated)
+    and one anti join (drop them) — no corpus-side shuffle at any
+    step, so the operator scales with corpus size linearly.
+    """
+    is_bench = (F.col(id_col) % bench_mod) == 0
+    grams = F.explode(word_shingles(text_col, ngram)).alias("gram")
+    bench_grams = (
+        documents.filter(is_bench).select(grams).distinct()
+    )
+    train = documents.filter(~is_bench)
+    contaminated = (
+        train.select(F.col(id_col), grams)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+
+
+def shuffle_index(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "seed42",
+) -> DataFrame:
+    """Deterministic global training-order permutation: adds `pos` =
+    the row's rank under ORDER BY (md5(key|salt), key), 0-based.
+
+    A naive `row_number() OVER (ORDER BY …)` collapses to ONE
+    partition — the classic global-sort scalability trap. Instead the
+    hash key's 2-char hex prefix defines 256 contiguous key-range
+    buckets (a pure function of the key — no sampled range boundaries
+    that could drift between passes):
+
+    1. count rows per bucket (one narrow agg);
+    2. exclusive prefix-sum of the counts — a window over ≤ 256
+       rows, trivially single-partition by design;
+    3. per-bucket rank + broadcast-joined offset = global position
+       (bucket is a prefix of the sort key, so (bucket, skey) order
+       IS the global skey order).
+
+    Every heavy stage is bounded by bucket size (~rows/256, md5 is
+    uniform); the permutation is a pure function of (key, salt),
+    independent of cluster layout or partition count.
+    """
+    skey = F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
+    keyed = df.withColumn("_skey", skey).withColumn(
+        "_bkt", F.substring("_skey", 1, 2)
+    )
+    counts = keyed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
+    offsets = counts.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_bkt", "_offset")
+    local_rank = F.row_number().over(
+        Window.partitionBy("_bkt").orderBy("_skey", key_col)
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "_bkt")
+        .withColumn("pos", (F.col("_offset") + local_rank - 1).cast("long"))
+        .drop("_skey", "_bkt")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    thresholds: dict[str, str],
+    default_threshold: str = "8",
+    salt: str = "seed42",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling by md5-prefix threshold.
+
+    A row survives iff md5(key|salt) < threshold(stratum), where the
+    threshold is a hex-string prefix: '2' keeps ~2/16 of rows, '8'
+    ~half. Hash-threshold sampling (vs `sample()`) is reproducible
+    across runs AND consistent across tables sharing the key — the
+    property a corpus rebalance needs so every derived table keeps
+    the same row subset. Pure filter: no shuffle, pushes nothing
+    off-scan.
+    """
+    h = F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
+    thr: Column = F.lit(default_threshold)
+    for stratum, t in thresholds.items():
+        thr = F.when(F.col(strata_col) == stratum, F.lit(t)).otherwise(thr)
+    return df.filter(h < thr)

@@ -2117,3 +2117,132 @@ def q_tpch_q21(spark, sf_dir):
 def q_tpch_q22(spark, sf_dir):
     t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
     return tpch.tpch_q22(t["customer"], t["orders"], t["nation"])
+
+
+# ===========================================================================
+# Training-data pipeline operators (operators/pipeline.py)
+# ===========================================================================
+
+@_q(
+    "pii_scrub",
+    r"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or ' ||
+             (doc_id % 800 + 100) || '-' || (doc_id % 80 + 10) || '-' ||
+             (doc_id % 8000 + 1000) || ' ip 10.0.' || (doc_id % 256) ||
+             '.7' AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+           len(regexp_extract_all(text, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS clean_text
+    FROM seeded
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over documents seeded with synthetic, per-row-
+    deterministic PII (emails, SSN-shaped ids, phone numbers, IPs) so
+    the scrub is exercised on every row — the raw corpus contains
+    none. Pure regexp column expressions: zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com or "),
+            (F.col("doc_id") % 800 + 100).cast("string"), F.lit("-"),
+            (F.col("doc_id") % 80 + 10).cast("string"), F.lit("-"),
+            (F.col("doc_id") % 8000 + 1000).cast("string"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    from elb_log_to_mysql_spark.operators.pipeline import pii_scrub
+
+    return pii_scrub(seeded).select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ipv4", "clean_text"
+    )
+
+
+@_q(
+    "decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+             string_split_regex(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 4, 0)),
+               i -> array_to_string(t[i:i+4], ' ')))) AS gram
+      FROM toks
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE doc_id % 97 <> 0
+        AND gram IN (SELECT gram FROM grams WHERE doc_id % 97 = 0)
+    )
+    SELECT doc_id, lang, n_chars FROM toks
+    WHERE doc_id % 97 <> 0
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with id ≡ 0 mod 97 stand in
+    for an eval suite; training docs sharing any 5-gram with them are
+    dropped via broadcast semi + anti joins (no corpus-side shuffle)."""
+    from elb_log_to_mysql_spark.operators.pipeline import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(docs).select("doc_id", "lang", "n_chars")
+
+
+@_q(
+    "shuffle_index",
+    """
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+             ORDER BY md5(doc_id::VARCHAR || '|seed42'), doc_id
+           ) - 1 AS pos
+    FROM documents
+    """,
+)
+def q_shuffle_index(spark, sf_dir):
+    """Deterministic global training-order permutation without a
+    single-partition sort: hash-prefix buckets + per-bucket rank +
+    prefix-sum offsets (operators/pipeline.py:shuffle_index)."""
+    from elb_log_to_mysql_spark.operators.pipeline import shuffle_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return shuffle_index(docs, "doc_id").select("doc_id", "pos")
+
+
+@_q(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE md5(doc_id::VARCHAR || '|seed42') <
+          CASE WHEN lang = 'en' THEN '2' ELSE '8' END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Corpus rebalance: downsample the dominant language to ~1/8 and
+    the rest to ~1/2 with an md5-threshold — reproducible across runs
+    and consistent across any table sharing doc_id. Pure filter."""
+    from elb_log_to_mysql_spark.operators.pipeline import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", "doc_id", {"en": "2"}, default_threshold="8"
+    ).select("doc_id", "lang", "n_chars")

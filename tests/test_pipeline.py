@@ -1,0 +1,112 @@
+"""Training-data pipeline operator invariants (operators/pipeline.py):
+the properties that make these safe to run on a 100 TB corpus —
+permutation totality/determinism, decontamination completeness,
+scrub idempotence, sample consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.operators import pipeline
+from elb_log_to_mysql_spark.operators.dedup import word_shingles
+from elb_log_to_mysql_spark.sources.tables import load_table
+
+
+def test_shuffle_index_is_total_permutation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    out = pipeline.shuffle_index(docs, "doc_id")
+    positions = sorted(r.pos for r in out.select("pos").collect())
+    assert positions == list(range(n))
+
+
+def test_shuffle_index_deterministic_and_salt_sensitive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = dict(
+        (r.doc_id, r.pos)
+        for r in pipeline.shuffle_index(docs, "doc_id").select("doc_id", "pos").collect()
+    )
+    b = dict(
+        (r.doc_id, r.pos)
+        for r in pipeline.shuffle_index(docs, "doc_id").select("doc_id", "pos").collect()
+    )
+    c = dict(
+        (r.doc_id, r.pos)
+        for r in pipeline.shuffle_index(docs, "doc_id", salt="other")
+        .select("doc_id", "pos")
+        .collect()
+    )
+    assert a == b
+    assert a != c  # different salt → different permutation
+    # and it is not the identity / id-sorted order (it actually shuffles)
+    ids_in_pos_order = [d for d, _ in sorted(a.items(), key=lambda kv: kv[1])]
+    assert ids_in_pos_order != sorted(ids_in_pos_order)
+
+
+def test_decontaminate_removes_all_overlaps(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    clean = pipeline.decontaminate(docs, bench_mod=7, ngram=3)
+    # no clean doc may share a 3-gram with the mod-7 benchmark set
+    bench_grams = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select(F.explode(word_shingles("text", 3)).alias("gram"))
+        .distinct()
+    )
+    overlap = (
+        clean.select(F.col("doc_id"), F.explode(word_shingles("text", 3)).alias("gram"))
+        .join(bench_grams, "gram", "left_semi")
+        .count()
+    )
+    assert overlap == 0
+    # the operator must drop only contaminated docs, never benchmark-
+    # set survivors or a whole stratum: every remaining id is mod-7!=0
+    assert clean.filter(F.col("doc_id") % 7 == 0).count() == 0
+    assert clean.count() > 0
+
+
+def test_pii_scrub_leaves_no_matches_and_counts_them(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org, call 555-123-4567"),
+            (2, "ssn 123-45-6789 from 10.0.0.1 twice 10.255.1.2"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = pipeline.pii_scrub(df).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_email == 2 and by_id[1].n_phone == 1
+    assert by_id[2].n_ssn == 1 and by_id[2].n_ipv4 == 2
+    assert by_id[3].clean_text == "nothing sensitive here"
+    # scrub is complete: re-scrubbing the clean text finds nothing
+    rescored = pipeline.pii_scrub(
+        spark.createDataFrame(
+            [(r.doc_id, r.clean_text) for r in out], ["doc_id", "text"]
+        )
+    ).collect()
+    for r in rescored:
+        assert r.n_email + r.n_ssn + r.n_phone + r.n_ipv4 == 0
+
+
+def test_stratified_sample_rates_and_consistency(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = pipeline.stratified_sample(docs, "lang", "doc_id", {"en": "2"}, "8")
+    rates = {
+        r.lang: r.rate
+        for r in sampled.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .join(docs.groupBy("lang").agg(F.count(F.lit(1)).alias("total")), "lang")
+        .select("lang", (F.col("kept") / F.col("total")).alias("rate"))
+        .collect()
+    }
+    assert 0.02 < rates["en"] < 0.25  # ~2/16 nominal
+    non_en = [v for k, v in rates.items() if k != "en"]
+    assert non_en and all(0.3 < v < 0.7 for v in non_en)  # ~8/16 nominal
+    # consistency: sampling is a pure key predicate, so sampling twice
+    # (even from a differently-ordered frame) keeps identical ids
+    again = pipeline.stratified_sample(
+        docs.orderBy(F.rand(7)), "lang", "doc_id", {"en": "2"}, "8"
+    )
+    assert {r.doc_id for r in sampled.select("doc_id").collect()} == {
+        r.doc_id for r in again.select("doc_id").collect()
+    }
