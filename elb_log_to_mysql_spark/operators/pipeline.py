@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from elb_log_to_mysql_spark.operators.dedup import word_shingles
+from elb_log_to_mysql_spark.session import ensure_min_partitions
 
 # Patterns restricted to syntax shared by Java regex (Spark) and RE2
 # (DuckDB oracle): no lookaround, no backrefs.
@@ -53,7 +54,7 @@ def pii_scrub(
     `user@10.0.0.1` is consumed by the email rule, ssn before phone
     so `123-45-6789` never half-matches the phone rule.
     """
-    out = df
+    out = ensure_min_partitions(df)
     for name, pat in PII_PATTERNS.items():
         out = out.withColumn(
             f"n_{name}",
@@ -71,24 +72,46 @@ def decontaminate(
     text_col: str = "text",
     bench_mod: int = 97,
     ngram: int = 5,
+    strategy: str = "overlap",
 ) -> DataFrame:
     """Drop training docs sharing any word n-gram with the benchmark
     set (here: every doc whose id ≡ 0 mod `bench_mod`, standing in for
     an eval suite). Returns the clean training docs.
 
-    The benchmark gram set is deduplicated then BROADCAST: the corpus
-    side is touched by one semi join (which doc ids are contaminated)
-    and one anti join (drop them) — no corpus-side shuffle at any
-    step, so the operator scales with corpus size linearly.
+    Two physical strategies, same semantics:
+
+    - 'overlap' (default): collect the deduplicated benchmark gram
+      set into ONE broadcast array row and filter the corpus with
+      `arrays_overlap` — zero corpus-side shuffles, no gram explode,
+      one pass over the corpus. Right whenever the benchmark set fits
+      in a broadcast (eval suites are MB-scale even at 100 TB corpus
+      scale).
+    - 'join': explode corpus grams and semi-join the (still
+      broadcast) gram set, then anti-join the contaminated ids —
+      the fallback when the benchmark gram set is itself too large
+      for a single array value.
     """
+    # the shingle derivation is compute-dense; a small-file scan must
+    # not pin it to one task (session.ensure_min_partitions is a no-op
+    # on already-wide inputs)
+    documents = ensure_min_partitions(documents)
     is_bench = (F.col(id_col) % bench_mod) == 0
-    grams = F.explode(word_shingles(text_col, ngram)).alias("gram")
-    bench_grams = (
-        documents.filter(is_bench).select(grams).distinct()
-    )
+    gram_col = F.explode(word_shingles(text_col, ngram)).alias("gram")
+    bench_grams = documents.filter(is_bench).select(gram_col).distinct()
     train = documents.filter(~is_bench)
+    if strategy == "overlap":
+        bench_arr = bench_grams.agg(F.collect_set("gram").alias("_bench_grams"))
+        return (
+            train.join(F.broadcast(bench_arr))
+            .filter(
+                ~F.arrays_overlap(
+                    word_shingles(text_col, ngram), F.col("_bench_grams")
+                )
+            )
+            .drop("_bench_grams")
+        )
     contaminated = (
-        train.select(F.col(id_col), grams)
+        train.select(F.col(id_col), gram_col)
         .join(F.broadcast(bench_grams), "gram", "left_semi")
         .select(id_col)
         .distinct()
