@@ -119,52 +119,95 @@ def decontaminate(
     return train.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
+def _bucketed_global_cumsum(
+    df: DataFrame, key_col: str, salt: str, value: Column, out_col: str
+) -> DataFrame:
+    """EXCLUSIVE global prefix-sum of `value` under ORDER BY
+    (md5(key|salt), key) — without a single-partition global sort.
+
+    A naive `SUM(…) OVER (ORDER BY …)` collapses to ONE partition —
+    the classic global-sort scalability trap. Instead the hash key's
+    2-char hex prefix defines 256 contiguous key-range buckets (a pure
+    function of the key — no sampled range boundaries that could drift
+    between passes):
+
+    1. sum `value` per bucket (one narrow agg);
+    2. exclusive prefix-sum of the 256 bucket totals — a window over
+       ≤ 256 rows, trivially single-partition by design;
+    3. per-bucket running sum + broadcast-joined bucket offset =
+       global prefix-sum (bucket is a prefix of the sort key, so
+       (bucket, skey) order IS the global skey order).
+
+    Every heavy stage is bounded by bucket size (~rows/256, md5 is
+    uniform); the result is a pure function of (key, salt),
+    independent of cluster layout or partition count. Internal columns
+    `_skey`/`_bkt` are left attached for callers that need the sort
+    key; callers drop them.
+    """
+    skey = F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
+    keyed = df.withColumn("_skey", skey).withColumn(
+        "_bkt", F.substring("_skey", 1, 2)
+    )
+    totals = keyed.groupBy("_bkt").agg(F.sum(value).alias("_btotal"))
+    offsets = totals.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_btotal").over(
+                Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_bkt", "_offset")
+    local = F.sum(value).over(
+        Window.partitionBy("_bkt")
+        .orderBy("_skey", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return keyed.join(F.broadcast(offsets), "_bkt").withColumn(
+        out_col, (F.col("_offset") + F.coalesce(local, F.lit(0))).cast("long")
+    )
+
+
 def shuffle_index(
     df: DataFrame,
     key_col: str,
     salt: str = "seed42",
 ) -> DataFrame:
     """Deterministic global training-order permutation: adds `pos` =
-    the row's rank under ORDER BY (md5(key|salt), key), 0-based.
-
-    A naive `row_number() OVER (ORDER BY …)` collapses to ONE
-    partition — the classic global-sort scalability trap. Instead the
-    hash key's 2-char hex prefix defines 256 contiguous key-range
-    buckets (a pure function of the key — no sampled range boundaries
-    that could drift between passes):
-
-    1. count rows per bucket (one narrow agg);
-    2. exclusive prefix-sum of the counts — a window over ≤ 256
-       rows, trivially single-partition by design;
-    3. per-bucket rank + broadcast-joined offset = global position
-       (bucket is a prefix of the sort key, so (bucket, skey) order
-       IS the global skey order).
-
-    Every heavy stage is bounded by bucket size (~rows/256, md5 is
-    uniform); the permutation is a pure function of (key, salt),
-    independent of cluster layout or partition count.
-    """
-    skey = F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
-    keyed = df.withColumn("_skey", skey).withColumn(
-        "_bkt", F.substring("_skey", 1, 2)
+    the row's rank under ORDER BY (md5(key|salt), key), 0-based —
+    the exclusive global cumsum of 1 (see _bucketed_global_cumsum
+    for the scale argument)."""
+    return _bucketed_global_cumsum(df, key_col, salt, F.lit(1), "pos").drop(
+        "_skey", "_bkt"
     )
-    counts = keyed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_cnt"))
-    offsets = counts.withColumn(
-        "_offset",
-        F.coalesce(
-            F.sum("_cnt").over(
-                Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select("_bkt", "_offset")
-    local_rank = F.row_number().over(
-        Window.partitionBy("_bkt").orderBy("_skey", key_col)
+
+
+def sequence_pack(
+    df: DataFrame,
+    key_col: str,
+    text_col: str = "text",
+    seq_len: int = 2048,
+    salt: str = "seed42",
+) -> DataFrame:
+    """Contiguous sequence packing: concatenate the corpus in
+    deterministic shuffle order and chunk into fixed token budgets —
+    the concat-and-chunk step every LLM training pipeline runs before
+    tokenized examples hit the trainer.
+
+    Adds per doc: `n_tokens` (whitespace tokens), `seq_id` (which
+    fixed-size sequence the doc STARTS in) and `seq_offset` (token
+    offset within that sequence). Built on the bucketed two-pass
+    prefix-sum, so there is no single-partition sort at any size;
+    the assignment is a pure function of (key, salt, seq_len).
+    """
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    out = _bucketed_global_cumsum(
+        df.withColumn("n_tokens", n_tokens), key_col, salt, F.col("n_tokens"), "_start"
     )
     return (
-        keyed.join(F.broadcast(offsets), "_bkt")
-        .withColumn("pos", (F.col("_offset") + local_rank - 1).cast("long"))
-        .drop("_skey", "_bkt")
+        out.withColumn("seq_id", F.floor(F.col("_start") / seq_len))
+        .withColumn("seq_offset", F.col("_start") % seq_len)
+        .drop("_skey", "_bkt", "_start")
     )
 
 

@@ -2246,3 +2246,35 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(
         docs, "lang", "doc_id", {"en": "2"}, default_threshold="8"
     ).select("doc_id", "lang", "n_chars")
+
+
+@_q(
+    "sequence_pack",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY md5(doc_id::VARCHAR || '|seed42'), doc_id
+             ) - n_tokens AS start
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(start / 2048.0) AS BIGINT) AS seq_id,
+           start % 2048 AS seq_offset
+    FROM c
+    """,
+)
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing in deterministic shuffle
+    order (operators/pipeline.py:sequence_pack): global token
+    prefix-sum via hash-prefix buckets — no single-partition sort."""
+    from elb_log_to_mysql_spark.operators.pipeline import sequence_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    return sequence_pack(docs, "doc_id").select(
+        "doc_id", "n_tokens", "seq_id", "seq_offset"
+    )

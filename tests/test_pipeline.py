@@ -110,3 +110,25 @@ def test_stratified_sample_rates_and_consistency(spark, sf_dir):
     assert {r.doc_id for r in sampled.select("doc_id").collect()} == {
         r.doc_id for r in again.select("doc_id").collect()
     }
+
+
+def test_sequence_pack_is_exact_contiguous_chunking(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = pipeline.sequence_pack(docs, "doc_id", seq_len=512).collect()
+    # reconstruct each doc's global start; in start order the corpus
+    # must be perfectly contiguous: start[i+1] = start[i] + n_tokens[i]
+    rows = sorted(out, key=lambda r: r.seq_id * 512 + r.seq_offset)
+    pos = 0
+    for r in rows:
+        assert r.seq_id * 512 + r.seq_offset == pos
+        assert 0 <= r.seq_offset < 512
+        assert r.n_tokens > 0
+        pos += r.n_tokens
+    # and the order agrees with shuffle_index (same key, same salt)
+    by_pos = {
+        r.doc_id: r.pos
+        for r in pipeline.shuffle_index(docs, "doc_id").select("doc_id", "pos").collect()
+    }
+    assert [r.doc_id for r in rows] == [
+        d for d, _ in sorted(by_pos.items(), key=lambda kv: kv[1])
+    ]
