@@ -1,0 +1,93 @@
+"""Graph operators: connected components for dedup clustering.
+
+Near-dup detection (operators/dedup.py) emits PAIRS; acting on them
+(keep one survivor per duplicate group) needs the transitive closure:
+cluster ids. The reference engine has no analog (no joins at all —
+SURVEY §2.1); this is part of the LLM-pipeline extension surface.
+
+Algorithm: iterative min-label propagation — every node starts
+labeled with its own id; each round every node takes the min label
+among itself and its neighbors; fixpoint = each node holds the min
+id of its component. Rounds needed = graph diameter, and dedup
+graphs are shallow (near-clique clusters, diameter ≲ 3), so the
+simple 1-hop propagation beats pointer-jumping cleverness here.
+
+Scale posture:
+- each round is ONE shuffle (join on node id) + ONE aggregation;
+- `localCheckpoint` after each round truncates the lineage — without
+  it the iterative plan nests and re-executes all prior rounds (on a
+  cluster, use reliable checkpointing instead);
+- convergence check is a single count per round (the changed-label
+  count), the only driver-side value in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in `edges`, where
+    cluster_id = min node id in the node's connected component.
+    Raises if not converged within `max_iter` rounds (diameter bound
+    exceeded — raise max_iter, or the edge set is pathological)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iter):
+            nbr_labels = sym.join(
+                labels.withColumnRenamed("id", "u"), "u"
+            ).select(F.col("v").alias("id"), "label")
+            new_labels = (
+                labels.union(nbr_labels)
+                .groupBy("id")
+                .agg(F.min("label").alias("label"))
+            ).localCheckpoint()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select("id", F.col("label").alias("cluster_id"))
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_iter} rounds"
+        )
+    finally:
+        sym.unpersist()
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_id_a",
+    pair_b: str = "doc_id_b",
+) -> DataFrame:
+    """Assign every document a duplicate-cluster id: min doc id of its
+    near-dup component, or its own id if it has no near-dups. The
+    canonical keep-one-per-cluster policy is then `cluster_id = id`.
+    The component table is at most |docs in any pair| rows — tiny
+    relative to the corpus — so it broadcasts into the left join."""
+    cc = connected_components(pairs, pair_a, pair_b)
+    return documents.join(
+        F.broadcast(cc.withColumnRenamed("id", id_col)), id_col, "left"
+    ).select(
+        id_col,
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )

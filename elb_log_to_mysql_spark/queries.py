@@ -2278,3 +2278,56 @@ def q_sequence_pack(spark, sf_dir):
     return sequence_pack(docs, "doc_id").select(
         "doc_id", "n_tokens", "seq_id", "seq_offset"
     )
+
+
+@_q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM shingled WHERE len(shingles) > 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT doc_id_a, doc_id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_id_a
+      JOIN sizes sb ON sb.doc_id = doc_id_b
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), sym AS (
+      SELECT doc_id_a AS u, doc_id_b AS v FROM edges
+      UNION ALL
+      SELECT doc_id_b, doc_id_a FROM edges
+    ), reach(id, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON r.id = s.u
+    ), cc AS (
+      SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: exact n-gram Jaccard pairs (threshold 0.5)
+    closed transitively via min-label-propagation connected components
+    (operators/graph.py) — every doc gets the min doc_id of its
+    duplicate component. The DuckDB oracle computes the same closure
+    with a recursive CTE."""
+    from elb_log_to_mysql_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup_clusters(docs, pairs)
