@@ -23,8 +23,20 @@ from pyspark.sql import functions as F
 DET_DECIMAL = "decimal(28,8)"
 
 # SQL-text twin of dsum for oracle strings.
-DSUM_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE)"
-DAVG_SQL = "CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*)"
+#
+# The oracle's final decimal->double hop goes THROUGH a string:
+# DuckDB's direct DECIMAL(28,8)->DOUBLE cast double-rounds once the
+# scaled int128 exceeds 2^53 (observed: 5240486462.58993500 at sf0.1
+# converts one ulp off), while decimal->string is exact and
+# string->double is correctly rounded — matching Spark's
+# BigDecimal.doubleValue(), which rounds correctly from the exact
+# decimal. STRING (not VARCHAR) because a few queries reuse this
+# template as Spark SQL text, and STRING parses in BOTH dialects;
+# the detour is value-neutral on the Spark side.
+DSUM_SQL = "CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS STRING) AS DOUBLE)"
+DAVG_SQL = (
+    "CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,8))) AS STRING) AS DOUBLE) / COUNT(*)"
+)
 
 
 def _c(col: Column | str) -> Column:

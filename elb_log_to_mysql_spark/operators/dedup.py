@@ -88,16 +88,25 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
     Built from a sequence of slice positions with `transform` —
     array ops only, no explode needed at this stage.
+
+    Docs shorter than n tokens yield an EMPTY array: the sequence
+    bound must be guarded, because `sequence(1, 0)` steps DOWNWARD
+    ([1, 0]) and the 0 start would crash `slice` at runtime — a
+    short-document row, inevitable in a real corpus, would otherwise
+    kill the whole job.
     """
     c = F.col(text) if isinstance(text, str) else text
     toks = _tokens(c)
-    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), n_sh - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
-    )
+    n_sh = F.size(toks) - (n - 1)
+    return F.when(
+        n_sh > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 def near_dedup_minhash(
     documents: DataFrame,

@@ -278,9 +278,10 @@ def q_window_rank(spark, sf_dir):
            o_totalprice,
            LAG(o_totalprice) OVER w AS prev_price,
            LEAD(o_totalprice) OVER w AS next_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) OVER
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) OVER
                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS STRING) AS DOUBLE)
              AS running_spend,
            ROW_NUMBER() OVER w AS order_seq
     FROM orders
@@ -330,7 +331,8 @@ def q_scalar_subquery(spark, sf_dir):
     SELECT o_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS order_date,
            COUNT(*) OVER w AS trailing_n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) OVER w AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) OVER w
+                AS STRING) AS DOUBLE)
              AS trailing_spend
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
@@ -860,14 +862,14 @@ def q_skew_salted_agg(spark, sf_dir):
     "pivot_agg",
     """
     SELECT o_orderpriority,
-           COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F'
-             THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS DOUBLE), 0.0)
+           COALESCE(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+             THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS STRING) AS DOUBLE), 0.0)
              AS total_f,
-           COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O'
-             THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS DOUBLE), 0.0)
+           COALESCE(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O'
+             THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS STRING) AS DOUBLE), 0.0)
              AS total_o,
-           COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P'
-             THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS DOUBLE), 0.0)
+           COALESCE(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P'
+             THEN CAST(o_totalprice AS DECIMAL(28,8)) END) AS STRING) AS DOUBLE), 0.0)
              AS total_p
     FROM orders GROUP BY o_orderpriority
     """,
@@ -1062,7 +1064,7 @@ def q_map_funcs(spark, sf_dir):
     """
     WITH totals AS (
       SELECT o_orderpriority, o_orderstatus,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE) AS total
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS total
       FROM orders GROUP BY o_orderpriority, o_orderstatus
     ), p AS (SELECT DISTINCT o_orderpriority FROM orders),
        s AS (SELECT unnest(['F','O','P']) AS st)

@@ -132,3 +132,44 @@ def test_sequence_pack_is_exact_contiguous_chunking(spark, sf_dir):
     assert [r.doc_id for r in rows] == [
         d for d, _ in sorted(by_pos.items(), key=lambda kv: kv[1])
     ]
+
+
+def test_pipeline_ops_on_degenerate_inputs(spark):
+    """Empty and single-row inputs must flow through, not throw —
+    at 100 TB a partition-pruned read legitimately yields zero rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([(7, "only doc here")], schema)
+
+    assert pipeline.shuffle_index(empty, "doc_id").count() == 0
+    assert pipeline.sequence_pack(empty, "doc_id").count() == 0
+    assert pipeline.pii_scrub(empty).count() == 0
+    assert pipeline.decontaminate(empty).count() == 0
+    assert pipeline.stratified_sample(empty, "text", "doc_id", {}).count() == 0
+
+    r = pipeline.shuffle_index(one, "doc_id").collect()[0]
+    assert r.pos == 0
+    p = pipeline.sequence_pack(one, "doc_id").collect()[0]
+    assert (p.seq_id, p.seq_offset, p.n_tokens) == (0, 0, 3)
+    # doc_id=7: not a benchmark doc (7 % 97 != 0) and nothing to
+    # collide with -> survives decontamination
+    assert pipeline.decontaminate(one).count() == 1
+
+
+def test_word_shingles_short_docs_yield_empty_not_crash(spark):
+    """Docs shorter than the shingle width must produce an empty
+    shingle array (sequence(1,0) would otherwise step downward and
+    crash slice) — the short-doc row is inevitable in a real corpus."""
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "one two three four five")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", word_shingles("text", 3).alias("sh")).collect()
+    }
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["one two three", "two three four", "three four five"]
