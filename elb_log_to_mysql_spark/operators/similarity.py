@@ -337,7 +337,14 @@ def similarity_topk_ivf(
 
 def embedding_stats(embeddings: DataFrame) -> DataFrame:
     """Per-label vector statistics (norm distribution) — the sanity
-    profile run before any similarity job."""
+    profile run before any similarity job.
+
+    Per-row norms accumulate left-to-right in double (deterministic
+    per row); the cross-row mean goes through the exact-decimal
+    contract so it is partition-order independent and oracle-exact —
+    a bare F.avg over doubles would drift with the combine order."""
+    from elb_log_to_mysql_spark.functions.numeric import davg
+
     norms = embeddings.select(
         "label", _norm(F.col("embedding")).alias("norm")
     )
@@ -345,5 +352,5 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
-        F.round(F.avg("norm"), 6).alias("avg_norm"),
+        F.round(davg("norm"), 6).alias("avg_norm"),
     )

@@ -24,7 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from elb_log_to_mysql_spark.functions.numeric import DSUM_SQL, dsum
+from elb_log_to_mysql_spark.functions.numeric import DAVG_SQL, DSUM_SQL, dsum
 from elb_log_to_mysql_spark.operators import advanced, asof, dedup, relational
 from elb_log_to_mysql_spark.operators import multimodal, sessionize, similarity, skew
 from elb_log_to_mysql_spark.operators import textops, tpch, windows
@@ -57,6 +57,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _dsum(expr: str) -> str:
     return DSUM_SQL.format(expr=expr)
+
+
+def _davg(expr: str) -> str:
+    return DAVG_SQL.format(expr=expr)
 
 
 # ===========================================================================
@@ -1279,8 +1283,26 @@ def q_similarity_topk_ivf(spark, sf_dir):
     )
 
 
-@_q("embedding_stats")  # float norm accumulation — rows-only
+@_q(
+    "embedding_stats",
+    f"""
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           ROUND(MIN(norm), 6) AS min_norm,
+           ROUND(MAX(norm), 6) AS max_norm,
+           ROUND({_davg('norm')}, 6) AS avg_norm
+    FROM norms GROUP BY label
+    """,
+)
 def q_embedding_stats(spark, sf_dir):
+    """Per-row norms are left-to-right double accumulation in BOTH
+    engines (F.aggregate / list_sum), so even the float path is
+    bit-reproducible; the mean uses the decimal contract."""
     return similarity.embedding_stats(_t(spark, sf_dir, "embeddings"))
 
 
@@ -1800,10 +1822,38 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ===========================================================================
-# Reference-surface ALB parse (rows-only: UA/url parse not DuckDB-expressible)
+# Reference-surface ALB parse. The generator is a pure function of
+# the row index, so the oracle REGENERATES the expected rollup from
+# the same index arithmetic — the parse chain (tokenize, safe casts,
+# UA ladder) is thereby checked end-to-end against first principles:
+# statuses cycle n%4 with '-'→0 (the to_int sentinel quirk, etl:43),
+# method and UA cycle together on n%3 (Chrome/Safari/Unknown is the
+# regex ladder's output for the three fixed UA strings).
 # ===========================================================================
 
-@_q("elb_parse")
+@_q(
+    "elb_parse",
+    """
+    WITH g AS (SELECT range AS n FROM range(0, 5000)),
+    r AS (
+      SELECT
+        CASE n % 4 WHEN 0 THEN 200 WHEN 1 THEN 404 WHEN 2 THEN 500
+                   ELSE 0 END AS elb_status_code,
+        CASE n % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+                   ELSE 'PUT' END AS http_method,
+        CASE n % 3 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Safari'
+                   ELSE 'Unknown' END AS ua_browser_family,
+        n % 1000 AS rcv,
+        CAST('10' || CAST(n % 89 AS VARCHAR) AS BIGINT) AS snt
+      FROM g
+    )
+    SELECT elb_status_code, http_method, ua_browser_family,
+           COUNT(*) AS n_requests,
+           CAST(SUM(rcv) AS BIGINT) AS total_received,
+           CAST(SUM(snt) AS BIGINT) AS total_sent
+    FROM r GROUP BY elb_status_code, http_method, ua_browser_family
+    """,
+)
 def q_elb_parse(spark, sf_dir):
     """Flagship reference pipeline on deterministic synthetic ALB lines:
     generate -> parse (full P1-P16 chain) -> status/browser rollup."""
