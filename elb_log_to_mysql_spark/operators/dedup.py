@@ -80,7 +80,12 @@ def dedup_documents_exact(documents: DataFrame) -> DataFrame:
 # shingles + MinHash
 # ---------------------------------------------------------------------------
 def _tokens(text: Column) -> Column:
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    # split then DROP empty tokens: F.trim strips only ASCII spaces,
+    # so a leading tab/newline would otherwise leave "" tokens that
+    # end up inside shingles (' g ' from '\tg\t')
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
+    )
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:

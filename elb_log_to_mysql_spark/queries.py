@@ -1185,7 +1185,8 @@ def q_dedup_docs_exact(spark, sf_dir):
     "ngram_jaccard",
     """
     WITH toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t FROM documents
     ), shingled AS (
       SELECT doc_id,
              list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
@@ -2232,7 +2233,8 @@ def q_pii_scrub(spark, sf_dir):
     r"""
     WITH toks AS (
       SELECT doc_id, lang, n_chars,
-             string_split_regex(lower(trim(text)), '\s+') AS t
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
       FROM documents
     ), grams AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
@@ -2336,7 +2338,8 @@ def q_sequence_pack(spark, sf_dir):
     "dedup_clusters",
     """
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t FROM documents
     ), shingled AS (
       SELECT doc_id,
              list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),

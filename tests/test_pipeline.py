@@ -173,3 +173,39 @@ def test_word_shingles_short_docs_yield_empty_not_crash(spark):
     }
     assert rows[1] == [] and rows[2] == []
     assert rows[3] == ["one two three", "two three four", "three four five"]
+
+
+def test_word_shingles_matches_python_oracle_random_texts(spark):
+    """Property check: shingling matches a transcribed pure-Python
+    oracle on randomized texts — short docs, repeated tokens, messy
+    whitespace. One Spark job for the whole corpus."""
+    import random
+    import re
+
+    rnd = random.Random(42)
+    vocab = ["alpha", "Beta", "g", "DD", "e5", "ff-f", "tok"]
+    texts = []
+    for _ in range(200):
+        k = rnd.randint(0, 8)
+        sep = rnd.choice([" ", "  ", "\t", " \t "])
+        pad = rnd.choice(["", " ", "\t"])
+        texts.append(pad + sep.join(rnd.choice(vocab) for _ in range(k)) + pad)
+
+    def oracle(text: str, n: int = 3) -> list[str]:
+        toks = re.split(r"\s+", text.strip().lower())
+        if len(toks) < n:
+            return []
+        out, seen = [], set()
+        for i in range(len(toks) - n + 1):
+            s = " ".join(toks[i : i + n])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["i", "text"])
+    got = {
+        r.i: r.sh for r in df.select("i", word_shingles("text", 3).alias("sh")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == oracle(t), (i, repr(t))
