@@ -102,3 +102,22 @@ def topk_per_group(lineitem: DataFrame, k: int = 3) -> DataFrame:
         )
         .filter(F.col("price_rank") <= k)
     )
+
+
+def window_distribution(orders: DataFrame) -> DataFrame:
+    """Distribution window functions: quartile bucket (ntile),
+    percent_rank and cume_dist per customer — the spend-percentile
+    profile. Unique (totalprice, orderkey) ordering makes every
+    function's output deterministic; one shuffle on the partition
+    key, same as any other window."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )

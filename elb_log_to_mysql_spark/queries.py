@@ -2386,3 +2386,21 @@ def q_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     return dedup_clusters(docs, pairs)
+
+
+@_q(
+    "window_distribution",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           NTILE(4) OVER w AS spend_quartile,
+           ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 9) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_distribution(spark, sf_dir):
+    """Distribution windows (ntile/percent_rank/cume_dist) with a
+    unique ordering tiebreaker (operators/windows.py)."""
+    return windows.window_distribution(_t(spark, sf_dir, "orders"))
