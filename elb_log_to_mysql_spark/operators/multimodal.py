@@ -185,3 +185,53 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
         ]
     )
     return media.select("doc_id", "payload").mapInPandas(feature_batches, schema)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_payload", T.BinaryType()),
+        T.StructField("resized_len", T.LongType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Resize-to-budget over mapInPandas: decode (stub), scale the
+    claimed dimensions to fit `max_side` preserving aspect ratio, and
+    emit a deterministic downsampled payload (real impl: PIL
+    `img.resize(...).tobytes()`; stub: proportional byte slice, so
+    output sizes track the area ratio exactly and every assertion is
+    reproducible). Plumbing — schema, Arrow batching, partition-bound
+    memory — is the real operator; only the codec call is fake."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(decode_image_stub)
+            w = decoded.map(lambda t: t[1])
+            h = decoded.map(lambda t: t[2])
+            scale = (max_side / pd.concat([w, h], axis=1).max(axis=1)).clip(upper=1.0)
+            new_w = (w * scale).astype("int32").clip(lower=1)
+            new_h = (h * scale).astype("int32").clip(lower=1)
+            area_ratio = (new_w * new_h) / (w * h)
+            payloads = pdf["payload"]
+            resized = [
+                p[: max(1, int(len(p) * r))] for p, r in zip(payloads, area_ratio)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": decoded.map(lambda t: t[0]),
+                    "width": new_w,
+                    "height": new_h,
+                    "resized_payload": resized,
+                    "resized_len": [len(p) for p in resized],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resize_batches, RESIZED_SCHEMA
+    )

@@ -2404,3 +2404,14 @@ def q_window_distribution(spark, sf_dir):
     """Distribution windows (ntile/percent_rank/cume_dist) with a
     unique ordering tiebreaker (operators/windows.py)."""
     return windows.window_distribution(_t(spark, sf_dir, "orders"))
+
+
+@_q("multimodal_resize")  # stubbed codec — rows-only
+def q_multimodal_resize(spark, sf_dir):
+    """Resize-to-budget plumbing over mapInPandas (codec stubbed —
+    operators/multimodal.py:resize_images)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.binary_metadata(docs)
+    return multimodal.resize_images(media).select(
+        "doc_id", "fmt", "width", "height", "resized_len"
+    )

@@ -209,3 +209,22 @@ def test_word_shingles_matches_python_oracle_random_texts(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == oracle(t), (i, repr(t))
+
+
+def test_multimodal_resize_respects_budget_and_aspect(spark, sf_dir):
+    from elb_log_to_mysql_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.binary_metadata(docs)
+    orig = {r.doc_id: (r.width, r.height) for r in multimodal.decode_media(media).collect()}
+    out = multimodal.resize_images(media, max_side=64).collect()
+    assert len(out) == len(orig)
+    for r in out:
+        w0, h0 = orig[r.doc_id]
+        assert 1 <= r.width <= 64 and 1 <= r.height <= 64
+        assert r.resized_len >= 1
+        scale = min(1.0, 64 / max(w0, h0))
+        assert (r.width, r.height) == (
+            max(1, int(w0 * scale)),
+            max(1, int(h0 * scale)),
+        )
