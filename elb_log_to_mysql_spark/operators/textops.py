@@ -156,7 +156,18 @@ def tfidf(documents: DataFrame, vocab_size_min_df: int = 2) -> DataFrame:
     terms = ensure_min_partitions(documents).select(
         "doc_id", F.explode(_ws_tokens(F.col("text"))).alias("term")
     )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf aggregates on (doc_id, term): balanced keys + map-side combine
+    # shrink the raw exploded stream BEFORE any term-skewed movement.
+    # The single repartition('term') then serves BOTH downstream
+    # consumers — the df aggregate and the tf⋈df join each see their
+    # clustering requirement already satisfied (term ⊆ partition keys),
+    # so neither adds an exchange: 2 shuffles total, and the skewed
+    # by-term layout only ever carries the compacted tf rows.
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .repartition("term")
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     df_ = df_.filter(F.col("df") >= vocab_size_min_df)
     return (
