@@ -213,3 +213,46 @@ def stream_stream_click_purchase_join(
         "click_event_id",
         "purchase_event_id",
     )
+
+
+def stream_ingest_alb_idempotent(
+    spark: SparkSession,
+    source_glob: str,
+    db_path: str,
+    checkpoint_dir: str,
+    table: str = "elb_log_data",
+) -> None:
+    """Continuous ALB ingest with an idempotent sink: readStream.text
+    over the log directory -> the full parse chain -> foreachBatch
+    delete-then-append keyed by `log_source_file`.
+
+    Two exactly-once layers, each sufficient alone:
+    - the checkpoint makes Structured Streaming skip already-committed
+      source files on restart;
+    - the sink's file-scoped replace makes even a checkpoint LOSS (full
+      replay) converge to the same table state instead of duplicating —
+      the failure mode the reference's append-only `to_sql` hits on any
+      rerun (etl_elb_log_to_mysql.py:155).
+
+    Bounded here with Trigger.AvailableNow; a production deployment
+    keeps the identical plan on a continuous trigger with the JDBC
+    twin of the sink (sinks/jdbc.py:write_idempotent).
+    """
+    from pyspark.sql import functions as F
+
+    from elb_log_to_mysql_spark.sinks.jdbc import write_sqlite_idempotent
+    from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
+
+    lines = spark.readStream.text(source_glob)
+    parsed = parse_alb_lines(lines, source_file=F.input_file_name())
+
+    def sink(batch_df, _batch_id: int) -> None:
+        write_sqlite_idempotent(batch_df, db_path, table)
+
+    q = (
+        parsed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
