@@ -145,7 +145,9 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
-def tfidf(documents: DataFrame, vocab_size_min_df: int = 2) -> DataFrame:
+def tfidf(
+    documents: DataFrame, vocab_size_min_df: int = 2, large_vocab: bool = False
+) -> DataFrame:
     """TF-IDF weights per (doc, term) via explode + two aggregates.
 
     Explicit relational formulation (not MLlib's HashingTF) so the
@@ -158,16 +160,16 @@ def tfidf(documents: DataFrame, vocab_size_min_df: int = 2) -> DataFrame:
     )
     # tf aggregates on (doc_id, term): balanced keys + map-side combine
     # shrink the raw exploded stream BEFORE any term-skewed movement.
-    # The single repartition('term') then serves BOTH downstream
-    # consumers — the df aggregate and the tf⋈df join each see their
-    # clustering requirement already satisfied (term ⊆ partition keys),
-    # so neither adds an exchange: 2 shuffles total, and the skewed
-    # by-term layout only ever carries the compacted tf rows.
-    tf = (
-        terms.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .repartition("term")
-    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if large_vocab:
+        # When the vocabulary exceeds the broadcast threshold, ONE
+        # repartition('term') serves BOTH downstream consumers — the
+        # df aggregate and the tf⋈df join each see their clustering
+        # requirement already satisfied (term ⊆ partition keys), so
+        # neither adds an exchange. With a broadcastable vocabulary
+        # (the default) AQE turns the join into a broadcast and the
+        # repartition would be pure overhead — skip it.
+        tf = tf.repartition("term")
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     df_ = df_.filter(F.col("df") >= vocab_size_min_df)
     return (
