@@ -206,6 +206,11 @@ def q_hash_agg(spark, sf_dir):
     return relational.hash_agg_q1(_t(spark, sf_dir, "lineitem"))
 
 
+# canonical-name alias: hash_agg IS the TPC-H Q1 pricing summary
+QUERIES["tpch_q1"] = QUERIES["hash_agg"]
+ORACLE_SQL["tpch_q1"] = ORACLE_SQL["hash_agg"]
+
+
 @_q(
     "distinct_agg",
     """
