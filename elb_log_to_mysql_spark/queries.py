@@ -1488,10 +1488,9 @@ def q_stream_tumbling(spark, sf_dir):
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
     def transform(stream):
-        converted = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-        return tumbling_counts(converted)
+        from elb_log_to_mysql_spark.streaming.windows import ensure_event_time
+
+        return tumbling_counts(ensure_event_time(stream))
 
     return run_stream_to_batch(
         spark, os.path.join(sf_dir, "events.parquet"), transform, raw_schema
@@ -1521,9 +1520,9 @@ def q_stream_sliding(spark, sf_dir):
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
     def transform(stream):
-        return sliding_counts(
-            stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
+        from elb_log_to_mysql_spark.streaming.windows import ensure_event_time
+
+        return sliding_counts(ensure_event_time(stream))
 
     return run_stream_to_batch(
         spark, os.path.join(sf_dir, "events.parquet"), transform, raw_schema
@@ -1588,11 +1587,10 @@ def q_stream_stateful(spark, sf_dir):
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
     def transform(stream):
+        from elb_log_to_mysql_spark.streaming.windows import event_time_micros
+
         prepared = stream.select(
-            "user_id",
-            "event_id",
-            F.expr("ts div 1000").alias("ts_us"),
-            "value",
+            "user_id", "event_id", event_time_micros(stream), "value"
         )
         return user_profile_stream(prepared)
 
@@ -1727,7 +1725,9 @@ def q_stream_stream_join(spark, sf_dir):
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
     def transform(stream):
-        ev = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        from elb_log_to_mysql_spark.streaming.windows import ensure_event_time
+
+        ev = ensure_event_time(stream)
         clicks = ev.filter(F.col("event_type") == "click")
         purchases = ev.filter(F.col("event_type") == "purchase")
         return stream_stream_click_purchase_join(clicks, purchases)
