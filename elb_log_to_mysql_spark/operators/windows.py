@@ -121,3 +121,22 @@ def window_distribution(orders: DataFrame) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type-2 derivation: turn an event
+    stream into versioned validity intervals per user — valid_from =
+    the event time, valid_to = the NEXT event's time (open for the
+    current row), is_current on the last version. One shuffle on the
+    entity key; lead() needs no frame and the unique (ts, event_id)
+    ordering pins ties."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -2420,3 +2420,20 @@ def q_multimodal_resize(spark, sf_dir):
     return multimodal.resize_images(media).select(
         "doc_id", "fmt", "width", "height", "resized_len"
     )
+
+
+@_q(
+    "scd2_history",
+    """
+    SELECT user_id, event_id, event_type AS state,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 validity intervals from the event stream
+    (operators/windows.py:scd2_history)."""
+    return windows.scd2_history(_t(spark, sf_dir, "events"))
