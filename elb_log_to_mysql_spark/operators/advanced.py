@@ -235,3 +235,35 @@ def collect_sorted(customer: DataFrame, nation: DataFrame) -> DataFrame:
             F.countDistinct("c_mktsegment").alias("n_segments"),
         )
     )
+
+
+def sketch_rollup(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Mergeable-sketch hierarchy rollup: distinct parts per REGION
+    computed by unioning per-NATION HyperLogLog sketches — the fact
+    table is scanned and aggregated ONCE at the fine grain; every
+    coarser level derives from sketch union (hll_union_agg), never a
+    rescan. This is how distinct-count hierarchies (daily→monthly,
+    nation→region) stay tractable at 100 TB: sketches are a few KB
+    each and merge associatively, where exact distinct would need a
+    full re-shuffle of raw keys per level. Estimates carry ~2% HLL
+    error by construction (rows-only check + accuracy-bounded test).
+    """
+    per_nation = (
+        lineitem.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    )
+    return (
+        per_nation.join(
+            F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy("r_name")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )

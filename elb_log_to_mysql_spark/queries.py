@@ -2437,3 +2437,14 @@ def q_scd2_history(spark, sf_dir):
     """SCD type-2 validity intervals from the event stream
     (operators/windows.py:scd2_history)."""
     return windows.scd2_history(_t(spark, sf_dir, "events"))
+
+
+@_q("sketch_rollup")  # HLL sketches — approximate by design, rows-only
+def q_sketch_rollup(spark, sf_dir):
+    """Distinct parts per region via per-nation HLL sketch union —
+    one fact scan for the whole hierarchy
+    (operators/advanced.py:sketch_rollup)."""
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation", "region"])
+    return advanced.sketch_rollup(
+        t["lineitem"], t["supplier"], t["nation"], t["region"]
+    )

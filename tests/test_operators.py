@@ -246,3 +246,33 @@ def test_salted_agg_equals_plain_agg_any_config(spark, sf_dir):
             ).collect()
         }
         assert salted == plain, (n_salts, parts)
+
+
+def test_sketch_rollup_accuracy_vs_exact(spark, sf_dir):
+    """The sketch-union estimate must land within HLL error bounds of
+    the exact per-region distinct count (and the union must actually
+    deduplicate across nations — summing per-nation distincts would
+    overcount shared parts by ~25x here)."""
+    from pyspark.sql import functions as F
+
+    from elb_log_to_mysql_spark.operators.advanced import sketch_rollup
+
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re_ = load_table(spark, sf_dir, "region")
+    got = {r.r_name: r.approx_parts for r in sketch_rollup(li, su, na, re_).collect()}
+    exact = {
+        r.r_name: r.exact
+        for r in li.join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(na, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(re_, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.countDistinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for region, est in got.items():
+        assert abs(est - exact[region]) <= max(0.05 * exact[region], 2), (
+            region, est, exact[region],
+        )
