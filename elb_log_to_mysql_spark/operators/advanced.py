@@ -267,3 +267,39 @@ def sketch_rollup(
         )
         .orderBy("r_name")
     )
+
+
+def incremental_agg(events: DataFrame, split: str = "2025-07-01") -> DataFrame:
+    """Re-aggregatable partial state: the incremental-rollup pattern.
+
+    A 100 TB pipeline never recomputes a rolling metric from raw
+    data — it maintains ALGEBRAIC state (count + exact-decimal sum
+    per group) and merges new partitions into it. Here the stream is
+    split into two disjoint date ranges, each aggregated to state
+    independently (as a daily batch job would), and the states are
+    merged by a second aggregation. Because the state stays DECIMAL
+    until the final cast, merge order cannot perturb the result: the
+    merged metric is bit-identical to a single-pass recompute — which
+    is exactly what the oracle computes.
+    """
+    from elb_log_to_mysql_spark.functions.numeric import DET_DECIMAL
+
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy(day, "event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DET_DECIMAL)).alias("total_state"),
+        )
+
+    s1 = state(events.filter(F.col("ts") < split))
+    s2 = state(events.filter(F.col("ts") >= split))
+    return (
+        s1.unionAll(s2)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("total_state").cast("double").alias("total_value"),
+            (F.sum("total_state").cast("double") / F.sum("n")).alias("avg_value"),
+        )
+    )

@@ -2448,3 +2448,21 @@ def q_sketch_rollup(spark, sf_dir):
     return advanced.sketch_rollup(
         t["lineitem"], t["supplier"], t["nation"], t["region"]
     )
+
+
+@_q(
+    "incremental_agg",
+    f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events,
+           {_dsum('value')} AS total_value,
+           {_davg('value')} AS avg_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+)
+def q_incremental_agg(spark, sf_dir):
+    """Two disjoint partial-state aggregations merged by re-aggregation
+    must be bit-identical to the oracle's single-pass recompute —
+    the algebraic-state contract (operators/advanced.py:incremental_agg)."""
+    return advanced.incremental_agg(_t(spark, sf_dir, "events"))
