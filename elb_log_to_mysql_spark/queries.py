@@ -2466,3 +2466,61 @@ def q_incremental_agg(spark, sf_dir):
     must be bit-identical to the oracle's single-pass recompute —
     the algebraic-state contract (operators/advanced.py:incremental_agg)."""
     return advanced.incremental_agg(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "dedup_survivors",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM shingled WHERE len(shingles) > 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT doc_id_a, doc_id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_id_a
+      JOIN sizes sb ON sb.doc_id = doc_id_b
+      WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ), sym AS (
+      SELECT doc_id_a AS u, doc_id_b AS v FROM edges
+      UNION ALL
+      SELECT doc_id_b, doc_id_a FROM edges
+    ), reach(id, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON r.id = s.u
+    ), cc AS (
+      SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+    WHERE COALESCE(cc.cluster_id, d.doc_id) = d.doc_id
+    """,
+)
+def q_dedup_survivors(spark, sf_dir):
+    """End-to-end near-dedup: pairs -> connected components -> keep
+    one survivor per cluster (the min doc_id). The whole dedup story
+    as a corpus->corpus transform."""
+    from elb_log_to_mysql_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup_clusters(docs, pairs)
+    return (
+        docs.join(clusters, "doc_id")
+        .filter(F.col("cluster_id") == F.col("doc_id"))
+        .select("doc_id", "lang", "n_chars")
+    )
