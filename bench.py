@@ -59,6 +59,11 @@ HEADLINE = [
     "decontaminate",
     "shuffle_index",
     "pii_scrub",
+    "sequence_pack",
+    "window_distribution",
+    "scd2_history",
+    "incremental_agg",
+    "sketch_rollup",
 ]
 
 
