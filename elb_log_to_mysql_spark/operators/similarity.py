@@ -198,23 +198,39 @@ def embedding_near_dup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "exact",
+    dim: int = 64,
+    n_planes: int = 2,
+    n_tables: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs (id_a < id_b with
+    """Embedding-cosine near-duplicate pairs (id_a < id_b with
     cosine >= threshold).
 
-    This is the EXACT twin: an all-pairs comparison with the smaller
-    side broadcast and the cosine evaluated as a pure column
-    expression. O(n²·dim) — correct at verification scale, and the
-    ground truth the approximate paths are measured against. At
-    100 TB, candidate generation goes through `similarity_topk_lsh`'s
-    hyperplane buckets (or MinHash over quantized components) and this
-    function reranks only the candidates.
+    Two routes, chosen by `method` (callers route on corpus size from
+    table stats — a runtime count here would put a driver action in
+    the query path):
+
+    - ``exact``: all-pairs with the smaller side broadcast — O(n²·dim).
+      The verification-scale ground truth the approximate path is
+      measured against.
+    - ``lsh``: the 100 TB path. Hyperplane-LSH buckets generate
+      candidates (same sign-pattern tables as `similarity_topk_lsh`),
+      so the join is equi on (table, bucket) and only same-bucket
+      pairs are scored; exact cosine reranks candidates. Recall for a
+      pair at angle θ is 1-(1-p^planes)^tables with p = 1-θ/π — the
+      short-pattern/many-table default (2×16) gives ≥0.98 at
+      cos ≥ 0.45, higher for tighter thresholds.
 
     Output carries pair ids but not the float score: engines disagree
     at ~1e-7 (float32 vs double accumulation), so the checkable
     contract is membership under a threshold with margin, not score
     bits.
     """
+    if method == "lsh":
+        return embedding_near_dup_lsh(
+            embeddings, threshold, id_col, vec_col, dim, n_planes, n_tables, seed
+        )
     a = ensure_min_partitions(embeddings).select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
@@ -228,6 +244,93 @@ def embedding_near_dup(
     )
 
 
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 2,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-candidate near-dup pairs: bucketed equi-join, exact rerank.
+
+    Each vector lands in n_tables sign-pattern buckets (one Arrow
+    matmul per batch); candidate pairs are same-(table, bucket) only,
+    so cost is O(n·E[bucket]·tables) instead of O(n²). Cosine is
+    evaluated in the join stage and the vectors dropped immediately —
+    the pair-dedup shuffle moves only (id_a, id_b) that already passed
+    the threshold.
+    """
+    planes = _hyperplanes(n_tables, n_planes, dim, seed)
+    bucketed = ensure_min_partitions(embeddings).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(lsh_bucket_ids(F.col(vec_col), planes)).alias(
+            "table_idx", "bucket"
+        ),
+    )
+    left = bucketed.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
+        "table_idx", "bucket",
+    )
+    right = bucketed.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
+        "table_idx", "bucket",
+    )
+    return (
+        left.join(right, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pairwise_cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 100_000,
+    sample_fraction: float | None = None,
+):
+    """Offline IVF quantizer training — run ONCE, persist the result.
+
+    Returns the (n_centroids, dim) float64 centroid matrix. This is
+    deliberately NOT part of the search path: training is an iterative
+    MLlib job and belongs with index builds, not queries. At scale,
+    pass `sample_fraction` sized from table statistics (known offline
+    — no runtime `count()` here); the `limit` bounds the Lloyd
+    iterations' input either way, and the tiny capped set is cached so
+    the 10 iterations don't rescan the source.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    import numpy as np
+
+    sampled = (
+        embeddings.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction is not None
+        else embeddings
+    )
+    train = (
+        sampled.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        .limit(max_train_rows)
+        .coalesce(8)
+        .cache()
+    )
+    try:
+        model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
+    finally:
+        train.unpersist()
+    return np.array([list(c) for c in model.clusterCenters()])
+
+
 def similarity_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -237,11 +340,16 @@ def similarity_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) search.
 
-    1. Train a k-means coarse quantizer on the corpus (seeded MLlib
-       KMeans; the model is |centroids|·dim floats — tiny).
+    1. Coarse quantizer = precomputed `centroids` (train once offline
+       via `train_ivf_centroids`, persist, reuse across queries — the
+       model is |centroids|·dim floats, tiny). If omitted, training is
+       run inline as a convenience for ad-hoc/local use; production
+       query paths should always pass centroids so the search is pure
+       plan construction with no driver-side action or ML job.
     2. Assign every corpus vector to its nearest centroid — one pass,
        centroids baked into the plan as literals, pure expressions.
     3. Per query, probe the `nprobe` nearest cells only; candidates
@@ -253,34 +361,13 @@ def similarity_topk_ivf(
     Recall loss is bounded by neighbors living in unprobed cells —
     raise nprobe to trade cost for recall.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # Quantizer training is an iterative MLlib job: bound its input (a
-    # seeded sample is standard IVF practice — centroids need density,
-    # not every row) and cache it so the 10 Lloyd iterations don't
-    # rescan the source.
-    max_train_rows = 100_000
-    n = embeddings.count()
-    sampled = (
-        embeddings.sample(fraction=max_train_rows / n, seed=seed)
-        if n > max_train_rows
-        else embeddings
-    )
-    train = (
-        sampled.select(
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-        )
-        .coalesce(8)
-        .cache()
-    )
-    try:
-        model = KMeans(k=n_centroids, seed=seed, maxIter=10).fit(train)
-    finally:
-        train.unpersist()
     import numpy as np
 
-    centers = np.array([list(c) for c in model.clusterCenters()])
+    centers = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_centroids(embeddings, n_centroids, vec_col, seed)
+    )
 
     # One Arrow-batched matmul yields all centroid distances per batch
     # (functions/vectorops.py) — the HOF-expression equivalent is

@@ -103,6 +103,55 @@ def test_embedding_near_dup_matches_bruteforce_scores(spark, sf_dir):
         assert cos >= 0.40 - 1e-9, (r.id_a, r.id_b, cos)
 
 
+def test_embedding_near_dup_lsh_recall_vs_exact(spark, sf_dir):
+    """The LSH candidate path must recover (nearly) all exact pairs:
+    2 planes x 16 tables gives a >=0.98 per-pair collision floor at
+    cos 0.45, and empirically total recall on the test corpora. Also
+    check precision = 1 (rerank is exact, so no false pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup(emb, threshold=0.45).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup(
+            emb, threshold=0.45, method="lsh"
+        ).collect()
+    }
+    assert exact, "threshold 0.45 should produce pairs on test corpora"
+    assert approx <= exact, f"false pairs: {approx - exact}"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"LSH near-dup recall too low: {recall}"
+
+
+def test_embedding_near_dup_lsh_plan_is_bucketed_equijoin(spark, sf_dir):
+    """The scale path must candidate-generate via an equi-join on
+    (table_idx, bucket) — never a theta all-pairs join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = similarity.embedding_near_dup(
+        emb, threshold=0.45, method="lsh"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "bucket" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_query_path_has_no_inline_training(spark, sf_dir):
+    """With precomputed centroids the IVF search must be pure plan
+    construction — building the DataFrame triggers no Spark job."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.train_ivf_centroids(emb)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = similarity.similarity_topk_ivf(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, centroids=centroids
+    )
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "plan construction ran Spark jobs"
+    assert df.count() > 0
+
+
 def test_broadcast_join_uses_broadcast(spark, sf_dir):
     plan = relational.broadcast_dim_join(
         load_table(spark, sf_dir, "customer"),
