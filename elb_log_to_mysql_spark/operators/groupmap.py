@@ -44,10 +44,37 @@ def _profile_one(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def user_profile_groupmap(events: DataFrame) -> DataFrame:
     """Per-user profile with an exact (holistic) median — one Arrow
-    round-trip per group, single shuffle on user_id."""
+    round-trip per group, single shuffle on user_id.
+
+    This is the applyInPandas DEMONSTRATOR. The production twin is
+    `user_profile_builtin` (identical output): Spark's own exact
+    `percentile` is also holistic but stays JVM-side
+    (ObjectHashAggregate), with no Arrow transfer and no whole-group
+    pandas materialization per task — reserve applyInPandas for logic
+    built-ins genuinely can't express (model fits, custom resampling).
+    """
     return events.select("user_id", "event_type", "value").groupBy(
         "user_id"
     ).applyInPandas(_profile_one, PROFILE_SCHEMA)
+
+
+def user_profile_builtin(events: DataFrame) -> DataFrame:
+    """The same per-user profile as pure built-in aggregates: count,
+    distinct count, and exact median via `percentile(cents, 0.5)` over
+    integer cents (midpoint of two ints is an exact double, so the
+    result is bit-equal to the pandas twin and any engine's median)."""
+    from pyspark.sql import functions as F
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select("user_id", "event_type", cents.alias("cents"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.percentile("cents", F.lit(0.5)).cast("double").alias("median_cents"),
+        )
+    )
 
 
 def gini_udaf():

@@ -200,14 +200,26 @@ def distinct_agg(lineitem: DataFrame) -> DataFrame:
 
 
 def approx_distinct(lineitem: DataFrame, rsd: float = 0.01) -> DataFrame:
-    """HyperLogLog++ distinct estimate — the 100 TB path.
+    """HyperLogLog++ distinct estimate with a CHECKABLE contract.
 
     Exact distinct of a high-cardinality key shuffles every distinct
-    value; HLL sketches merge in fixed space (map-side combine).
+    value; HLL sketches merge in fixed space (map-side combine) — at
+    100 TB only the approx columns run. Raw estimates are
+    estimator-specific (no engine-neutral oracle), so this query emits
+    the engine-neutral CONTRACT instead: the exact counts plus
+    in-bound flags asserting |approx − exact| ≤ 5·rsd·exact. The
+    exact twin here is the verification harness, not the scale path.
     """
+    est_p = F.approx_count_distinct("l_partkey", rsd)
+    est_o = F.approx_count_distinct("l_orderkey", rsd)
+    ex_p = F.countDistinct("l_partkey")
+    ex_o = F.countDistinct("l_orderkey")
+    bound = F.lit(5 * rsd)
     return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
+        ex_p.alias("n_parts"),
+        ex_o.alias("n_orders"),
+        (F.abs(est_p - ex_p) <= bound * ex_p).alias("parts_in_bound"),
+        (F.abs(est_o - ex_o) <= bound * ex_o).alias("orders_in_bound"),
     )
 
 

@@ -225,8 +225,22 @@ def q_distinct_agg(spark, sf_dir):
     return relational.distinct_agg(_t(spark, sf_dir, "lineitem"))
 
 
-@_q("approx_distinct")  # HLL sketch — estimator-specific, rows-only check
+@_q(
+    "approx_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           TRUE AS parts_in_bound,
+           TRUE AS orders_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_approx_distinct(spark, sf_dir):
+    """HLL estimate under an error-bound contract: the oracle checks
+    the exact counts and that every in-bound flag is TRUE (|approx −
+    exact| ≤ 5·rsd·exact) — the sketch is verified without requiring
+    estimator-identical bits across engines."""
     return relational.approx_distinct(_t(spark, sf_dir, "lineitem"))
 
 
@@ -363,9 +377,29 @@ def q_window_range(spark, sf_dir):
     """,
 )
 def q_group_map_profile(spark, sf_dir):
-    """applyInPandas grouped-map: holistic per-group computation (exact
-    integer-cents median) — bit-checkable because the midpoint of two
-    ints is an exact double."""
+    """Holistic per-group profile (exact integer-cents median) via
+    built-in `percentile` — JVM-side ObjectHashAggregate, no Python in
+    the hot path. The applyInPandas twin (same output, bit-equal) is
+    registered as group_map_profile_pandas."""
+    from elb_log_to_mysql_spark.operators.groupmap import user_profile_builtin
+
+    return user_profile_builtin(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "group_map_profile_pandas",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           CAST(median(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+             AS median_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_group_map_profile_pandas(spark, sf_dir):
+    """applyInPandas grouped-map demonstrator: arbitrary per-group
+    Python over one Arrow frame per group — kept off the bench
+    headline path (the built-in percentile twin is there instead)."""
     from elb_log_to_mysql_spark.operators.groupmap import user_profile_groupmap
 
     return user_profile_groupmap(_t(spark, sf_dir, "events"))
@@ -982,8 +1016,20 @@ def q_percentile_agg(spark, sf_dir):
     return advanced.percentile_agg(_t(spark, sf_dir, "lineitem"))
 
 
-@_q("percentile_approx")  # t-digest sketch — rows-only
+@_q(
+    "percentile_approx",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_exact,
+           TRUE AS p50_in_bound
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_percentile_approx(spark, sf_dir):
+    """GK-sketch median under an error-bound contract: the oracle
+    checks the exact median and that the approx value fell inside the
+    exact [p48, p52] envelope — sketch verified, no estimator bits
+    compared."""
     return advanced.percentile_approx_agg(_t(spark, sf_dir, "lineitem"))
 
 
