@@ -37,16 +37,51 @@ def _is_blank(c: Column) -> Column:
 def ua_browser_family_expr(ua: Column | str) -> Column:
     """Browser family via an ordered regex ladder (most-specific first).
 
-    Order matters: Edge/Opera UAs contain "Chrome", Chrome UAs contain
-    "Safari", so specific tokens are matched before generic ones —
-    mirroring how the uap-core regex database resolves families.
+    Order matters three ways, mirroring how the uap-core regex
+    database resolves families:
+
+    - bots/HTTP clients first — a Googlebot UA *contains* "Chrome/"
+      (Google crawls with a Chromium build), so crawler tokens must win
+      before browser tokens;
+    - rebadged-Chromium browsers (Edge, Opera, Yandex, UC, Vivaldi,
+      Samsung) before "Chrome/";
+    - "Chrome" before "Safari" (every Chrome UA carries "Safari").
+
+    Family-name contract: the named families below use uap-core's
+    spelling (so rows match a reference run for those agents); the
+    long tail of rare agents collapses to "Other", which uap-core
+    would sometimes name — intentionally coarser, documented here and
+    tested in tests/test_alb_parse.py.
     """
     c = F.col(ua) if isinstance(ua, str) else ua
     return (
         F.when(_is_blank(c), F.lit("Unknown"))
+        # --- crawlers / fetchers (before browsers: bot UAs embed Chrome) ---
+        .when(c.rlike(r"Googlebot"), F.lit("Googlebot"))
+        .when(c.rlike(r"bingbot"), F.lit("bingbot"))
+        .when(c.rlike(r"Baiduspider"), F.lit("Baiduspider"))
+        .when(c.rlike(r"YandexBot"), F.lit("YandexBot"))
+        .when(c.rlike(r"Slurp"), F.lit("Yahoo! Slurp"))
+        .when(c.rlike(r"DuckDuckBot"), F.lit("DuckDuckBot"))
+        .when(c.rlike(r"AhrefsBot"), F.lit("AhrefsBot"))
+        .when(c.rlike(r"SemrushBot"), F.lit("SemrushBot"))
+        # --- programmatic HTTP clients ---
+        .when(c.rlike(r"Apache-HttpClient"), F.lit("Apache-HttpClient"))
+        .when(c.rlike(r"^curl/"), F.lit("curl"))
+        .when(c.rlike(r"^Wget/"), F.lit("Wget"))
+        .when(c.rlike(r"python-requests"), F.lit("Python Requests"))
+        .when(c.rlike(r"Python-urllib"), F.lit("Python-urllib"))
+        .when(c.rlike(r"Go-http-client"), F.lit("Go-http-client"))
+        .when(c.rlike(r"^okhttp"), F.lit("okhttp"))
+        .when(c.rlike(r"^Java/"), F.lit("Java"))
+        # --- rebadged-Chromium browsers before Chrome ---
         .when(c.rlike(r"Edg(e|A|iOS)?/"), F.lit("Edge"))
         .when(c.rlike(r"OPR/|Opera"), F.lit("Opera"))
+        .when(c.rlike(r"YaBrowser/"), F.lit("Yandex Browser"))
+        .when(c.rlike(r"UCBrowser/|UCWEB"), F.lit("UC Browser"))
+        .when(c.rlike(r"Vivaldi/"), F.lit("Vivaldi"))
         .when(c.rlike(r"SamsungBrowser/"), F.lit("Samsung Internet"))
+        .when(c.rlike(r"HeadlessChrome/"), F.lit("HeadlessChrome"))
         .when(c.rlike(r"(CriOS)/"), F.lit("Chrome Mobile iOS"))
         .when(c.rlike(r"Chrome/.*Mobile"), F.lit("Chrome Mobile"))
         .when(c.rlike(r"Chrome/|Chromium/"), F.lit("Chrome"))
@@ -55,7 +90,6 @@ def ua_browser_family_expr(ua: Column | str) -> Column:
         .when(c.rlike(r"Version/.*Mobile.*Safari"), F.lit("Mobile Safari"))
         .when(c.rlike(r"Version/.*Safari"), F.lit("Safari"))
         .when(c.rlike(r"MSIE |Trident/"), F.lit("IE"))
-        .when(c.rlike(r"(?i)(bot|crawler|spider|slurp|curl|wget|python-requests)"), F.lit("Other"))
         .otherwise(F.lit("Other"))
     )
 
@@ -70,6 +104,8 @@ def ua_os_family_expr(ua: Column | str) -> Column:
         .when(c.rlike(r"Android"), F.lit("Android"))
         .when(c.rlike(r"Mac OS X|Macintosh"), F.lit("Mac OS X"))
         .when(c.rlike(r"CrOS"), F.lit("Chrome OS"))
+        .when(c.rlike(r"Ubuntu"), F.lit("Ubuntu"))
+        .when(c.rlike(r"FreeBSD"), F.lit("FreeBSD"))
         .when(c.rlike(r"Linux|X11"), F.lit("Linux"))
         .otherwise(F.lit("Other"))
     )

@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from elb_log_to_mysql_spark.functions.vectorops import minhash_signatures
-from elb_log_to_mysql_spark.session import ensure_min_partitions
+from elb_log_to_mysql_spark.session import ensure_min_partitions, unpersist_on_gc
 
 
 # ---------------------------------------------------------------------------
@@ -182,13 +182,13 @@ def near_dedup_minhash(
     # 2·bands times per doc would swamp the exchange. They re-attach
     # later, for the (few) surviving candidate pairs. Persist: the
     # signature computation feeds the bucket census and both join legs.
-    banded = banded.persist()
+    banded_cached = banded.persist()
 
     # cap degenerate buckets (spam clusters) — explicit skew bound
-    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+    bucket_sizes = banded_cached.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("bsz")
     )
-    banded = banded.join(
+    banded = banded_cached.join(
         F.broadcast(bucket_sizes.filter(F.col("bsz") > max_bucket)),
         ["band_idx", "band_hash"],
         "left_anti",
@@ -212,7 +212,7 @@ def near_dedup_minhash(
 
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         cand.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select(
@@ -221,6 +221,9 @@ def near_dedup_minhash(
             F.round("jaccard", 6).alias("jaccard"),
         )
     )
+    # Caches live as long as the returned plan is referenced; released
+    # automatically when the caller drops it (session.py:unpersist_on_gc).
+    return unpersist_on_gc(out, sh, banded_cached)
 
 
 def ngram_jaccard_pairs(
@@ -273,7 +276,7 @@ def ngram_jaccard_pairs(
         .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return (
+    out = (
         inter.withColumn(
             "jaccard",
             F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
@@ -281,6 +284,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+    return unpersist_on_gc(out, sh)
 
 def simhash_fingerprints(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -349,7 +353,7 @@ def simhash_near_pairs(
     b = blocks.select(
         "block_idx", "block_val", F.col("doc_id").alias("doc_id_b"), F.col("fp").alias("fp_b")
     )
-    return (
+    out = (
         a.join(b, ["block_idx", "block_val"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
         .dropDuplicates(["doc_id_a", "doc_id_b"])
@@ -357,3 +361,4 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+    return unpersist_on_gc(out, fp)

@@ -30,7 +30,11 @@ from elb_log_to_mysql_spark.operators import multimodal, sessionize, similarity,
 from elb_log_to_mysql_spark.operators import textops, tpch, windows
 from elb_log_to_mysql_spark.session import tune_session
 from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
-from elb_log_to_mysql_spark.sources.tables import load_table, load_tables
+from elb_log_to_mysql_spark.sources.tables import (
+    load_table,
+    load_tables,
+    raw_parquet_schema,
+)
 from elb_log_to_mysql_spark.streaming.windows import run_stream_to_batch, tumbling_counts
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1234,7 +1238,7 @@ def q_dedup_docs_exact(spark, sf_dir):
 
 @_q(
     "ngram_jaccard",
-    """
+    r"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
                                  x -> x <> '') AS t FROM documents
@@ -1561,8 +1565,7 @@ def q_sessionize(spark, sf_dir):
 def q_stream_tumbling(spark, sf_dir):
     # Execute genuinely under Structured Streaming (AvailableNow) —
     # identical plan to a continuous deployment; see streaming/windows.py.
-    ev = _t(spark, sf_dir, "events")  # sets nanosAsLong conf + schema
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = raw_parquet_schema(spark, os.path.join(sf_dir, "events.parquet"))
 
     def transform(stream):
         from elb_log_to_mysql_spark.streaming.windows import ensure_event_time
@@ -1593,8 +1596,7 @@ def q_stream_tumbling(spark, sf_dir):
 def q_stream_sliding(spark, sf_dir):
     from elb_log_to_mysql_spark.streaming.windows import sliding_counts
 
-    _t(spark, sf_dir, "events")  # sets nanosAsLong conf
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = raw_parquet_schema(spark, os.path.join(sf_dir, "events.parquet"))
 
     def transform(stream):
         from elb_log_to_mysql_spark.streaming.windows import ensure_event_time
@@ -1660,8 +1662,7 @@ def q_stream_stateful(spark, sf_dir):
     oracle (integer cents/µs state makes it order-independent)."""
     from elb_log_to_mysql_spark.streaming.stateful import user_profile_stream
 
-    _t(spark, sf_dir, "events")  # sets nanosAsLong conf
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = raw_parquet_schema(spark, os.path.join(sf_dir, "events.parquet"))
 
     def transform(stream):
         from elb_log_to_mysql_spark.streaming.windows import event_time_micros
@@ -1798,8 +1799,7 @@ def q_stream_stream_join(spark, sf_dir):
         stream_stream_click_purchase_join,
     )
 
-    _t(spark, sf_dir, "events")  # sets nanosAsLong conf
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw_schema = raw_parquet_schema(spark, os.path.join(sf_dir, "events.parquet"))
 
     def transform(stream):
         from elb_log_to_mysql_spark.streaming.windows import ensure_event_time
@@ -1831,7 +1831,7 @@ def q_stream_dedup(spark, sf_dir):
     the batch DISTINCT (state keyed on fingerprint)."""
     from elb_log_to_mysql_spark.streaming.windows import stream_exact_dedup
 
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    raw_schema = raw_parquet_schema(spark, os.path.join(sf_dir, "documents.parquet"))
     return run_stream_to_batch(
         spark,
         os.path.join(sf_dir, "documents.parquet"),
@@ -2418,7 +2418,7 @@ def q_sequence_pack(spark, sf_dir):
 
 @_q(
     "dedup_clusters",
-    """
+    r"""
     WITH RECURSIVE toks AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
                                  x -> x <> '') AS t FROM documents

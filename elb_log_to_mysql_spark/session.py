@@ -58,6 +58,9 @@ def build_session(
     return builder.getOrCreate()
 
 
+_SCAN_PARTITIONS_CACHE: dict[tuple, int] = {}
+
+
 def ensure_min_partitions(df, target: int | None = None):
     """Spread a narrow input across the cluster for compute-dense
     derivations (hashing, shingling, vector math).
@@ -67,12 +70,56 @@ def ensure_min_partitions(df, target: int | None = None):
     cluster is. Repartition ONLY when the scan is narrower than the
     target: at real scale the source already has thousands of splits
     and this is a no-op — it never adds a shuffle to a big read.
+
+    The partition-count probe (`df.rdd`) forces plan analysis + RDD
+    conversion, so its result is memoized by the scan's file set
+    (`inputFiles()` — analysis only, no RDD): repeated calls over the
+    same table pay the probe once per session. Sound because every
+    caller passes a narrow plan (scan + project/filter), whose
+    partitioning is exactly the file scan's.
     """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        key = tuple(sorted(df.inputFiles())) or None
+    except Exception:
+        key = None
+    n = _SCAN_PARTITIONS_CACHE.get(key) if key is not None else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key is not None:
+            _SCAN_PARTITIONS_CACHE[key] = n
+    if n < target:
         return df.repartition(target)
     return df
+
+
+def unpersist_on_gc(result, *cached):
+    """Release `cached` DataFrames' storage when `result` is
+    garbage-collected.
+
+    Operators that persist an intermediate (reused across several legs
+    of one returned plan) cannot unpersist before the caller
+    materializes the lazy result — and Spark's CacheManager holds
+    cached plans forever, so a long-lived session would accumulate
+    blocks until LRU pressure. Tying the unpersist to the result's GC
+    gives the common call-materialize-discard pattern a bounded cache
+    lifetime; callers that hold the result keep the caches (and the
+    speedup) until they drop it.
+    """
+    import weakref
+
+    jdfs = [c._jdf for c in cached]
+
+    def _release():
+        for j in jdfs:
+            try:
+                j.unpersist(False)
+            except Exception:
+                pass  # session/JVM already gone — nothing to release
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

@@ -92,8 +92,17 @@ def parse_alb_lines(
         src.alias("log_source_file"),
     ).select("t.*", "log_source_file")
 
+    # P2 arity guard: >=15 tokens <=> ssl_cipher (pos 14) present
+    # (etl:67) — plus a shifted-field sanity check: from_csv keeps
+    # empty tokens where shlex collapses runs of spaces, so a corrupted
+    # line could land garbage in elb_status instead of being dropped;
+    # requiring the status token to look like a status/sentinel routes
+    # such lines into the drop path (SURVEY §1.2 tokenization caveat).
+    arity_ok = F.col("ssl_cipher").isNotNull() & F.col("elb_status").rlike(
+        "^[0-9-]+$"
+    )
+
     if observation is not None:
-        arity_ok = F.col("ssl_cipher").isNotNull()
         ts_ok = _parse_timestamp(F.col("raw_timestamp")).isNotNull()
         t = t.observe(
             observation,
@@ -103,16 +112,19 @@ def parse_alb_lines(
             F.sum((arity_ok & ts_ok).cast("long")).alias("n_emitted"),
         )
 
-    # P2 arity guard: >=15 tokens <=> ssl_cipher (pos 14) present (etl:67).
-    t = t.filter(F.col("ssl_cipher").isNotNull())
+    t = t.filter(arity_ok)
 
     ts = _parse_timestamp(F.col("raw_timestamp"))
 
-    # P10: request = "METHOD URL HTTP/x"; malformed -> ("Unknown","")
+    # P10: request = "METHOD URL HTTP/x". Reference parity (etl:101-106):
+    # the method is req_split[0] whenever the split yields any token —
+    # a lone "GETONLY" keeps its method with url="" — and "Unknown" is
+    # reserved for the exception path (null request field).
     req_parts = F.split(F.col("request"), " ", 3)
-    has_url = F.size(req_parts) >= 2
-    method = F.when(has_url, req_parts.getItem(0)).otherwise(F.lit("Unknown"))
-    url = F.when(has_url, req_parts.getItem(1)).otherwise(F.lit(""))
+    method = F.when(
+        F.size(req_parts) >= 1, req_parts.getItem(0)
+    ).otherwise(F.lit("Unknown"))
+    url = F.when(F.size(req_parts) >= 2, req_parts.getItem(1)).otherwise(F.lit(""))
     # P11: urlparse(url).path — parse_url handles absolute URLs; a
     # relative URL ("/test") is already a bare path.
     path = F.when(

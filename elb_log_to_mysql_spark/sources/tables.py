@@ -3,12 +3,41 @@
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
 from elb_log_to_mysql_spark.schema import TEST_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+@contextmanager
+def nanos_as_long(spark: SparkSession):
+    """Scope the TIMESTAMP(NANOS)-as-bigint legacy conf to a block.
+
+    The conf is session-global; leaking it would silently change how
+    every later parquet read materializes NANOS columns, so every user
+    in this package sets it through here and the caller's value is
+    restored on exit."""
+    prev = spark.conf.get(_NANOS_CONF, None)
+    spark.conf.set(_NANOS_CONF, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_NANOS_CONF)
+        else:
+            spark.conf.set(_NANOS_CONF, prev)
+
+
+def raw_parquet_schema(spark: SparkSession, path: str):
+    """Footer schema of a parquet source that may carry TIMESTAMP(NANOS)
+    columns (read under the scoped conf; ts arrives as bigint)."""
+    with nanos_as_long(spark):
+        return spark.read.parquet(path).schema
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -29,8 +58,11 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # The conf is consulted at read()/schema-inference time only
+    # (verified: execution succeeds after restore), so it is scoped to
+    # the read and the caller's value restored.
+    with nanos_as_long(spark):
+        df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return df

@@ -130,6 +130,8 @@ def run_stream_to_batch(
     correctness checks; a production deployment keeps the identical
     plan with a continuous trigger and a real sink.
     """
+    from elb_log_to_mysql_spark.sources.tables import nanos_as_long
+
     name = f"stream_result_{uuid.uuid4().hex[:8]}"
     # FileStreamSource requires a *directory*; when handed a single
     # parquet file (the test layout), stage a symlink dir for it.
@@ -137,16 +139,20 @@ def run_stream_to_batch(
         staged = tempfile.mkdtemp(prefix="stream_src_")
         os.symlink(source_dir, os.path.join(staged, os.path.basename(source_dir)))
         source_dir = staged
-    stream = spark.readStream.schema(schema).parquet(source_dir)
-    q = (
-        transform(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The micro-batch file scans consult the nanos conf at execution;
+    # this bounded run finishes inside the scope, and the caller's conf
+    # is restored after (harmless for non-NANOS sources).
+    with nanos_as_long(spark):
+        stream = spark.readStream.schema(schema).parquet(source_dir)
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

@@ -77,13 +77,76 @@ def test_sentinel_coercions(spark):
 
 
 def test_malformed_request_field(spark):
+    """Reference parity (etl:101-106): a single-token request keeps
+    that token as the method (req_split[0]); only the exception path
+    yields 'Unknown'. Verified against the reference empirically
+    (ADVICE round 1)."""
     line = (
         "http 2025-06-05T12:00:00Z app/x/y 9.8.7.6:1111 1.1.1.1:80 0.1 0.1 0.1 "
         '200 200 10 20 "justoneword" "UA here" c p a'
     )
     r = parse(spark, [line])[0]
-    assert r.http_method == "Unknown"
+    assert r.http_method == "justoneword"
     assert r.requested_path == ""
+
+
+def test_shifted_fields_dropped_not_garbled(spark):
+    """csv tokenization keeps empty tokens where shlex collapses runs
+    of spaces; the elb_status sanity filter routes such shifted lines
+    into the drop path instead of emitting garbled records (documented
+    divergence: the reference would keep the line with status 0)."""
+    # double space after the target field shifts every later token
+    shifted = (
+        "h2 2025-06-05T12:00:00Z app/x/y 9.8.7.6:1111 1.1.1.1:80  0.1 0.1 0.1 "
+        '200 200 10 20 "GET /x HTTP/1.1" "UA" c p a'
+    )
+    assert parse(spark, [shifted]) == []
+
+
+def test_ua_ladder_families(spark):
+    """Divergence corpus for the regex ladder: long-tail families use
+    uap-core's spelling (ADVICE round 1 — Googlebot, Apache-HttpClient,
+    Yandex/UC collapse was the flagged gap); truly rare agents still
+    collapse to 'Other' by contract."""
+    from elb_log_to_mysql_spark.functions.ua import (
+        ua_browser_family_expr,
+        ua_os_family_expr,
+    )
+
+    cases = [
+        # (ua string, expected browser family, expected os family)
+        ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+         "Googlebot", "Other"),
+        # Google crawls with a Chromium build — bot must win over Chrome
+        ("Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; "
+         "Googlebot/2.1; +http://www.google.com/bot.html) Chrome/119.0.6045.0 Safari/537.36",
+         "Googlebot", "Other"),
+        ("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)",
+         "bingbot", "Other"),
+        ("Apache-HttpClient/4.5.13 (Java/1.8.0_292)", "Apache-HttpClient", "Other"),
+        ("curl/8.5.0", "curl", "Other"),
+        ("python-requests/2.31.0", "Python Requests", "Other"),
+        ("Go-http-client/2.0", "Go-http-client", "Other"),
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/120.0.0.0 YaBrowser/24.1.0.0 Safari/537.36",
+         "Yandex Browser", "Windows"),
+        ("Mozilla/5.0 (Linux; U; Android 10) AppleWebKit/537.36 (KHTML, like Gecko) "
+         "Version/4.0 Chrome/78.0.3904.108 UCBrowser/13.4.0.1306 Mobile Safari/537.36",
+         "UC Browser", "Android"),
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.0.0",
+         "Edge", "Windows"),
+        ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) "
+         "HeadlessChrome/119.0.6045.0 Safari/537.36", "HeadlessChrome", "Linux"),
+        ("SomeNeverSeenAgent/1.0", "Other", "Other"),
+    ]
+    df = spark.createDataFrame([(ua,) for ua, _, _ in cases], "ua string")
+    rows = df.select(
+        ua_browser_family_expr("ua").alias("b"), ua_os_family_expr("ua").alias("o")
+    ).collect()
+    for (ua, want_b, want_o), r in zip(cases, rows):
+        assert r.b == want_b, f"{ua!r}: browser {r.b!r} != {want_b!r}"
+        assert r.o == want_o, f"{ua!r}: os {r.o!r} != {want_o!r}"
 
 
 # -- property-based: Spark pipeline vs pure-Python reference oracle ---------
@@ -149,7 +212,13 @@ def test_parse_matches_python_oracle(spark, ts, f1, f2, elb_code, rb, req):
         f'{elb_code} 200 {rb} 555 {req} "Mozilla/5.0 test" CIPHER TLSv1.3 arn'
     )
     rows = parse(spark, [line])
-    if not _py_oracle_keep(ts):
+    # Engine spec: unparseable timestamps drop (reference parity) AND
+    # non-status-shaped elb_status tokens drop (sanity filter — the
+    # reference would coerce 'x' to 0; we route it to the drop path
+    # so shifted/corrupt lines never emit garbled records).
+    import re
+
+    if not _py_oracle_keep(ts) or not re.fullmatch(r"[0-9-]+", elb_code):
         assert rows == []
         return
     assert len(rows) == 1

@@ -203,7 +203,9 @@ def test_streaming_matches_batch_windows(spark, sf_dir):
             "n_events",
         )
     )
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    from elb_log_to_mysql_spark.sources.tables import raw_parquet_schema
+
+    raw_schema = raw_parquet_schema(spark, os.path.join(sf_dir, "events.parquet"))
 
     def transform(stream):
         return tumbling_counts(
