@@ -7,10 +7,13 @@ re-ingest the engine offers file-scoped replacement: delete rows for
 the `log_source_file` values in this batch, then append — re-running
 a file replaces it instead of duplicating it.
 
-No MySQL exists in this sandbox, so the connection is exercised in
-tests via a local in-memory fallback (collect-side sqlite3) behind
-the same interface; against a real cluster, pass a jdbc:mysql:// URL
-and the mysql-connector-j jar via spark.jars.
+No MySQL exists in this sandbox, but the REAL `df.write.jdbc` path is
+exercised end-to-end in tests against Apache Derby embedded (its
+driver ships in Spark's own jars — tests/test_sinks_jdbc.py): write,
+read-back, and the idempotent delete-then-append flow. Against a real
+cluster, pass a jdbc:mysql:// URL and the mysql-connector-j jar via
+spark.jars; a collect-side sqlite3 fallback also exists for
+driver-only environments.
 """
 
 from __future__ import annotations
@@ -30,6 +33,8 @@ def write_jdbc(
     num_partitions: int | None = None,
     batch_size: int = 10_000,
     isolation_level: str = "READ_COMMITTED",
+    driver: str | None = None,
+    create_table_column_types: str | None = None,
 ) -> None:
     """Parallel JDBC write. numPartitions bounds concurrent
     connections to the database (each partition = one connection);
@@ -48,7 +53,86 @@ def write_jdbc(
         opts["user"] = user
     if password is not None:
         opts["password"] = password
+    if driver is not None:
+        opts["driver"] = driver
+    if create_table_column_types is not None:
+        opts["createTableColumnTypes"] = create_table_column_types
     writer.write.format("jdbc").options(**opts).mode(mode).save()
+
+
+def jdbc_delete_files(
+    spark,
+    url: str,
+    files: list[str],
+    table: str = DEFAULT_TABLE,
+    source_col: str = "log_source_file",
+    driver: str | None = None,
+) -> bool:
+    """Driver-side DELETE of a batch's lineage keys before re-append.
+
+    The delete is one statement over the (small) file list — standard
+    practice before a parallel JDBC append; the heavy write stays
+    distributed. Runs through java.sql.DriverManager on the driver
+    JVM. Returns False when the target table does not exist yet (first
+    ingest) — callers proceed straight to append.
+    """
+    if not files:
+        return True
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    con = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        quoted = ",".join("'" + f.replace("'", "''") + "'" for f in files)
+        # Spark's JDBC writer creates case-sensitive (quoted) column
+        # identifiers; the delete must quote them the same way. The
+        # identifier quote char comes from the driver's metadata, so
+        # this matches whatever dialect the URL points at.
+        q = con.getMetaData().getIdentifierQuoteString().strip() or '"'
+        col_q = f"{q}{source_col}{q}"
+        st = con.createStatement()
+        try:
+            st.executeUpdate(
+                f"DELETE FROM {table} WHERE {col_q} IN ({quoted})"
+            )
+        except Exception as ex:  # table absent on first ingest
+            if "does not exist" in str(ex) or "not found" in str(ex):
+                return False
+            raise
+        finally:
+            st.close()
+    finally:
+        con.close()
+    return True
+
+
+def write_jdbc_idempotent(
+    df: DataFrame,
+    url: str,
+    table: str = DEFAULT_TABLE,
+    source_col: str = "log_source_file",
+    driver: str | None = None,
+    **write_kwargs,
+) -> list[str]:
+    """Real-JDBC file-scoped replace: delete this batch's lineage keys,
+    then parallel-append — re-running an ingested file replaces its
+    rows instead of duplicating them (the reference's append-only
+    to_sql duplicates, etl:155). Returns the replaced file list.
+
+    The lineage column is created as VARCHAR (not the dialect's
+    unbounded text type) so it stays comparable and indexable — the
+    delete predicate depends on it, and some dialects (Derby CLOB)
+    refuse equality on unbounded text."""
+    files = distinct_source_files(df, source_col)
+    jdbc_delete_files(
+        df.sparkSession, url, files, table=table, source_col=source_col,
+        driver=driver,
+    )
+    write_kwargs.setdefault(
+        "create_table_column_types", f"{source_col} VARCHAR(1000)"
+    )
+    write_jdbc(df, url, table=table, driver=driver, **write_kwargs)
+    return files
 
 
 def write_sqlite_fallback(df: DataFrame, db_path: str, table: str = DEFAULT_TABLE) -> int:

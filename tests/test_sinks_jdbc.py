@@ -1,0 +1,99 @@
+"""Real-JDBC sink tests (reference L3, etl:152-160).
+
+Runs `df.write.format("jdbc")` against Apache Derby embedded — the
+driver is part of Spark's bundled jars, so this is the genuine JDBC
+code path (DriverManager, JdbcUtils type mapping, batched inserts),
+not the sqlite fallback. MySQL in production differs only by URL +
+driver jar.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.sinks.jdbc import (
+    write_jdbc,
+    write_jdbc_idempotent,
+)
+from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
+
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def _derby_url() -> str:
+    return f"jdbc:derby:{tempfile.mkdtemp(prefix='derby_')}/db;create=true"
+
+
+def _read_back(spark, url, table):
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DERBY_DRIVER)
+        .load()
+    )
+
+
+def _alb_df(spark, n, source):
+    line = F.format_string(
+        'h2 2025-05-26T10:%02d:%02d.000123Z app/x/y 1.2.3.%d:443 5.6.7.8:80 '
+        '0.001 0.020 0.000 200 200 %d 2000 "GET https://ex.com/p/%d HTTP/2.0" '
+        '"curl/8.5.0" CIPHER TLSv1.3 arn',
+        (F.col("id") % 60).cast("int"),
+        ((F.col("id") * 7) % 60).cast("int"),
+        (F.col("id") % 250).cast("int"),
+        (F.col("id") % 1000).cast("int"),
+        F.col("id").cast("int"),
+    )
+    lines = spark.range(0, n).select(line.alias("value"))
+    return parse_alb_lines(lines, source_file=F.lit(source))
+
+
+def test_jdbc_roundtrip_schema_and_rows(spark):
+    """The full parsed ALB table goes through real JDBC and comes back
+    with the same rowcount and column set (L3 end-to-end)."""
+    url = _derby_url()
+    df = _alb_df(spark, 57, "s3://bucket/a.gz")
+    write_jdbc(df, url, driver=DERBY_DRIVER, num_partitions=2)
+    back = _read_back(spark, url, "elb_log_data")
+    assert back.count() == 57
+    assert sorted(back.columns) == sorted(df.columns)
+    r = back.orderBy("requested_path").first()
+    assert r.http_method == "GET"
+    assert r.ua_browser_family == "curl"
+
+
+def test_jdbc_append_mode_duplicates_like_reference(spark):
+    """mode='append' reproduces the reference's duplicate-on-rerun
+    behavior (etl:155) — the contract write_jdbc_idempotent fixes."""
+    url = _derby_url()
+    df = _alb_df(spark, 10, "s3://bucket/a.gz")
+    write_jdbc(df, url, driver=DERBY_DRIVER)
+    write_jdbc(df, url, driver=DERBY_DRIVER)
+    assert _read_back(spark, url, "elb_log_data").count() == 20
+
+
+def test_jdbc_idempotent_reingest_replaces_file(spark):
+    """Re-running one file's ingest replaces exactly that file's rows;
+    other files' rows are untouched."""
+    url = _derby_url()
+    a1 = _alb_df(spark, 10, "s3://bucket/a.gz")
+    b = _alb_df(spark, 7, "s3://bucket/b.gz")
+    # first ingest (table auto-created on first append)
+    assert write_jdbc_idempotent(a1, url, driver=DERBY_DRIVER) == [
+        "s3://bucket/a.gz"
+    ]
+    write_jdbc_idempotent(b, url, driver=DERBY_DRIVER)
+    assert _read_back(spark, url, "elb_log_data").count() == 17
+    # re-deliver file a with more rows: replaces, never duplicates
+    a2 = _alb_df(spark, 12, "s3://bucket/a.gz")
+    write_jdbc_idempotent(a2, url, driver=DERBY_DRIVER)
+    back = _read_back(spark, url, "elb_log_data")
+    assert back.count() == 19
+    per_file = {
+        r.log_source_file: r.n
+        for r in back.groupBy("log_source_file").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_file == {"s3://bucket/a.gz": 12, "s3://bucket/b.gz": 7}
