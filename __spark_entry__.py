@@ -53,9 +53,41 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Round 1's driver run verified the FIRST 50 registry entries (in
+# registration order) and stopped — CORRECTNESS_r01.json. This round,
+# entries without a driver row yet go first so the same budget lands
+# on them: §2-critical oracle-checked queries (flagship elb_parse,
+# the dedup/similarity/text/sessionize/streaming families, remaining
+# TPC-H), then rows-only sketches (their driver row carries the least
+# information — every entry ALSO has a committed local oracle run in
+# CORRECTNESS_LOCAL_r02.json), then round-1-verified entries.
+_R1_CHECKED = [
+    "filter_project", "inner_join", "left_join", "semi_join", "anti_join",
+    "broadcast_join", "range_join", "hash_agg", "tpch_q1", "distinct_agg",
+    "approx_distinct", "rollup_agg", "cube_agg", "window_rank",
+    "window_analytic", "scalar_subquery", "window_range",
+    "group_map_profile", "topk", "topk_per_group", "set_ops",
+    "scalar_funcs", "tpch_q3", "tpch_q5", "tpch_q4", "tpch_q6", "tpch_q10",
+    "tpch_q13", "tpch_q18", "tpch_q19", "full_outer_join", "cross_join",
+    "array_funcs", "tpch_q7", "tpch_q17", "asof_join", "skew_salted_agg",
+    "pivot_agg", "stats_agg", "json_funcs", "date_funcs", "string_funcs",
+    "percentile_agg", "percentile_approx", "grouping_sets",
+    "collect_sorted", "map_funcs", "unpivot", "text_chunking",
+    "deterministic_sample",
+]
+
+
+def _driver_order(names) -> list[str]:
+    r1 = set(_R1_CHECKED)
+    new_oracle = [n for n in names if n not in r1 and n in ORACLE_SQL]
+    new_rows_only = [n for n in names if n not in r1 and n not in ORACLE_SQL]
+    rest = [n for n in names if n in r1]
+    return new_oracle + new_rows_only + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {n: QUERIES[n] for n in _driver_order(QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return {n: ORACLE_SQL[n] for n in _driver_order(QUERIES) if n in ORACLE_SQL}

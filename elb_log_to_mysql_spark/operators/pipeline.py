@@ -149,11 +149,17 @@ def _bucketed_global_cumsum(
         "_bkt", F.substring("_skey", 1, 2)
     )
     totals = keyed.groupBy("_bkt").agg(F.sum(value).alias("_btotal"))
+    # The one unpartitioned window in the engine — over the ≤256 bucket
+    # totals, single-partition BY DESIGN (that is the whole point of
+    # bucketing). The constant partition key makes that explicit and
+    # keeps WindowExec from logging a scale warning that does not apply.
     offsets = totals.withColumn(
         "_offset",
         F.coalesce(
             F.sum("_btotal").over(
-                Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+                Window.partitionBy(F.lit(0))
+                .orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
             ),
             F.lit(0),
         ),

