@@ -231,3 +231,111 @@ def deterministic_sample(
     is engine-portable (no bigint hex parsing required)."""
     prefix = F.substring(F.md5(F.col(key).cast("string")), 1, hex_len)
     return df.filter(prefix < hex_threshold)
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """ALL word n-grams (with multiplicity — repetition is the signal
+    here, unlike the dedup shingles which dedupe)."""
+    toks = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
+    )
+    n_g = F.size(toks) - (n - 1)
+    return F.when(
+        n_g > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_filter(
+    documents: DataFrame,
+    top_bigram_max: float = 0.20,
+    dup_trigram_max: float = 0.30,
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics + keep flag.
+
+    Repetitious text (boilerplate, keyword stuffing, generation loops)
+    is the classic web-corpus failure mode the Gopher/MassiveText
+    rules filter on. Per document:
+
+    - ``frac_top_bigram``  — occurrences of the most frequent word
+      bigram / total bigrams (Gopher's "top n-gram fraction");
+    - ``frac_dup_trigrams`` — occurrences belonging to trigrams seen
+      more than once / total trigrams ("duplicate n-gram fraction");
+    - ``keep`` — both fractions under their thresholds.
+
+    Shape at scale: explode n-grams → two-stage agg keyed
+    (doc_id, gram) then (doc_id). Both aggs combine map-side (partial
+    aggregation), the shuffle carries (doc_id, gram-hash) pairs, and
+    per-doc state is bounded by document length — no global state, no
+    skew beyond a single pathological document, which AQE splits.
+    Fractions are int/int divisions — bit-identical across engines.
+    """
+    docs = ensure_min_partitions(documents)
+
+    def gram_stats(n: int):
+        grams = docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    _word_ngrams(F.col("text"), n), lambda g: F.xxhash64(g)
+                )
+            ).alias("g"),
+        )
+        per_gram = grams.groupBy("doc_id", "g").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return per_gram.groupBy("doc_id").agg(
+            F.sum("c").alias("tot"),
+            F.max("c").alias("top_c"),
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_c"),
+        )
+
+    bi = gram_stats(2).select(
+        "doc_id",
+        (F.col("top_c") / F.col("tot")).alias("frac_top_bigram"),
+    )
+    tri = gram_stats(3).select(
+        "doc_id",
+        (F.col("dup_c") / F.col("tot")).alias("frac_dup_trigrams"),
+    )
+    out = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.coalesce("frac_top_bigram", F.lit(0.0)).alias("frac_top_bigram"),
+            F.coalesce("frac_dup_trigrams", F.lit(0.0)).alias("frac_dup_trigrams"),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("frac_top_bigram") <= top_bigram_max)
+        & (F.col("frac_dup_trigrams") <= dup_trigram_max),
+    )
+
+
+def corpus_ngrams(
+    documents: DataFrame, n: int = 3, k: int = 100
+) -> DataFrame:
+    """Corpus-level top-k most frequent word n-grams.
+
+    The vocabulary/statistics pass of a corpus build (feeds tokenizer
+    training, contamination lists, boilerplate detection). One
+    explode → one count agg (map-side combine does the heavy lifting:
+    the shuffle carries one (gram, partial-count) per distinct gram
+    per partition, not one row per occurrence) → global top-k with
+    deterministic (count desc, gram) tiebreak. The gram STRING is
+    carried (not just a hash) because the output is human-facing."""
+    grams = ensure_min_partitions(documents).select(
+        F.explode(_word_ngrams(F.col("text"), n)).alias("gram")
+    )
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("gram")
+    ).limit(k)

@@ -1520,6 +1520,71 @@ def q_tfidf(spark, sf_dir):
     return textops.tfidf(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "repetition_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), g2 AS (
+      SELECT doc_id, unnest(list_transform(range(0, greatest(len(t)-1, 0)),
+             i -> concat_ws(' ', t[i+1], t[i+2]))) AS g FROM toks
+    ), c2 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+    ), m2 AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot FROM c2 GROUP BY 1
+    ), g3 AS (
+      SELECT doc_id, unnest(list_transform(range(0, greatest(len(t)-2, 0)),
+             i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS g FROM toks
+    ), c3 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2
+    ), m3 AS (
+      SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c,
+             SUM(c) AS tot FROM c3 GROUP BY 1
+    )
+    SELECT toks.doc_id, lang, n_chars,
+           COALESCE(CAST(m2.top_c AS DOUBLE) / m2.tot, 0.0) AS frac_top_bigram,
+           COALESCE(CAST(m3.dup_c AS DOUBLE) / m3.tot, 0.0) AS frac_dup_trigrams,
+           COALESCE(CAST(m2.top_c AS DOUBLE) / m2.tot, 0.0) <= 0.20
+             AND COALESCE(CAST(m3.dup_c AS DOUBLE) / m3.tot, 0.0) <= 0.30 AS keep
+    FROM toks
+    LEFT JOIN m2 ON toks.doc_id = m2.doc_id
+    LEFT JOIN m3 ON toks.doc_id = m3.doc_id
+    """,
+)
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition metrics (top-bigram fraction, duplicate-
+    trigram fraction) + keep flag — the within-document repetition
+    filter every web-corpus build runs (operators/textops.py)."""
+    return textops.repetition_filter(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "corpus_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(range(0, greatest(len(t)-2, 0)),
+             i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS gram FROM toks
+    )
+    SELECT gram, COUNT(*) AS n_occurrences
+    FROM grams GROUP BY gram
+    ORDER BY n_occurrences DESC, gram
+    LIMIT 100
+    """,
+)
+def q_corpus_ngrams(spark, sf_dir):
+    """Corpus-level top-100 trigrams (vocabulary/boilerplate pass) —
+    map-side partial counts, one shuffle keyed by gram, deterministic
+    top-k (operators/textops.py)."""
+    return textops.corpus_ngrams(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Sessionization + streaming
 # ===========================================================================
