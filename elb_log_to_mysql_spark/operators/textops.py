@@ -200,17 +200,26 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     stride = chunk_tokens - overlap
-    toks = _ws_tokens(F.col("text"))
-    n_tok = F.size(toks)
-    # ceil((n - overlap) / stride) chunks, min 1
-    n_chunks = F.greatest(
-        F.ceil((n_tok - F.lit(overlap)).cast("double") / stride).cast("int"),
-        F.lit(1),
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)),
-    )
+
+    # Bind the token array to a lambda variable (1-element-array
+    # transform) so the chunk loop slices a materialized array instead
+    # of re-tokenizing the document per chunk — HOF lambdas re-evaluate
+    # outer subtrees once per element (see dedup.word_shingles).
+    def _build(toks: Column) -> Column:
+        n_tok = F.size(toks)
+        # ceil((n - overlap) / stride) chunks, min 1
+        n_chunks = F.greatest(
+            F.ceil((n_tok - F.lit(overlap)).cast("double") / stride).cast("int"),
+            F.lit(1),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * stride + 1, chunk_tokens)
+            ),
+        )
+
+    chunks = F.element_at(F.transform(F.array(_ws_tokens(F.col("text"))), _build), 1)
     return ensure_min_partitions(documents).select(
         "doc_id",
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
