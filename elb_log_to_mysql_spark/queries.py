@@ -2666,3 +2666,53 @@ def q_dedup_survivors(spark, sf_dir):
         .filter(F.col("cluster_id") == F.col("doc_id"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@_q(
+    "bucketed_join",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_join(spark, sf_dir):
+    """Shuffle-free fact join via co-bucketed tables (sinks/layout.py).
+
+    Both sides are persisted bucketed by the join key into the same
+    bucket count, then joined through the catalog: the executed join
+    has NO Exchange on either side — the write-time shuffle is paid
+    once and amortized over every subsequent join, which at 100 TB
+    removes the single largest steady-state exchange (fact-to-fact
+    joins) from the pipeline (tests/test_layout.py asserts the
+    no-Exchange plan property). The result is identical to the plain
+    join, which is exactly what the oracle checks.
+    """
+    import hashlib
+
+    from elb_log_to_mysql_spark.sinks.layout import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lt, rt = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+    write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        lt, ["o_custkey"], 8, sort_by=["o_custkey"],
+    )
+    write_bucketed(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        rt, ["c_custkey"], 8, sort_by=["c_custkey"],
+    )
+    return (
+        spark.table(lt)
+        .join(
+            spark.table(rt),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+    )

@@ -22,6 +22,7 @@ Scale posture (local[N] here, 1000-executor cluster in production):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -56,6 +57,27 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session SQL conf for a block and restore the caller's
+    value (or unset) on exit.
+
+    SQL confs are session-global mutable state; any operator that
+    needs a non-default conf (dynamic partition overwrite, legacy
+    parquet modes) must not leak it into unrelated queries on the
+    same long-lived session.
+    """
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 _SCAN_PARTITIONS_CACHE: dict[tuple, int] = {}

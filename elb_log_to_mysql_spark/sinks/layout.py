@@ -1,0 +1,145 @@
+"""Table-layout management: partitioned idempotent ingest, bucketed
+tables, and small-file compaction.
+
+The reference achieves idempotent re-ingest by deleting a file's rows
+before appending them (reference etl.py:152-160, per-source-file
+DELETE + INSERT). At 100 TB the unit of idempotency is the partition,
+not the row: `write_partitioned_idempotent` uses Spark's dynamic
+partition overwrite so re-running an ingest atomically replaces only
+the partitions the batch touches — no read-modify-write, no tombstone
+scan, and concurrent readers of untouched partitions are unaffected.
+
+Bucketed tables are the shuffle-free-join layout: two tables bucketed
+by the same key into the same bucket count join without either side
+shuffling (the exchange happens once, at write time, and is amortized
+over every subsequent join). At 100 TB the fact-to-fact join is the
+single most expensive exchange in the pipeline; bucketing removes it
+from the steady state.
+
+Compaction is the maintenance half of a streaming/partitioned layout:
+many small appends produce many small files, and scan parallelism
+degrades into per-file task overhead (and 100 TB of 1 MB files is a
+metadata DoS). `compact_small_files` rewrites a parquet directory into
+size-targeted files using the actual on-disk byte census.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+
+from elb_log_to_mysql_spark.session import scoped_conf
+
+
+def write_partitioned_idempotent(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+) -> None:
+    """Overwrite ONLY the partitions present in `df` (dynamic partition
+    overwrite); other partitions are untouched.
+
+    This is the at-scale analog of the reference's per-file
+    delete-then-append idempotency (etl.py:152-160): re-running an
+    ingest batch replaces exactly the partitions it produces, so a
+    retry after partial failure converges to the same table state.
+
+    The conf is scoped: STATIC (the default) would truncate the whole
+    table on overwrite, and leaving DYNAMIC set session-wide silently
+    changes unrelated writers' overwrite semantics.
+    """
+    spark = df.sparkSession
+    with scoped_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist `df` as a bucketed (and optionally sorted) table.
+
+    Joins and aggregations keyed on `bucket_by` between tables with the
+    same bucket count read co-located buckets and skip the exchange
+    entirely — the write-time shuffle is paid once and amortized over
+    every downstream join. sort_by additionally pre-sorts within
+    buckets, turning sort-merge joins into merge-only (no per-query
+    sort).
+
+    Bucket metadata lives in the session catalog, so consumers address
+    the table by name (`spark.table(table)`), not path — path reads
+    can't see bucketing and would silently re-shuffle.
+    """
+    w = df.write.bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path is not None:
+        w = w.option("path", path)
+    w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every data file under `path`, via the JVM
+    Hadoop FileSystem — works for any supported scheme (file://, s3a://,
+    hdfs://), no Python filesystem assumptions."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(jpath, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # _SUCCESS, hidden/staging files
+        out.append((st.getPath().toString(), st.getLen()))
+    return out
+
+
+def compaction_stats(spark: SparkSession, path: str) -> dict:
+    """File census for a parquet directory: count, total bytes,
+    min/max/mean file size. Metadata-only (a filesystem listing, no
+    data scan) — at 100 TB this is the cheap signal that decides
+    whether a rewrite is worth scheduling."""
+    files = _list_parquet_files(spark, path)
+    sizes = [s for _, s in files]
+    return {
+        "num_files": len(sizes),
+        "total_bytes": sum(sizes),
+        "min_bytes": min(sizes) if sizes else 0,
+        "max_bytes": max(sizes) if sizes else 0,
+        "mean_bytes": (sum(sizes) / len(sizes)) if sizes else 0.0,
+    }
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite a parquet directory into ~target-size files.
+
+    The output file count comes from the REAL on-disk byte census
+    (ceil(total/target)), not a row-count guess — parquet compression
+    ratios vary too much across tables for rows-per-file heuristics.
+    Rewrites to a new directory: compaction that overwrites its own
+    input is un-retryable (a mid-rewrite failure loses data), so the
+    swap is the caller's atomic-rename/metastore-repoint step.
+
+    Uses coalesce, not repartition: compaction must not pay a full
+    shuffle — coalesce merges input splits map-side (no exchange).
+    Returns before/after stats.
+    """
+    before = compaction_stats(spark, src_path)
+    n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_out).write.mode("overwrite").parquet(dest_path)
+    after = compaction_stats(spark, dest_path)
+    return {"before": before, "after": after, "target_files": n_out}
