@@ -119,6 +119,114 @@ def decontaminate(
     return train.join(F.broadcast(contaminated), id_col, "left_anti")
 
 
+def _bloom_words(grams: DataFrame, num_bits: int, num_hashes: int) -> list[int]:
+    """Build a Bloom filter's 64-bit words from a gram DataFrame,
+    distributively: k bit positions per gram (seeded xxhash64 mod m),
+    OR-aggregated per word — the only driver-side materialization is
+    the dense m/64-long word list (16 KiB per 2^17 bits).
+    """
+    words = (
+        grams.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.lit(i), F.col("gram")), F.lit(num_bits))
+                        for i in range(num_hashes)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            # call_function: the Python shiftleft wrapper requires an
+            # int literal shift; the SQL function takes a column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    dense = [0] * (num_bits // 64)
+    for r in words:
+        dense[r["w"]] = r["bits"]
+    return dense
+
+
+def decontaminate_bloom(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = 97,
+    ngram: int = 5,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-pruned decontamination — the 100 TB strategy when the
+    benchmark gram set outgrows a broadcast array but its BLOOM still
+    fits anywhere (constant m bits regardless of corpus size).
+
+    Three stages, exact end-to-end semantics (identical to
+    `decontaminate`, so it shares the exact oracle):
+    1. build the bloom over benchmark grams distributively
+       (`_bloom_words`), ship it as ONE array<long> row — data, not
+       plan literals — broadcast-joined to the corpus;
+    2. probe JVM-side: a doc is a CANDIDATE iff any of its grams has
+       all k seeded-hash bits set — pure built-in expressions
+       (xxhash64/pmod/shiftleft/bitwiseAND inside exists), no Python,
+       no explode, no shuffle. False negatives are impossible, so
+       docs pruned here are definitively clean;
+    3. exact verification of the (few) candidates via the same
+       explode + broadcast semi-join as the 'join' strategy — bloom
+       false positives die here.
+
+    At fpp ~1% the explode+join input shrinks from the whole corpus to
+    ~(true contaminated + 1% of clean), which is what makes the exact
+    check affordable at 100 TB.
+    """
+    documents = ensure_min_partitions(documents)
+    spark = documents.sparkSession
+    is_bench = (F.col(id_col) % bench_mod) == 0
+    gram_col = F.explode(word_shingles(text_col, ngram)).alias("gram")
+    bench_grams = documents.filter(is_bench).select(gram_col).distinct()
+    train = documents.filter(~is_bench)
+
+    dense = _bloom_words(bench_grams, num_bits, num_hashes)
+    bloom_df = spark.createDataFrame([(dense,)], "_bloom: array<bigint>")
+
+    def bit_set(pos: Column) -> Column:
+        word = F.get(F.col("_bloom"), (pos / 64).cast("int"))  # 0-based
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        return word.bitwiseAND(mask) != 0
+
+    def gram_hits(g: Column) -> Column:
+        cond = F.lit(True)
+        for i in range(num_hashes):
+            pos = F.pmod(F.xxhash64(F.lit(i), g), F.lit(num_bits))
+            cond = cond & bit_set(pos)
+        return cond
+
+    probed = train.join(F.broadcast(bloom_df)).withColumn(
+        "_maybe", F.exists(word_shingles(text_col, ngram), gram_hits)
+    ).drop("_bloom")
+    clean_fast = probed.filter(~F.col("_maybe")).drop("_maybe")
+    candidates = probed.filter(F.col("_maybe")).drop("_maybe")
+
+    contaminated = (
+        candidates.select(F.col(id_col), gram_col)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    verified_clean = candidates.join(
+        F.broadcast(contaminated), id_col, "left_anti"
+    )
+    return clean_fast.unionByName(verified_clean)
+
+
 def _bucketed_global_cumsum(
     df: DataFrame, key_col: str, salt: str, value: Column, out_col: str
 ) -> DataFrame:

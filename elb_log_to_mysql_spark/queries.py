@@ -2408,6 +2408,24 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs).select("doc_id", "lang", "n_chars")
 
 
+# exact end-to-end semantics — shares decontaminate's oracle verbatim
+@_q("decontaminate_bloom", None)
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-pruned decontamination (operators/pipeline.py): the
+    benchmark gram set is compressed into a constant-size JVM-probed
+    Bloom filter; only bloom-positive docs reach the exact
+    explode+join verification. Same output as `decontaminate` — the
+    bloom can only over-select, and the exact stage kills its false
+    positives."""
+    from elb_log_to_mysql_spark.operators.pipeline import decontaminate_bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate_bloom(docs).select("doc_id", "lang", "n_chars")
+
+
+ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
+
+
 @_q(
     "shuffle_index",
     """

