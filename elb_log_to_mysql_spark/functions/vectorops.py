@@ -141,3 +141,43 @@ def cosine_to_queries(vec: Column, queries: np.ndarray) -> Column:
         return pd.Series(list(sims))
 
     return _cos(vec)
+
+
+def simhash_fp(token_hashes: Column) -> Column:
+    """SimHash fingerprint over an array<long> column of token hashes.
+
+    Per row: bit b of the fingerprint is set iff more tokens have bit
+    b set than clear (vote_b = sum(±1) > 0) — identical semantics to
+    the explode+aggregate formulation (operators/dedup.py:
+    simhash_fingerprints_agg, equality-tested), but computed map-side
+    per Arrow batch: unpack the (total_tokens, 64) bit matrix once,
+    segment-sum with np.add.reduceat, threshold. No explode, no
+    shuffle — the fingerprint never leaves the scan stage.
+
+    Empty-token rows get fp=0 (every vote is -1).
+    """
+
+    @pandas_udf("long")
+    def _fp(th: pd.Series) -> pd.Series:
+        n = len(th)
+        rows = [np.asarray(x, dtype=np.int64) for x in th]
+        lens = np.array([len(r) for r in rows], dtype=np.int64)
+        out = np.zeros(n, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate([r for r in rows if len(r)]).view(np.uint64)
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )  # (N, 64)
+            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=starts[1:])
+            counts = np.add.reduceat(bits, starts, axis=0)  # (rows, 64)
+            votes = 2 * counts - lens[nonempty][:, None]
+            fp = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nonempty] = fp.view(np.int64)
+        return pd.Series(out)
+
+    return _fp(token_hashes)

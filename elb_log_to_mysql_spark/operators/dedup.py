@@ -299,15 +299,42 @@ def ngram_jaccard_pairs(
 def simhash_fingerprints(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """SimHash fingerprints via explode + one aggregation.
+    """SimHash fingerprints, computed map-side.
 
-    Rather than 64 per-row array aggregates (a codegen-hostile
-    expression tree), tokens are exploded once, each row contributes
-    64 small ±1 vote columns (pure bit ops on one xxhash64), and a
-    single groupBy(doc_id) sums them — partial aggregation combines
-    votes map-side, so the shuffle carries 64 ints per doc regardless
-    of document length. Sign of each vote sum sets the fingerprint bit.
+    Token hashing stays JVM-side (xxhash64 over the token array); the
+    64-bit vote tally runs in the Arrow-vectorized kernel
+    (functions/vectorops.py:simhash_fp) — one bit-matrix unpack +
+    segment-sum per batch. The fingerprint is produced in the scan
+    stage with NO explode and NO shuffle: at 100 TB the alternative
+    (explode to one row per token, 64-column hash aggregate) shuffles
+    64 ints per doc and pays a token-count-sized exchange input.
+    Equality with that formulation is pinned by
+    tests (simhash_fingerprints_agg is the JVM-pure twin).
     """
+    from elb_log_to_mysql_spark.functions.vectorops import simhash_fp
+
+    th = (
+        ensure_min_partitions(documents)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(_tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias(
+                "th"
+            ),
+        )
+        # token-less docs carry no signal; the agg twin drops them via
+        # explode, so the kernel path must too
+        .filter(F.size("th") > 0)
+    )
+    return th.select("doc_id", simhash_fp(F.col("th")).alias("fp"))
+
+
+def simhash_fingerprints_agg(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """JVM-pure twin of simhash_fingerprints: explode + one 64-column
+    hash aggregate (partial agg combines votes map-side, the shuffle
+    carries 64 ints per doc). Kept as the no-Python-workers fallback
+    and as the equality oracle for the vectorized kernel."""
     tok = ensure_min_partitions(documents).select(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("token"),
