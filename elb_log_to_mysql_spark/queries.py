@@ -1442,8 +1442,8 @@ def q_text_stats(spark, sf_dir):
       FROM documents
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(ws_tokens) AS total_ws_tokens,
-           SUM(bpe_tokens) AS total_bpe_tokens,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
            MIN(bpe_tokens) AS min_bpe_tokens,
            MAX(bpe_tokens) AS max_bpe_tokens
     FROM per_doc GROUP BY lang
@@ -1604,7 +1604,7 @@ def q_corpus_ngrams(spark, sf_dir):
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
       FROM flagged
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            COUNT(*) AS n_events,
@@ -1716,7 +1716,7 @@ def q_session_window(spark, sf_dir):
     )
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
            COALESCE(MAX(gap_us), 0) AS max_gap_us
     FROM gaps GROUP BY user_id
     """,
@@ -2162,8 +2162,8 @@ def q_tpch_q11(spark, sf_dir):
     "tpch_q12",
     """
     SELECT l_linestatus AS ship_mode,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -2476,9 +2476,9 @@ def q_stratified_sample(spark, sf_dir):
       FROM documents
     ), c AS (
       SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (
+             CAST(SUM(n_tokens) OVER (
                ORDER BY md5(doc_id::VARCHAR || '|seed42'), doc_id
-             ) - n_tokens AS start
+             ) - n_tokens AS BIGINT) AS start
       FROM t
     )
     SELECT doc_id, n_tokens,

@@ -60,6 +60,48 @@ def write_jdbc(
     writer.write.format("jdbc").options(**opts).mode(mode).save()
 
 
+_MISSING_TABLE_SQLSTATES = {
+    "42S02",  # MySQL/MariaDB (error 1146) and ODBC-standard base table not found
+    "42X05",  # Derby: table/view does not exist
+    "42P01",  # PostgreSQL: undefined_table
+    "42Y55",  # Derby: DDL on nonexistent object
+}
+
+
+def _missing_table_sqlstate(ex) -> bool:
+    """Walk a py4j-wrapped SQLException's cause chain for a
+    table-not-found SQLState. Message-substring matching is wrong
+    across dialects (MySQL 1146 says "doesn't exist", which the old
+    'does not exist' check missed) — SQLState is the portable signal."""
+    je = getattr(ex, "java_exception", None)
+    while je is not None:
+        get_state = getattr(je, "getSQLState", None)
+        if get_state is not None:
+            try:
+                state = get_state()
+            except Exception:
+                state = None
+            if state in _MISSING_TABLE_SQLSTATES:
+                return True
+        je = je.getCause() if hasattr(je, "getCause") else None
+    return False
+
+
+def _table_exists(con, table: str) -> bool:
+    """Probe DatabaseMetaData.getTables for `table`, trying the
+    identifier as given plus upper/lower case (Derby folds unquoted
+    identifiers to upper, MySQL on Linux is case-sensitive as given)."""
+    meta = con.getMetaData()
+    for name in dict.fromkeys((table, table.upper(), table.lower())):
+        rs = meta.getTables(None, None, name, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
+
+
 def jdbc_delete_files(
     spark,
     url: str,
@@ -67,22 +109,31 @@ def jdbc_delete_files(
     table: str = DEFAULT_TABLE,
     source_col: str = "log_source_file",
     driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
 ) -> bool:
     """Driver-side DELETE of a batch's lineage keys before re-append.
 
     The delete is one statement over the (small) file list — standard
     practice before a parallel JDBC append; the heavy write stays
     distributed. Runs through java.sql.DriverManager on the driver
-    JVM. Returns False when the target table does not exist yet (first
-    ingest) — callers proceed straight to append.
+    JVM, authenticating with user/password when given (credentials
+    passed as Spark options are NOT embedded in the URL, so they must
+    be forwarded here too). Returns False when the target table does
+    not exist yet (first ingest) — callers proceed straight to append.
     """
     if not files:
         return True
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
-    con = jvm.java.sql.DriverManager.getConnection(url)
+    if user is not None:
+        con = jvm.java.sql.DriverManager.getConnection(url, user, password or "")
+    else:
+        con = jvm.java.sql.DriverManager.getConnection(url)
     try:
+        if not _table_exists(con, table):
+            return False
         quoted = ",".join("'" + f.replace("'", "''") + "'" for f in files)
         # Spark's JDBC writer creates case-sensitive (quoted) column
         # identifiers; the delete must quote them the same way. The
@@ -95,8 +146,10 @@ def jdbc_delete_files(
             st.executeUpdate(
                 f"DELETE FROM {table} WHERE {col_q} IN ({quoted})"
             )
-        except Exception as ex:  # table absent on first ingest
-            if "does not exist" in str(ex) or "not found" in str(ex):
+        except Exception as ex:
+            # Metadata probe can race a concurrent DROP; fall through
+            # to append on the portable missing-table SQLStates.
+            if _missing_table_sqlstate(ex):
                 return False
             raise
         finally:
@@ -127,6 +180,8 @@ def write_jdbc_idempotent(
     jdbc_delete_files(
         df.sparkSession, url, files, table=table, source_col=source_col,
         driver=driver,
+        user=write_kwargs.get("user"),
+        password=write_kwargs.get("password"),
     )
     write_kwargs.setdefault(
         "create_table_column_types", f"{source_col} VARCHAR(1000)"

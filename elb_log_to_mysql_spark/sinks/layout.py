@@ -75,12 +75,32 @@ def write_bucketed(
     the table by name (`spark.table(table)`), not path — path reads
     can't see bucketing and would silently re-shuffle.
     """
+    if path is None:
+        _drop_orphan_table_location(df.sparkSession, table)
     w = df.write.bucketBy(num_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)
     if path is not None:
         w = w.option("path", path)
     w.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def _drop_orphan_table_location(spark: SparkSession, table: str) -> None:
+    """Remove a stale managed-table directory left by a previous
+    process. The session catalog is per-process (in-memory / fresh
+    Derby), but the warehouse dir on disk is not: saveAsTable of a
+    table the catalog has never seen fails with LOCATION_ALREADY_EXISTS
+    if `<warehouse>/<table>` survived an earlier run. Only fires when
+    the catalog does NOT know the table (overwrite mode handles the
+    known-table case), and only for default-database names."""
+    if "." in table or spark.catalog.tableExists(table):
+        return
+    jvm = spark.sparkContext._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jpath = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        fs.delete(jpath, True)
 
 
 def _list_parquet_files(spark: SparkSession, path: str) -> list[tuple[str, int]]:

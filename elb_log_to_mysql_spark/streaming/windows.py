@@ -271,6 +271,8 @@ def stream_ingest_jdbc(
     checkpoint_dir: str,
     table: str = "elb_log_data",
     driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
 ) -> None:
     """The reference pipeline as a continuous stream against a REAL
     JDBC database: readStream.text over the log directory -> full
@@ -299,7 +301,12 @@ def stream_ingest_jdbc(
     parsed = parse_alb_lines(lines, source_file=F.input_file_name())
 
     def sink(batch_df, _batch_id: int) -> None:
-        write_jdbc_idempotent(batch_df, url, table=table, driver=driver)
+        kwargs = {}
+        if user is not None:
+            kwargs["user"] = user
+        if password is not None:
+            kwargs["password"] = password
+        write_jdbc_idempotent(batch_df, url, table=table, driver=driver, **kwargs)
 
     q = (
         parsed.writeStream.foreachBatch(sink)

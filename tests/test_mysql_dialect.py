@@ -1,0 +1,130 @@
+"""MySQL-dialect sink verification without a MySQL server.
+
+The reference's actual sink is MySQL (etl:152-160). No MySQL server or
+connector jar exists in this sandbox, but the DIALECT — the component
+that decides DDL types, identifier quoting, and error classification —
+ships inside Spark itself (org.apache.spark.sql.jdbc.MySQLDialect).
+These tests exercise that real dialect object against the real parsed
+ALB schema, pinning exactly what `df.write.jdbc` would emit at a
+jdbc:mysql:// URL, so the only untested residue is the wire protocol
+(connector jar + server), which is Spark's code, not ours.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.sinks.jdbc import (
+    _missing_table_sqlstate,
+    jdbc_delete_files,
+)
+from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
+
+MYSQL_URL = "jdbc:mysql://db.example.internal:3306/elb"
+
+
+def _dialect(spark):
+    return spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(MYSQL_URL)
+
+
+def _jvm_type(spark, field):
+    return spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+        field.dataType.json()
+    )
+
+
+def _mysql_ddl_type(spark, dialect, field) -> str:
+    """The type `JdbcUtils.schemaString` would emit for this field:
+    dialect override first, common JDBC type otherwise."""
+    jdt = _jvm_type(spark, field)
+    opt = dialect.getJDBCType(jdt)
+    if not opt.isDefined():
+        opt = spark._jvm.org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils.getCommonJDBCType(
+            jdt
+        )
+    assert opt.isDefined(), f"no JDBC type for {field}"
+    return opt.get().databaseTypeDefinition()
+
+
+def test_mysql_identifier_quoting_matches_delete_statement(spark):
+    """MySQLDialect quotes identifiers with backticks; our lineage
+    DELETE derives its quote char from connection metadata at runtime,
+    so this pins that a mysql URL resolves to the backtick dialect."""
+    d = _dialect(spark)
+    assert d.quoteIdentifier("log_source_file") == "`log_source_file`"
+
+
+def test_mysql_ddl_for_parsed_alb_schema(spark):
+    """Pin the CREATE TABLE column types MySQL would get for the full
+    13-column parsed record + lineage column (reference DDL parity:
+    the pandas to_sql target table, etl:152-160)."""
+    df = parse_alb_lines(
+        spark.range(1).select(F.lit("x").alias("value")),
+        source_file=F.lit("s3://b/f.gz"),
+    )
+    d = _dialect(spark)
+    ddl = {f.name: _mysql_ddl_type(spark, d, f) for f in df.schema.fields}
+    # Spark 4 MySQLDialect: TimestampType (with-TZ) -> TIMESTAMP;
+    # only TimestampNTZType gets the DATETIME override. Our parsed
+    # log_timestamp is session-TZ (matches the reference's tz-aware
+    # pandas column, etl:117-121), so TIMESTAMP is the correct DDL.
+    assert ddl["log_timestamp"] == "TIMESTAMP"
+    ntz = spark._jvm.org.apache.spark.sql.types.DataType.fromDDL("timestamp_ntz")
+    assert d.getJDBCType(ntz).get().databaseTypeDefinition() == "DATETIME"
+    assert ddl["backend_status_code"] == "INTEGER"
+    assert ddl["received_bytes"] == "BIGINT"
+    assert ddl["total_processing_time_ms"] == "DOUBLE PRECISION"
+    # Spark 4 MySQLDialect maps StringType -> LONGTEXT (SPARK-44886
+    # lineage; older Sparks emitted TEXT).
+    string_cols = {k for k, v in ddl.items() if v == "LONGTEXT"}
+    assert {
+        "client_ip", "http_method", "requested_path",
+        "ua_browser_family", "log_source_file",
+    } <= string_cols
+
+
+def test_mysql_table_exists_probe_query(spark):
+    """The dialect's existence probe is a LIMIT-1 SELECT — portable to
+    MySQL — and our metadata-based probe is dialect-independent; pin
+    the dialect side so a Spark upgrade changing it is visible."""
+    q = _dialect(spark).getTableExistsQuery("elb_log_data")
+    assert "elb_log_data" in q and "1=0" in q.replace(" ", "")
+
+
+def test_missing_table_sqlstate_detection(spark):
+    """MySQL error 1146 carries SQLState 42S02 with message "Table
+    'db.t' doesn't exist" — the message does NOT contain 'does not
+    exist', which is exactly why substring matching was wrong. The
+    detector must find the SQLState anywhere in the cause chain."""
+    jvm = spark._jvm
+    mysql_ex = jvm.java.sql.SQLException(
+        "Table 'elb.elb_log_data' doesn't exist", "42S02", 1146
+    )
+    assert _missing_table_sqlstate(SimpleNamespace(java_exception=mysql_ex))
+    wrapped = jvm.java.lang.RuntimeException("batch failed", mysql_ex)
+    assert _missing_table_sqlstate(SimpleNamespace(java_exception=wrapped))
+    derby_ex = jvm.java.sql.SQLException("Table/View 'T' does not exist.", "42X05")
+    assert _missing_table_sqlstate(SimpleNamespace(java_exception=derby_ex))
+    other = jvm.java.sql.SQLException("Deadlock found", "40001", 1213)
+    assert not _missing_table_sqlstate(SimpleNamespace(java_exception=other))
+    assert not _missing_table_sqlstate(SimpleNamespace(java_exception=None))
+
+
+def test_delete_files_with_credentials_and_absent_table(spark, tmp_path):
+    """jdbc_delete_files authenticates with user/password (Derby
+    embedded accepts any) and returns False via the metadata probe when
+    the table does not exist — the first-ingest path that used to rely
+    on dialect-specific error messages."""
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    ok = jdbc_delete_files(
+        spark,
+        url,
+        ["s3://b/f.gz"],
+        table="never_created",
+        driver="org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        user="app",
+        password="secret",
+    )
+    assert ok is False

@@ -2,9 +2,10 @@
 
 Runs every `queries()` entry on Spark and its `oracle_sql()` twin on
 DuckDB over the same sf dir, then compares row count, sorted column
-names, dtypes, and cell values (exact for ints/strings, 1e-9 rel for
-floats — stricter than any plausible driver hash normalization, so
-passing here predicts passing there).
+names, dtypes, and cell values (exact for ints/strings, bit-equality
+required for floats, and int-vs-float dtype pairings rejected outright
+— round 2 proved the driver hashes stringified cells, so 62 vs 62.0
+is a failure even though they compare equal numerically).
 
 Usage: python tools/compare_oracle.py [--json OUT.json] [sf_dir] [query ...]
 
@@ -59,6 +60,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> lis
     s, o = normalize(spark_pdf), normalize(oracle_pdf)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # A driver that hashes stringified cells distinguishes 62 from
+        # 62.0, so an int-vs-float dtype pairing is a hash failure even
+        # when the values compare equal numerically. The classic trap:
+        # DuckDB SUM(INTEGER) returns HUGEINT, which .df() converts to
+        # float64 — oracle SQL must CAST integer sums to BIGINT.
+        kinds = {sv.dtype.kind, ov.dtype.kind}
+        if "f" in kinds and kinds & {"i", "u"}:
+            problems.append(
+                f"col {c}: dtype kind mismatch {sv.dtype} vs {ov.dtype} — "
+                f"stringified hash differs (e.g. '62' vs '62.0'); "
+                f"CAST integer aggregates to BIGINT in the oracle SQL"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             a = sv.astype(float).to_numpy()
             b = ov.astype(float).to_numpy()
