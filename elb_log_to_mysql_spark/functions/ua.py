@@ -75,7 +75,12 @@ def ua_browser_family_expr(ua: Column | str) -> Column:
         .when(c.rlike(r"^okhttp"), F.lit("okhttp"))
         .when(c.rlike(r"^Java/"), F.lit("Java"))
         # --- rebadged-Chromium browsers before Chrome ---
-        .when(c.rlike(r"Edg(e|A|iOS)?/"), F.lit("Edge"))
+        # uap-core splits Edge by platform: EdgA (Android) / EdgiOS
+        # are "Edge Mobile", Edg/Edge (desktop incl. legacy 18) "Edge"
+        .when(c.rlike(r"Edg(A|iOS)/"), F.lit("Edge Mobile"))
+        .when(c.rlike(r"Edge?/"), F.lit("Edge"))
+        .when(c.rlike(r"Opera Mini"), F.lit("Opera Mini"))
+        .when(c.rlike(r"Opera Mobi"), F.lit("Opera Mobile"))
         .when(c.rlike(r"OPR/|Opera"), F.lit("Opera"))
         .when(c.rlike(r"YaBrowser/"), F.lit("Yandex Browser"))
         .when(c.rlike(r"UCBrowser/|UCWEB"), F.lit("UC Browser"))
@@ -86,7 +91,13 @@ def ua_browser_family_expr(ua: Column | str) -> Column:
         .when(c.rlike(r"Chrome/.*Mobile"), F.lit("Chrome Mobile"))
         .when(c.rlike(r"Chrome/|Chromium/"), F.lit("Chrome"))
         .when(c.rlike(r"FxiOS/"), F.lit("Firefox iOS"))
+        # uap-core: Gecko Firefox on Android (phone or tablet token)
+        # is "Firefox Mobile"; desktop stays "Firefox"
+        .when(c.rlike(r"Android.*Firefox/"), F.lit("Firefox Mobile"))
         .when(c.rlike(r"Firefox/"), F.lit("Firefox"))
+        # Android stock (AOSP) browser: WebKit + Version/ + Safari on
+        # Android with no Chrome token — uap-core family "Android"
+        .when(c.rlike(r"Android.*Version/.*Safari"), F.lit("Android"))
         .when(c.rlike(r"Version/.*Mobile.*Safari"), F.lit("Mobile Safari"))
         .when(c.rlike(r"Version/.*Safari"), F.lit("Safari"))
         .when(c.rlike(r"MSIE |Trident/"), F.lit("IE"))
