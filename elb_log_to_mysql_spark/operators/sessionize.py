@@ -12,11 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from elb_log_to_mysql_spark.functions.eventtime import normalize_event_time
 from elb_log_to_mysql_spark.functions.numeric import dsum
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Assign session ids and aggregate one row per session."""
+    # Defensive: unix_micros below requires native TIMESTAMP; accept
+    # any of the physical ts layouts (see functions/eventtime.py).
+    events = normalize_event_time(events, "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000  # exact integer µs, no float/second truncation
 

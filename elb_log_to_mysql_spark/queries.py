@@ -2547,10 +2547,12 @@ def q_dedup_clusters(spark, sf_dir):
     duplicate component. The DuckDB oracle computes the same closure
     with a recursive CTE."""
     from elb_log_to_mysql_spark.operators.graph import dedup_clusters
+    from elb_log_to_mysql_spark.session import carry_caches
 
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
-    return dedup_clusters(docs, pairs)
+    # Keep the pairs' shingle cache alive until this derived plan runs.
+    return carry_caches(dedup_clusters(docs, pairs), pairs)
 
 
 @_q(
@@ -2675,15 +2677,18 @@ def q_dedup_survivors(spark, sf_dir):
     one survivor per cluster (the min doc_id). The whole dedup story
     as a corpus->corpus transform."""
     from elb_log_to_mysql_spark.operators.graph import dedup_clusters
+    from elb_log_to_mysql_spark.session import carry_caches
 
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
     clusters = dedup_clusters(docs, pairs)
-    return (
+    out = (
         docs.join(clusters, "doc_id")
         .filter(F.col("cluster_id") == F.col("doc_id"))
         .select("doc_id", "lang", "n_chars")
     )
+    # Keep the pairs' shingle cache alive until this derived plan runs.
+    return carry_caches(out, pairs)
 
 
 @_q(

@@ -103,7 +103,10 @@ def ensure_min_partitions(df, target: int | None = None):
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     try:
-        key = tuple(sorted(df.inputFiles())) or None
+        # Keyed by (app id, file set): a new session/JVM or an
+        # overwritten table path must never reuse a stale probe.
+        files = tuple(sorted(df.inputFiles()))
+        key = (sc.applicationId, files) if files else None
     except Exception:
         key = None
     n = _SCAN_PARTITIONS_CACHE.get(key) if key is not None else None
@@ -142,6 +145,23 @@ def unpersist_on_gc(result, *cached):
 
     weakref.finalize(result, _release)
     return result
+
+
+def carry_caches(child, *parents):
+    """Extend GC-scoped caches' lifetime to a derived DataFrame.
+
+    A PySpark DataFrame derived from an `unpersist_on_gc` result holds
+    no Python reference to its parent, so dropping the parent handle
+    fires the finalizer while the derived (still-lazy) plan is alive —
+    the cache vanishes before the plan that was meant to reuse it ever
+    executes. Pinning the parents on the child ties their finalizers
+    to the child's lifetime instead: the caches survive until the
+    caller drops the derived result (normally after materialization).
+    """
+    child._graft_keepalive = tuple(parents) + tuple(
+        getattr(child, "_graft_keepalive", ())
+    )
+    return child
 
 
 def tune_session(spark: SparkSession) -> SparkSession:

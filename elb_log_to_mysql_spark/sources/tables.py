@@ -48,24 +48,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects (PARQUET_TYPE_ILLEGAL). Read it as raw int64 nanoseconds
-    via the legacy conf, then truncate to Spark's native microsecond
-    timestamps with INTEGER division (`div`) — a double division would
-    lose precision above 2^53 (~epoch ns is ~1.7e18). Matches DuckDB's
-    own ns->us truncation exactly. Fully distributed: the conversion
-    is a per-row expression in the scan stage.
+    """events.ts has shipped as parquet TIMESTAMP(NANOS) — which
+    Spark's reader rejects (PARQUET_TYPE_ILLEGAL) unless read as raw
+    int64 ns via the legacy conf — and as plain µs-naive timestamps
+    (Spark TIMESTAMP_NTZ). Normalize either to a native TIMESTAMP
+    through functions.eventtime (see its docstring for the precision
+    and timezone reasoning). Fully distributed: the conversion is a
+    per-row expression in the scan stage.
     """
-    from pyspark.sql import functions as F
+    from elb_log_to_mysql_spark.functions.eventtime import normalize_event_time
 
     # The conf is consulted at read()/schema-inference time only
     # (verified: execution succeeds after restore), so it is scoped to
     # the read and the caller's value restored.
     with nanos_as_long(spark):
         df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return normalize_event_time(df, "ts")
 
 
 def load_tables(

@@ -318,24 +318,19 @@ def stream_ingest_jdbc(
 
 
 def ensure_event_time(df, col: str = "ts"):
-    """Normalize the event-time column for either physical layout:
-    parquet TIMESTAMP(NANOS) tables arrive as int64 ns (via the
-    legacy reader conf) and truncate to native µs timestamps with
-    integer division; standard timestamp columns pass through
-    untouched. Streaming plans must not assume one layout — the same
-    logical table can be written either way upstream."""
-    from pyspark.sql import functions as F
+    """Normalize the event-time column for any physical layout
+    (int64-nanos, TIMESTAMP_NTZ, native TIMESTAMP). Streaming plans
+    must not assume one layout — the same logical table can be
+    written any of these ways upstream; watermarks require native
+    TIMESTAMP. Delegates to the package-wide helper."""
+    from elb_log_to_mysql_spark.functions.eventtime import normalize_event_time
 
-    if dict(df.dtypes).get(col) == "bigint":
-        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
-    return df
+    return normalize_event_time(df, col)
 
 
 def event_time_micros(df, col: str = "ts", out: str = "ts_us"):
     """Event time as raw int64 microseconds (for integer state),
-    handling both int64-nanos and native-timestamp inputs."""
-    from pyspark.sql import functions as F
+    handling int64-nanos, TIMESTAMP_NTZ, and native-timestamp inputs."""
+    from elb_log_to_mysql_spark.functions.eventtime import event_time_micros_col
 
-    if dict(df.dtypes).get(col) == "bigint":
-        return F.expr(f"{col} div 1000").alias(out)
-    return (F.unix_micros(F.col(col))).alias(out)
+    return event_time_micros_col(df, col, out)

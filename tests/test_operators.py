@@ -208,9 +208,9 @@ def test_streaming_matches_batch_windows(spark, sf_dir):
     raw_schema = raw_parquet_schema(spark, os.path.join(sf_dir, "events.parquet"))
 
     def transform(stream):
-        return tumbling_counts(
-            stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
+        from elb_log_to_mysql_spark.streaming.windows import ensure_event_time
+
+        return tumbling_counts(ensure_event_time(stream))
 
     streamed = run_stream_to_batch(
         spark, os.path.join(sf_dir, "events.parquet"), transform, raw_schema
