@@ -71,6 +71,35 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _bench_similarity_topk_lsh(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from elb_log_to_mysql_spark.operators import similarity
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.similarity_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 20), k=10, n_planes=3, n_tables=24
+    )
+
+
+def _bench_simhash_pairs(spark, sf_dir):
+    from elb_log_to_mysql_spark.operators import dedup
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# The registered queries for these keys are recall AUDITS (operator +
+# exact twin + join) so the driver's oracle row is meaningful; the
+# bench measures the pure operator at the same config, keeping the
+# timing comparable to BASELINE.md's per-operator rows.
+OVERRIDES = {
+    "similarity_topk_lsh": _bench_similarity_topk_lsh,
+    "simhash_pairs": _bench_simhash_pairs,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -94,27 +123,34 @@ def main() -> None:
 
     # min of two runs per query: the shared host shows ±2x noise on
     # individual timings; the minimum is the reproducible cost.
+    # Per-query fault isolation: one broken query must never zero out
+    # the whole round's perf evidence (round 3 lost its bench number
+    # to a single type error) — it gets an "errors" entry instead.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
+        fn = OVERRIDES.get(name, QUERIES[name])
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            materialize(QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as ex:  # noqa: BLE001 — keep benching the rest
+            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
     spark.stop()
 
 

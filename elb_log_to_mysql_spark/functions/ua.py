@@ -89,7 +89,11 @@ def ua_browser_family_expr(ua: Column | str) -> Column:
         .when(c.rlike(r"HeadlessChrome/"), F.lit("HeadlessChrome"))
         .when(c.rlike(r"(CriOS)/"), F.lit("Chrome Mobile iOS"))
         .when(c.rlike(r"Chrome/.*Mobile"), F.lit("Chrome Mobile"))
-        .when(c.rlike(r"Chrome/|Chromium/"), F.lit("Chrome"))
+        # uap-core names Ubuntu/other Chromium builds "Chromium", not
+        # "Chrome" — the Chromium token wins even though Chrome/ is
+        # also present in those UAs
+        .when(c.rlike(r"Chromium/"), F.lit("Chromium"))
+        .when(c.rlike(r"Chrome/"), F.lit("Chrome"))
         .when(c.rlike(r"FxiOS/"), F.lit("Firefox iOS"))
         # uap-core: Gecko Firefox on Android (phone or tablet token)
         # is "Firefox Mobile"; desktop stays "Firefox"

