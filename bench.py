@@ -90,6 +90,16 @@ def _bench_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _bench_sketch_rollup(spark, sf_dir):
+    from elb_log_to_mysql_spark.operators import advanced
+    from elb_log_to_mysql_spark.sources.tables import load_tables
+
+    t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation", "region"])
+    return advanced.sketch_rollup(
+        t["lineitem"], t["supplier"], t["nation"], t["region"]
+    )
+
+
 # The registered queries for these keys are recall AUDITS (operator +
 # exact twin + join) so the driver's oracle row is meaningful; the
 # bench measures the pure operator at the same config, keeping the
@@ -97,6 +107,7 @@ def _bench_simhash_pairs(spark, sf_dir):
 OVERRIDES = {
     "similarity_topk_lsh": _bench_similarity_topk_lsh,
     "simhash_pairs": _bench_simhash_pairs,
+    "sketch_rollup": _bench_sketch_rollup,
 }
 
 

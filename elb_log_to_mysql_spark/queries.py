@@ -2073,8 +2073,27 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
-@_q("multimodal_decode")  # mapInPandas decode stub — rows-only
+@_q(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CASE WHEN text LIKE 'RIFF%' THEN 'riff'
+                WHEN text LIKE 'fLaC%' THEN 'flac'
+                ELSE 'unknown' END AS fmt,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
 def q_multimodal_decode(spark, sf_dir):
+    """mapInPandas decode over the documented stub codec. The stub is
+    a pure function of the payload bytes (magic sniff + length-derived
+    dimensions), so the oracle recomputes it exactly in SQL — the
+    Arrow batch plumbing, schema, and per-row kernel are all value-
+    checked even though the codec itself is fake. PNG/JPEG magics are
+    non-UTF8 byte sequences that cannot occur in text payloads, so the
+    SQL sniff only needs the ASCII magics (RIFF/fLaC)."""
     media = multimodal.binary_metadata(_t(spark, sf_dir, "documents"))
     return multimodal.decode_media(media)
 
@@ -2104,14 +2123,33 @@ def q_multimodal_frames(spark, sf_dir):
     )
 
 
-@_q("multimodal_features")  # mapInPandas feature-extraction stub — rows-only
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id, CAST(16 AS INTEGER) AS dim, TRUE AS unit_norm
+    FROM documents
+    """,
+)
 def q_multimodal_features(spark, sf_dir):
     """Pseudo-embeddings from payload bytes; output feeds the
-    similarity operators unchanged (same array<float> contract)."""
+    similarity operators unchanged (same array<float> contract).
+    Oracle checks the structural contract per row: every document
+    yields a vector of the configured width with unit L2 norm (the
+    payloads are non-empty, so the normalization always applies) —
+    the well-formedness properties a real encoder swap must also
+    preserve. The byte-histogram values themselves are stub artifacts
+    and deliberately not pinned cross-engine."""
     media = multimodal.binary_metadata(_t(spark, sf_dir, "documents"))
     feats = multimodal.extract_features(media, dim=16)
+    sq_norm = F.aggregate(
+        F.transform("feature", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return feats.select(
-        "doc_id", F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0")
+        "doc_id",
+        F.size("feature").alias("dim"),
+        (F.abs(sq_norm - F.lit(1.0)) < F.lit(1e-6)).alias("unit_norm"),
     )
 
 
@@ -2719,10 +2757,45 @@ def q_window_distribution(spark, sf_dir):
     return windows.window_distribution(_t(spark, sf_dir, "orders"))
 
 
-@_q("multimodal_resize")  # stubbed codec — rows-only
+@_q(
+    "multimodal_resize",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 640 + 1 AS w,
+             octet_length(encode(text)) % 480 + 1 AS h,
+             CASE WHEN text LIKE 'RIFF%' THEN 'riff'
+                  WHEN text LIKE 'fLaC%' THEN 'flac'
+                  ELSE 'unknown' END AS fmt
+      FROM documents
+    ), s AS (
+      SELECT *, LEAST(64.0 / GREATEST(w, h), 1.0) AS scale FROM d
+    ), r AS (
+      SELECT doc_id, n, fmt, w, h,
+             GREATEST(CAST(TRUNC(w * scale) AS INTEGER), 1) AS width,
+             GREATEST(CAST(TRUNC(h * scale) AS INTEGER), 1) AS height
+      FROM s
+    )
+    SELECT doc_id, fmt, width, height,
+           LEAST(
+             GREATEST(
+               CAST(TRUNC(n * ((width * height) / CAST(w * h AS DOUBLE)))
+                    AS BIGINT),
+               1),
+             n) AS resized_len
+    FROM r
+    """,
+)
 def q_multimodal_resize(spark, sf_dir):
     """Resize-to-budget plumbing over mapInPandas (codec stubbed —
-    operators/multimodal.py:resize_images)."""
+    operators/multimodal.py:resize_images). The stub's scale math is
+    pure IEEE-double arithmetic on the payload length, so the oracle
+    replays the identical operation sequence in SQL (same division and
+    truncation order -> bit-identical intermediate doubles) and value-
+    checks every output row; only the byte-slicing "codec" is fake.
+    The LEAST(..., n) guard mirrors Python's slice semantics for
+    degenerate empty payloads."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.binary_metadata(docs)
     return multimodal.resize_images(media).select(
@@ -2747,14 +2820,61 @@ def q_scd2_history(spark, sf_dir):
     return windows.scd2_history(_t(spark, sf_dir, "events"))
 
 
-@_q("sketch_rollup")  # HLL sketches — approximate by design, rows-only
+@_q(
+    "sketch_rollup",
+    """
+    SELECT r_name,
+           CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_nations,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           TRUE AS estimate_in_bound
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
 def q_sketch_rollup(spark, sf_dir):
     """Distinct parts per region via per-nation HLL sketch union —
     one fact scan for the whole hierarchy
-    (operators/advanced.py:sketch_rollup)."""
+    (operators/advanced.py:sketch_rollup) — under the same error-bound
+    contract as approx_distinct: the oracle recomputes the exact
+    distinct counts and nation fan-in, and the sketch estimate must
+    land within 5x the HLL standard error (lgConfigK=12 -> rsd
+    ~1.6%, so the bound is ~8%). Estimator bits are engine-specific
+    and deliberately not compared."""
     t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation", "region"])
-    return advanced.sketch_rollup(
+    est = advanced.sketch_rollup(
         t["lineitem"], t["supplier"], t["nation"], t["region"]
+    )
+    exact = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy("r_name")
+        .agg(F.countDistinct("l_partkey").alias("n_parts_exact"))
+    )
+    rsd = 1.04 / (2**12) ** 0.5  # HLL standard error at lgConfigK=12
+    return (
+        est.join(exact, "r_name")
+        .select(
+            "r_name",
+            "n_nations",
+            "n_parts_exact",
+            (
+                F.abs(F.col("approx_parts") - F.col("n_parts_exact"))
+                <= F.lit(5 * rsd) * F.col("n_parts_exact")
+            ).alias("estimate_in_bound"),
+        )
+        .orderBy("r_name")
     )
 
 
