@@ -297,6 +297,93 @@ def ngram_jaccard_pairs(
     )
     return unpersist_on_gc(out, sh)
 
+def ngram_jaccard_pairs_prefix(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via PREFIX FILTERING (AllPairs/
+    PPJoin candidate generation) — the scale path for the exact
+    formulation.
+
+    The plain inverted index (`ngram_jaccard_pairs`) forms a candidate
+    for every pair sharing ANY shingle: a shingle occurring in k docs
+    contributes k² join rows, so duplicate-dense corpora (boilerplate,
+    spam clusters) blow up quadratically. Prefix filtering indexes
+    only each doc's `|d| - ceil(t·|d|) + 1` rarest shingles under one
+    GLOBAL frequency order: two docs with Jaccard >= t must share at
+    least one prefix shingle (pigeonhole on the required overlap
+    t/(1+t)·(|A|+|B|)), so the self-join runs on the prefix table
+    only — frequent boilerplate shingles sort to the suffix and never
+    generate candidates. Candidates are then verified with exact
+    Jaccard on the full shingle sets, so the output is IDENTICAL to
+    the inverted-index twin (same oracle).
+
+    Cost shape: +1 shuffle for the global document-frequency table and
+    +1 for the per-doc rank window, in exchange for candidate volume
+    that tracks rare-shingle collisions instead of all collisions —
+    the trade that matters at 100 TB, measured in SCALE.md.
+    """
+    from pyspark.sql import Window
+
+    documents = ensure_min_partitions(documents)
+    arr = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    arr = arr.withColumn("n_sh", F.size("shingles")).persist()
+
+    sh = arr.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    # Global order = (document frequency, shingle): rarest first, total
+    # and deterministic. The df table is (shingle, df) — two longs —
+    # and joins back on the shuffle key it was built on.
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    pref = (
+        sh.join(freq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "n_sh", "shingle")
+    )
+
+    a = pref.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    cand_ids = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        # size-compatibility prune (jaccard upper bound min/max < t)
+        .filter(
+            F.least("n_a", "n_b") >= F.greatest("n_a", "n_b") * F.lit(threshold)
+        )
+        .select("doc_id_a", "doc_id_b")
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    cand = cand_ids.join(
+        arr.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")),
+        "doc_id_a",
+    ).join(
+        arr.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")),
+        "doc_id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    out = (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+    return unpersist_on_gc(out, arr)
+
+
 def simhash_fingerprints(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1270,6 +1270,44 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @_q(
+    "ngram_jaccard_prefix",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM shingled WHERE len(shingles) > 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_id_a
+    JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered exact Jaccard pairs (AllPairs/PPJoin candidate
+    generation, operators/dedup.py:ngram_jaccard_pairs_prefix). Output
+    is identical to `ngram_jaccard` — the prefix filter is lossless —
+    so it shares the same DuckDB oracle; what differs is the candidate
+    volume at scale (measured in SCALE.md)."""
+    return dedup.ngram_jaccard_pairs_prefix(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "near_dedup",
     r"""
     WITH toks AS (

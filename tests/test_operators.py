@@ -56,6 +56,25 @@ def test_simhash_pairs_are_actually_similar(spark, sf_dir):
         assert jac > 0.3, (r.doc_id_a, r.doc_id_b, jac)
 
 
+def test_prefix_filtered_jaccard_equals_inverted_index(spark, sf_dir):
+    """Prefix filtering must be LOSSLESS: the AllPairs candidate rule
+    (rarest |d|-ceil(t|d|)+1 shingles under a global frequency order)
+    plus exact verification has to reproduce the inverted-index
+    formulation's pair set and jaccard values bit-for-bit, at two
+    thresholds (boundary behavior differs at t where prefixes shrink)."""
+    docs = load_table(spark, sf_dir, "documents")
+    for t in (0.5, 0.8):
+        base = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        pref = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs_prefix(docs, threshold=t).collect()
+        }
+        assert pref == base, f"threshold {t}"
+
+
 def test_simhash_blocking_complete_beyond_hamming_3(spark, sf_dir):
     """Candidate blocking must be COMPLETE for the requested hamming
     radius: with the fixed 4-way (16-bit) split, a pair at distance
