@@ -132,3 +132,22 @@ def test_q11_threshold_is_broadcast_scalar(spark, sf_dir):
     rep = _report(df)
     assert rep["broadcast_joins"] >= 1
     assert rep["sortmerge_joins"] == 0
+
+
+def test_prefix_jaccard_stays_jvm_side(spark, sf_dir):
+    """The prefix-filtered exact Jaccard join is pure column
+    expressions + joins: no Python eval anywhere (shingling, hashing,
+    ranking, verification all JVM-side), and the candidate self-join
+    must not degrade to a sort-merge at dictionary scale — the prefix
+    table is ids+one long per row and broadcasts/hashes."""
+    from elb_log_to_mysql_spark.operators import dedup
+
+    rep = _report(
+        dedup.ngram_jaccard_pairs_prefix(load_table(spark, sf_dir, "documents"))
+    )
+    assert rep["python_evals"] == 0
+    assert rep["sortmerge_joins"] == 0
+    assert rep["wholestage_codegen"] >= 1
+    # the extra prefix machinery (df table + rank window) must not
+    # multiply shuffles: everything shares the doc_id/shingle exchanges
+    assert rep["exchanges"] <= 4

@@ -1,0 +1,215 @@
+"""Reproducible scale sweep: replicate the sf0.1 tables Nx and verify
+the document/embedding/event operator families at the larger size —
+correctness first (exact twins must still agree bit-for-bit), wall
+time second.
+
+Round 3 ran this as an ad-hoc probe; this committed version makes the
+evidence regenerable against whatever testdata layout the driver
+ships. The replica is written with ~16 MB parquet row groups (the
+row-group-size finding from SCALE.md: single-group files pin scans to
+one task), and foreign keys are shifted consistently per replica so
+cross-replica ids never collide.
+
+Note the replica corpus is EXTREMELY duplicate-dense by construction
+(every document gains factor-1 exact copies under different ids) —
+deliberately so: it is the adversarial case for pair-generation
+operators, where the inverted-index exact join blows up and the
+prefix-filtered / LSH paths must hold.
+
+Checks (all Spark-side, engine-vs-engine — no DuckDB in the loop, so
+the sweep measures the operators, not the single-node oracle):
+
+- ngram_jaccard_pairs == ngram_jaccard_pairs_prefix (exact set +
+  value equality via bidirectional anti-joins) + both wall times
+- near_dedup_minhash ⊆/⊇ exact Jaccard pairs at its threshold
+- simhash recall of near-identical (exact j>=0.9) pairs
+- similarity LSH/IVF recall vs brute-force exact top-k
+- sessionize + streaming tumbling counts vs the batch twin
+
+Usage: python tools/scale_sweep.py [factor] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from elb_log_to_mysql_spark.session import build_session  # noqa: E402
+from elb_log_to_mysql_spark.sources.tables import load_table  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+
+
+def replicate(spark, factor: int, out_dir: str) -> None:
+    """Union `factor` key-shifted copies of each table; write with
+    bounded row groups so scans parallelize (parquet.block.size)."""
+    specs = {
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "events": ["event_id", "user_id"],
+    }
+    for name, keys in specs.items():
+        df = load_table(spark, SRC, name)
+        offs = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        parts = []
+        for i in range(factor):
+            rep = df
+            for k in keys:
+                rep = rep.withColumn(k, F.col(k) + F.lit(i * offs[k]))
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        (
+            out.repartition(32)
+            .write.mode("overwrite")
+            .option("parquet.block.size", 16 * 1024 * 1024)
+            .parquet(os.path.join(out_dir, f"{name}.parquet"))
+        )
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    r = fn()
+    return r, round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_json = sys.argv[2] if len(sys.argv) > 2 else f"SCALE_SWEEP_{factor}x.json"
+    out_dir = f"/tmp/scale_sweep_{factor}x"
+
+    spark = build_session(app_name="scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from elb_log_to_mysql_spark.operators import dedup, sessionize, similarity
+    from elb_log_to_mysql_spark.streaming.windows import (
+        ensure_event_time,
+        run_stream_to_batch,
+        tumbling_counts,
+    )
+    from elb_log_to_mysql_spark.sources.tables import raw_parquet_schema
+
+    if not os.path.isdir(out_dir):
+        replicate(spark, factor, out_dir)
+    docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet"))
+    ev = load_table(spark, out_dir, "events")
+
+    report: dict = {"factor": factor, "rows": {
+        "documents": docs.count(), "embeddings": emb.count(), "events": ev.count()
+    }}
+
+    # --- exact Jaccard: inverted index vs prefix filter ---
+    # persist() is lazy: time the materializing count, which executes
+    # the full plan into the cache the comparison joins then reuse.
+    inv = dedup.ngram_jaccard_pairs(docs, threshold=0.5).persist()
+    n_inv, t_inv = timed(inv.count)
+    pref = dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.5).persist()
+    n_pref, t_pref = timed(pref.count)
+    only_inv = inv.join(pref, ["doc_id_a", "doc_id_b", "jaccard"], "left_anti").count()
+    only_pref = pref.join(inv, ["doc_id_a", "doc_id_b", "jaccard"], "left_anti").count()
+    report["ngram_exact"] = {
+        "pairs": n_inv,
+        "inverted_index_sec": t_inv,
+        "prefix_filter_sec": t_pref,
+        "set_equal": only_inv == 0 and only_pref == 0 and n_inv == n_pref,
+    }
+    inv.unpersist()
+
+    # --- MinHash-LSH vs exact at its own threshold ---
+    ex06 = dedup.ngram_jaccard_pairs(docs, threshold=0.6).persist()
+    n_ex06 = ex06.count()
+    nd = dedup.near_dedup_minhash(docs, threshold=0.6).persist()
+    n_nd, t_nd = timed(nd.count)
+    nd_missing = ex06.join(nd, ["doc_id_a", "doc_id_b"], "left_anti").count()
+    nd_extra = nd.join(ex06, ["doc_id_a", "doc_id_b"], "left_anti").count()
+    report["near_dedup"] = {
+        "exact_pairs": n_ex06, "found": n_nd, "sec": t_nd,
+        "recall": round(1 - nd_missing / n_ex06, 4) if n_ex06 else 1.0,
+        "false_pairs": nd_extra,
+    }
+    nd.unpersist()
+
+    # --- SimHash recall of near-identical pairs ---
+    ex09 = dedup.ngram_jaccard_pairs(docs, threshold=0.9).persist()
+    n_ex09 = ex09.count()
+    sim = dedup.simhash_near_pairs(docs, max_hamming=6).persist()
+    _, t_sim = timed(sim.count)
+    sim_hit = ex09.join(sim, ["doc_id_a", "doc_id_b"], "left_semi").count()
+    report["simhash"] = {
+        "exact_j09_pairs": n_ex09, "found": sim.count(), "sec": t_sim,
+        "recall": round(sim_hit / n_ex09, 4) if n_ex09 else 1.0,
+    }
+    sim.unpersist()
+    ex06.unpersist()
+    ex09.unpersist()
+
+    # --- ANN recall at the larger corpus ---
+    q = emb.filter(F.col("vec_id") < 20)
+    exact_tk, t_bf = timed(
+        lambda: {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.similarity_topk_bruteforce(emb, q, k=10).collect()
+        }
+    )
+    lsh, t_lsh = timed(
+        lambda: {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.similarity_topk_lsh(
+                emb, q, k=10, n_planes=3, n_tables=24
+            ).collect()
+        }
+    )
+    cents = similarity.train_ivf_centroids(emb)
+    ivf, t_ivf = timed(
+        lambda: {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.similarity_topk_ivf(
+                emb, q, k=10, nprobe=12, centroids=cents
+            ).collect()
+        }
+    )
+    report["similarity"] = {
+        "corpus": report["rows"]["embeddings"],
+        "bruteforce_sec": t_bf,
+        "lsh_sec": t_lsh, "lsh_recall": round(len(lsh & exact_tk) / len(exact_tk), 4),
+        "ivf_sec": t_ivf, "ivf_recall": round(len(ivf & exact_tk) / len(exact_tk), 4),
+    }
+
+    # --- event-time: sessionize + streaming twin on the replica ---
+    sess, t_sess = timed(lambda: sessionize.sessionize(ev).count())
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .count()
+    )
+    schema = raw_parquet_schema(spark, os.path.join(out_dir, "events.parquet"))
+    streamed = run_stream_to_batch(
+        spark,
+        os.path.join(out_dir, "events.parquet"),
+        lambda s: tumbling_counts(ensure_event_time(s)),
+        schema,
+    ).count()
+    report["events"] = {
+        "sessions": sess, "sessionize_sec": t_sess,
+        "stream_windows": streamed, "batch_windows": batch,
+        "stream_equals_batch": streamed == batch,
+    }
+
+    with open(out_json, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+    spark.stop()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
