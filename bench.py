@@ -117,20 +117,27 @@ def main() -> None:
     spark = build_session(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up JVM / codegen / parquet footer caches
-    materialize(QUERIES["hash_agg"](spark, sf_dir))
-    # warm up the Python UDF workers: the first Arrow-UDF stage forks
-    # 32 workers that each import pandas/numpy (~10s one-time); pay it
-    # here so no measured query carries the startup instead of its
-    # own cost. Workers are reused afterwards (spark.python.worker.reuse).
-    from pyspark.sql import functions as F
-    from elb_log_to_mysql_spark.functions.vectorops import pairwise_cosine
+    # Warm-ups must never kill the bench (round 3 lost its number to a
+    # pre-loop crash): a failed warm-up only means the first measured
+    # query pays the startup cost — worse timings, not a missing round.
+    try:
+        # JVM / codegen / parquet footer caches
+        materialize(QUERIES["hash_agg"](spark, sf_dir))
+        # Python UDF workers: the first Arrow-UDF stage forks 32
+        # workers that each import pandas/numpy (~10s one-time); pay it
+        # here so no measured query carries the startup instead of its
+        # own cost. Workers are reused afterwards
+        # (spark.python.worker.reuse).
+        from pyspark.sql import functions as F
+        from elb_log_to_mysql_spark.functions.vectorops import pairwise_cosine
 
-    spark.range(10_000).select(
-        pairwise_cosine(
-            F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))
-        )
-    ).write.format("noop").mode("overwrite").save()
+        spark.range(10_000).select(
+            pairwise_cosine(
+                F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))
+            )
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:  # noqa: BLE001
+        pass
 
     # min of two runs per query: the shared host shows ±2x noise on
     # individual timings; the minimum is the reproducible cost.

@@ -47,31 +47,59 @@ from elb_log_to_mysql_spark.sources.tables import load_table  # noqa: E402
 SRC = "/root/testdata/sf0.1"
 
 
-def replicate(spark, factor: int, out_dir: str) -> None:
-    """Union `factor` key-shifted copies of each table; write with
-    bounded row groups so scans parallelize (parquet.block.size)."""
+def replicate(factor: int, out_dir: str) -> None:
+    """Concat `factor` key-shifted copies of each table (pyarrow:
+    preserves the source's physical layouts, e.g. events' naive-µs ts,
+    so the replica stresses the same loader paths the real testdata
+    does) and write ONE file per table with ~32 row groups, so scans
+    parallelize AND DuckDB's single-file view pattern still works.
+
+    Fact tables replicate with their own keys shifted while dimension
+    foreign keys stay UNSHIFTED (10× orders still point at the same
+    customers/suppliers/parts): that is how fact growth actually looks
+    — dimensions grow far slower than facts — and it keeps every
+    referential query valid against the original dimensions, which are
+    copied through as-is. l_orderkey and o_orderkey shift by the same
+    offset so the order⋈lineitem relationship is preserved per replica.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    order_max = (
+        pc.max(pq.read_table(os.path.join(SRC, "orders.parquet"),
+                             columns=["o_orderkey"])["o_orderkey"]).as_py() + 1
+    )
     specs = {
-        "documents": ["doc_id"],
-        "embeddings": ["vec_id"],
-        "events": ["event_id", "user_id"],
+        "documents": {"doc_id": None},
+        "embeddings": {"vec_id": None},
+        "events": {"event_id": None, "user_id": None},
+        "orders": {"o_orderkey": order_max},
+        "lineitem": {"l_orderkey": order_max},
     }
     for name, keys in specs.items():
-        df = load_table(spark, SRC, name)
-        offs = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
+        offs = {
+            k: (off if off is not None else pc.max(t[k]).as_py() + 1)
+            for k, off in keys.items()
+        }
         parts = []
         for i in range(factor):
-            rep = df
+            cols = {c: t[c] for c in t.column_names}
             for k in keys:
-                rep = rep.withColumn(k, F.col(k) + F.lit(i * offs[k]))
-            parts.append(rep)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        (
-            out.repartition(32)
-            .write.mode("overwrite")
-            .option("parquet.block.size", 16 * 1024 * 1024)
-            .parquet(os.path.join(out_dir, f"{name}.parquet"))
+                cols[k] = pc.add(t[k], i * offs[k])
+            parts.append(pa.table(cols))
+        big = pa.concat_tables(parts)
+        pq.write_table(
+            big,
+            os.path.join(out_dir, f"{name}.parquet"),
+            row_group_size=max(len(big) // 32, 10_000),
+        )
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(
+            os.path.join(SRC, f"{dim}.parquet"),
+            os.path.join(out_dir, f"{dim}.parquet"),
         )
 
 
@@ -97,8 +125,9 @@ def main() -> None:
     )
     from elb_log_to_mysql_spark.sources.tables import raw_parquet_schema
 
-    if not os.path.isdir(out_dir):
-        replicate(spark, factor, out_dir)
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        shutil.rmtree(out_dir, ignore_errors=True)  # stale partial replica
+        replicate(factor, out_dir)
     docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet"))
     ev = load_table(spark, out_dir, "events")
@@ -204,10 +233,49 @@ def main() -> None:
         "stream_equals_batch": streamed == batch,
     }
 
+    spark.stop()
+
+    # --- DuckDB oracle parity at the replica for the relational core ---
+    # Run AFTER the sweep session stops (compare_oracle builds its own
+    # session; two concurrent local[32] JVMs would fight for memory and
+    # race on the shared warehouse dir). This re-proves the driver-gate
+    # contract — row count + schema + stringified value hash — at 10×
+    # fact volume, not just at the sf0.01 audit scale.
+    import subprocess
+    import tempfile
+
+    parity_queries = [
+        "hash_agg", "tpch_q3", "tpch_q9", "tpch_q21", "window_analytic",
+        "asof_join", "range_join", "skew_salted_agg", "scalar_subquery",
+        "topk_per_group", "exact_dedup", "incremental_agg", "sessionize",
+        "window_distribution",
+    ]
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        parity_path = tf.name
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__).replace(
+            "scale_sweep.py", "compare_oracle.py"),
+         "--json", parity_path, out_dir, *parity_queries],
+        capture_output=True, text=True, timeout=1800,
+    )
+    try:
+        with open(parity_path) as fh:
+            parity = json.load(fh)
+        report["oracle_parity"] = {
+            "all_hash_match": all(v.get("hash_match") for v in parity.values()),
+            "queries": {k: bool(v.get("hash_match")) for k, v in parity.items()},
+        }
+    except Exception:
+        report["oracle_parity"] = {
+            "all_hash_match": False,
+            "error": (proc.stdout + proc.stderr)[-500:],
+        }
+    finally:
+        os.unlink(parity_path)
+
     with open(out_json, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
-    spark.stop()
     shutil.rmtree(out_dir, ignore_errors=True)
 
 
