@@ -329,6 +329,119 @@ def repetition_filter(
     )
 
 
+def quality_filter(
+    documents: DataFrame,
+    min_words: int = 5,
+    max_words: int = 5000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_alpha_word_frac: float = 0.8,
+    max_symbol_word_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Composite Gopher-style document quality GATE: the keep/drop
+    decision a corpus build actually applies, composed from the cheap
+    per-document heuristics (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", appendix A — word-count band, mean word
+    length band, symbol-to-word ratio, alphabetic-word fraction,
+    stop-word presence) AND the within-document repetition rules
+    (`repetition_filter`). Individual rule verdicts are emitted
+    alongside the final flag so a pipeline can audit WHY a document
+    dropped — the difference between a filter and a black box.
+
+    One scan computes every token-level metric as column expressions;
+    the repetition metrics join in from their own two aggregations.
+    All ratios are int/int IEEE divisions (bit-identical across
+    engines, oracle-checkable); thresholds are literals, so rule
+    booleans are bit-stable too.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+
+    def metrics(toks_col):
+        n = F.size(toks_col)
+        n1 = F.greatest(n, F.lit(1))
+        sum_len = F.aggregate(
+            F.transform(toks_col, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        alpha = F.size(F.filter(toks_col, lambda t: t.rlike("[a-z]")))
+        hashes = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+        ellipses = (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+        ) / F.lit(3)
+        stop_hits = F.size(
+            F.array_intersect(
+                F.array_distinct(toks_col),
+                F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
+            )
+        )
+        return n, (sum_len / n1), (alpha / n1), ((hashes + ellipses) / n1), stop_hits
+
+    # Let-bind the token array (one element array + element_at) so the
+    # five metrics tokenize the document once, not five times — HOFs
+    # re-evaluate outer subtrees per reference (see word_shingles).
+    bound = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda t: F.struct(
+                *[
+                    m.alias(nm)
+                    for m, nm in zip(
+                        metrics(t),
+                        ["n_words", "mean_wl", "alpha_frac", "sym_ratio", "stops"],
+                    )
+                ]
+            ),
+        ),
+        1,
+    )
+    base = ensure_min_partitions(documents).select("doc_id", "text").select(
+        "doc_id", bound.alias("m")
+    ).select(
+        "doc_id",
+        F.col("m.n_words").alias("n_words"),
+        F.col("m.mean_wl").alias("mean_word_len"),
+        F.col("m.alpha_frac").alias("alpha_word_frac"),
+        F.col("m.sym_ratio").alias("symbol_word_ratio"),
+        F.col("m.stops").alias("stopword_hits"),
+    )
+    rep = repetition_filter(documents).select(
+        "doc_id", F.col("keep").alias("repetition_ok")
+    )
+    rules = base.join(rep, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "symbol_word_ratio",
+        "stopword_hits",
+        ((F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)).alias(
+            "word_count_ok"
+        ),
+        (
+            (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len)
+        ).alias("word_len_ok"),
+        (F.col("alpha_word_frac") >= min_alpha_word_frac).alias("alpha_ok"),
+        (F.col("symbol_word_ratio") <= max_symbol_word_ratio).alias("symbol_ok"),
+        (F.col("stopword_hits") >= min_stopword_hits).alias("stopword_ok"),
+        "repetition_ok",
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("word_count_ok")
+        & F.col("word_len_ok")
+        & F.col("alpha_ok")
+        & F.col("symbol_ok")
+        & F.col("stopword_ok")
+        & F.col("repetition_ok"),
+    )
+
+
 def corpus_ngrams(
     documents: DataFrame, n: int = 3, k: int = 100
 ) -> DataFrame:

@@ -1746,6 +1746,78 @@ def q_repetition_filter(spark, sf_dir):
 
 
 @_q(
+    "quality_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+               / greatest(len(t), 1) AS mean_word_len,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               / greatest(len(t), 1) AS alpha_word_frac,
+             (hashes + ellipses) / greatest(len(t), 1) AS symbol_word_ratio,
+             len(list_intersect(list_distinct(t),
+                 ['the','and','of','to','in','is','that','for','with','a']))
+               AS stopword_hits
+      FROM toks
+    ), g2 AS (
+      SELECT doc_id, unnest(list_transform(range(0, greatest(len(t)-1, 0)),
+             i -> concat_ws(' ', t[i+1], t[i+2]))) AS g FROM toks
+    ), c2 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+    ), m2 AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot FROM c2 GROUP BY 1
+    ), g3 AS (
+      SELECT doc_id, unnest(list_transform(range(0, greatest(len(t)-2, 0)),
+             i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS g FROM toks
+    ), c3 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2
+    ), m3 AS (
+      SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c,
+             SUM(c) AS tot FROM c3 GROUP BY 1
+    ), rep AS (
+      SELECT toks.doc_id,
+             COALESCE(CAST(m2.top_c AS DOUBLE) / m2.tot, 0.0) <= 0.20
+               AND COALESCE(CAST(m3.dup_c AS DOUBLE) / m3.tot, 0.0) <= 0.30
+               AS repetition_ok
+      FROM toks
+      LEFT JOIN m2 ON toks.doc_id = m2.doc_id
+      LEFT JOIN m3 ON toks.doc_id = m3.doc_id
+    )
+    SELECT base.doc_id, n_words, mean_word_len, alpha_word_frac,
+           symbol_word_ratio, stopword_hits,
+           n_words >= 5 AND n_words <= 5000 AS word_count_ok,
+           mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS word_len_ok,
+           alpha_word_frac >= 0.8 AS alpha_ok,
+           symbol_word_ratio <= 0.1 AS symbol_ok,
+           stopword_hits >= 2 AS stopword_ok,
+           repetition_ok,
+           n_words >= 5 AND n_words <= 5000
+             AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+             AND alpha_word_frac >= 0.8
+             AND symbol_word_ratio <= 0.1
+             AND stopword_hits >= 2
+             AND repetition_ok AS keep
+    FROM base JOIN rep ON base.doc_id = rep.doc_id
+    """,
+)
+def q_quality_filter(spark, sf_dir):
+    """Composite Gopher-rule quality gate (operators/textops.py:
+    quality_filter): per-document keep/drop with every rule verdict
+    exposed. The oracle recomputes all metrics and rule booleans —
+    int/int IEEE divisions and literal thresholds, so the whole gate
+    is bit-checkable, repetition rules included."""
+    return textops.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "corpus_ngrams",
     r"""
     WITH toks AS (

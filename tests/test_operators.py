@@ -373,3 +373,36 @@ def test_sketch_rollup_accuracy_vs_exact(spark, sf_dir):
         assert abs(est - exact[region]) <= max(0.05 * exact[region], 2), (
             region, est, exact[region],
         )
+
+
+def test_quality_filter_rules_fire_individually(spark):
+    """Each Gopher rule must be the one that kills its crafted
+    document, and a clean document must pass every rule."""
+    from elb_log_to_mysql_spark.operators import textops
+
+    good = (
+        "the quick brown fox jumps over a lazy dog and then runs into town "
+        "with great joy for every small reason that nature gives freely in "
+        "morning light while birds are singing songs of spring"
+    )
+    texts = [
+        (1, good),
+        (2, "word"),                               # too few words
+        (3, "a " * 50),                            # mean word len < 2
+        (4, "1 2 3 4 5 6 7 8 9 10 " * 3),          # no alphabetic words
+        (5, ("the cat sat on a mat " + "# " * 30)),  # symbol ratio
+        (6, "purple monkey dishwasher banana xylophone quartz " * 4),  # no stopwords
+        (7, "the dog and the dog and the dog and the dog and the dog and " * 8),  # repetition
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    rows = {r.doc_id: r for r in textops.quality_filter(docs).collect()}
+    assert rows[1].keep, rows[1]
+    assert not rows[2].word_count_ok and not rows[2].keep
+    assert not rows[3].word_len_ok and not rows[3].keep
+    assert not rows[4].alpha_ok and not rows[4].keep
+    assert not rows[5].symbol_ok and not rows[5].keep
+    assert not rows[6].stopword_ok and not rows[6].keep
+    assert not rows[7].repetition_ok and not rows[7].keep
