@@ -60,3 +60,47 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | str, **options
+) -> DataFrame:
+    """ORC read (built-in Spark source, same pushdown/pruning story as
+    parquet) — the other columnar lake format a drop-in engine must
+    accept without conversion jobs."""
+    return (
+        spark.read.schema(_require_schema(schema)).options(**options).orc(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str, **options) -> None:
+    df.write.options(**options).mode("overwrite").orc(path)
+
+
+def read_media_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw media ingest via Spark's `binaryFile` source: one row per
+    file with (path, modificationTime, length, content: binary) — the
+    actual entry point of the multimodal pipeline (operators/
+    multimodal.py consumes the `content` column as its payload).
+
+    Scale posture: the source parallelizes by file (one task per file
+    up to maxPartitionBytes grouping), filters on path/length are
+    pushed to the listing, and `max_bytes` guards against a single
+    giant asset dominating a task — oversized files are filtered OUT
+    (predicate on the `length` metadata column, evaluated before
+    content is read), to be routed to a chunked path instead.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

@@ -127,3 +127,47 @@ def test_alb_streaming_matches_batch(spark, tmp_path):
     )
     assert len(streamed) == 40
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from elb_log_to_mysql_spark.sources.formats import read_orc, write_orc
+
+    nation = load_table(spark, sf_dir, "nation")
+    write_orc(nation, str(tmp_path / "orc"))
+    back = read_orc(
+        spark, str(tmp_path / "orc"),
+        "n_nationkey INT, n_name STRING, n_regionkey INT",
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_read_media_dir_binary_files(spark, tmp_path):
+    """binaryFile ingest: one row per file, content bytes intact, glob
+    filter and size guard applied before content is materialized."""
+    from elb_log_to_mysql_spark.sources.formats import read_media_dir
+
+    payloads = {
+        "a.jpg": b"\xff\xd8\xffjpeg-ish-bytes",
+        "b.jpg": b"\x89PNG-mislabeled" * 400,  # 6 KB — over the cap below
+        "c.txt": b"not media",
+    }
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    all_jpg = read_media_dir(spark, str(tmp_path), glob="*.jpg")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in all_jpg.collect()}
+    assert set(rows) == {"a.jpg", "b.jpg"}
+    assert rows["a.jpg"] == payloads["a.jpg"]
+
+    capped = read_media_dir(spark, str(tmp_path), glob="*.jpg", max_bytes=1024)
+    assert [r.path.rsplit("/", 1)[-1] for r in capped.collect()] == ["a.jpg"]
+
+    # the payload feeds the multimodal decode path unchanged
+    from elb_log_to_mysql_spark.operators import multimodal
+
+    media = all_jpg.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    decoded = {r.fmt for r in multimodal.decode_media(media).collect()}
+    assert decoded == {"jpeg", "png"}
