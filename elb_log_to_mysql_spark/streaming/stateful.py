@@ -9,8 +9,13 @@ micro-batches with explicit state schema.
 State lives in the state store (checkpointed, partitioned by key);
 each micro-batch streams Arrow record batches per key through the
 Python function. At scale, state size is O(distinct keys), not
-O(events) — the operator is the streaming analog of a groupBy that
-never ends.
+O(events) — and distinct keys themselves are unbounded on a real
+stream, so the production configuration sets an IDLE TIMEOUT
+(`idle_timeout_ms`): a key with no events for that long is emitted
+one final time and evicted from the store, bounding state to
+currently-active keys. The default (no timeout) keeps the operator a
+pure function of the input — the configuration the batch-SQL oracle
+checks bit-for-bit.
 
 Determinism: totals accumulate as integer cents and gaps as integer
 microseconds, so the final profile is bit-identical regardless of
@@ -48,31 +53,8 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update_user_profile(
-    key: tuple,
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        n, cents, last_us, max_gap = state.get
-        last_us = None if last_us < 0 else last_us
-    else:
-        n, cents, last_us, max_gap = 0, 0, None, 0
-
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts_us", "event_id"])
-        for ts_us, value in zip(pdf["ts_us"], pdf["value"]):
-            if last_us is not None:
-                gap = int(ts_us) - int(last_us)
-                if gap > max_gap:
-                    max_gap = gap
-            last_us = int(ts_us)
-            n += 1
-            cents += int(round(float(value) * 100))
-
-    state.update((n, cents, -1 if last_us is None else last_us, max_gap))
-    yield pd.DataFrame(
+def _profile_row(user_id, n, cents, max_gap) -> pd.DataFrame:
+    return pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
@@ -82,13 +64,74 @@ def _update_user_profile(
     )
 
 
-def user_profile_stream(events: DataFrame) -> DataFrame:
+def make_update_fn(idle_timeout_ms: int | None = None):
+    """Build the per-key state-update function.
+
+    With a timeout configured, a timed-out key emits its final profile
+    and is REMOVED from the state store (bounded state); the timer is
+    re-armed after every batch that touches the key.
+    """
+
+    def _update_user_profile(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # Idle eviction: flush the final profile, drop the state.
+            n, cents, _last_us, max_gap = state.get
+            state.remove()
+            yield _profile_row(user_id, n, cents, max_gap)
+            return
+
+        if state.exists:
+            n, cents, last_us, max_gap = state.get
+            last_us = None if last_us < 0 else last_us
+        else:
+            n, cents, last_us, max_gap = 0, 0, None, 0
+
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for ts_us, value in zip(pdf["ts_us"], pdf["value"]):
+                if last_us is not None:
+                    gap = int(ts_us) - int(last_us)
+                    if gap > max_gap:
+                        max_gap = gap
+                last_us = int(ts_us)
+                n += 1
+                cents += int(round(float(value) * 100))
+
+        state.update((n, cents, -1 if last_us is None else last_us, max_gap))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield _profile_row(user_id, n, cents, max_gap)
+
+    return _update_user_profile
+
+
+# Default (no-timeout) update function — the oracle-checked config.
+_update_user_profile = make_update_fn(None)
+
+
+def user_profile_stream(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Apply the stateful per-user profile over a (streaming) events
-    DataFrame with columns (user_id, event_id, ts_us, value)."""
+    DataFrame with columns (user_id, event_id, ts_us, value).
+
+    `idle_timeout_ms` is the production knob: without it state is
+    O(all keys ever seen); with it, idle keys are flushed + evicted,
+    so the store holds only keys active within the timeout window.
+    """
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_user_profile,
+        make_update_fn(idle_timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -165,3 +165,56 @@ def test_stream_ingest_idempotent_sink(spark, tmp_path):
             fh.write(line.format(sec=i, i=i) + "\n")
     stream_ingest_alb_idempotent(spark, str(src), db, str(tmp_path / "ck1"))
     assert rows() == 13
+
+
+def test_stateful_idle_timeout_evicts_and_flushes():
+    """The timeout branch must emit the key's final profile and REMOVE
+    its state (bounded store). Driven directly with a fake GroupState:
+    processing-time timers cannot fire deterministically in a test."""
+    import pandas as pd
+
+    from elb_log_to_mysql_spark.streaming.stateful import make_update_fn
+
+    class FakeState:
+        def __init__(self, value):
+            self._value = value
+            self.exists = value is not None
+            self.hasTimedOut = False
+            self.removed = False
+            self.timeout_set = None
+
+        @property
+        def get(self):
+            return self._value
+
+        def update(self, v):
+            self._value = v
+            self.exists = True
+
+        def remove(self):
+            self.removed = True
+            self.exists = False
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = make_update_fn(idle_timeout_ms=60_000)
+
+    # normal batch: state updated, timer armed
+    st = FakeState(None)
+    batch = pd.DataFrame(
+        {"ts_us": [1_000_000, 3_000_000], "event_id": [1, 2], "value": [1.5, 2.0]}
+    )
+    out = list(fn((7,), iter([batch]), st))
+    assert st.timeout_set == 60_000 and not st.removed
+    assert out[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 2, "sum_cents": 350, "max_gap_us": 2_000_000
+    }
+
+    # timeout firing: final flush + eviction, no further state writes
+    st.hasTimedOut = True
+    flushed = list(fn((7,), iter([]), st))
+    assert st.removed, "timed-out key must be evicted from the store"
+    assert flushed[0].iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 2, "sum_cents": 350, "max_gap_us": 2_000_000
+    }
