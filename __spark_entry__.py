@@ -56,14 +56,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # Driver-budget scheduling: each round's driver run verifies ~50
 # registry entries in the order queries() yields them, so entries are
 # ranked by how much information a fresh driver row adds:
-#   1. never driver-checked at all (oracle-backed first — round 4
-#      gave near_dedup/simhash_pairs/similarity_topk_lsh+ivf real
-#      oracles precisely so this group ranks first meaningfully);
-#   2. FAILED in round 3 (the TIMESTAMP_NTZ casualties — fixed, need
-#      green rows);
-#   3. round-1-verified only (stale: the testdata was regenerated
-#      since, so those rows predate the current parquet layout);
-#   4. round-3-verified (freshest evidence, re-checked last).
+#   1. percentile_approx — the only entry whose sole driver row (r1)
+#      predates its error-bound oracle (it was `no_oracle` then);
+#   2. never driver-checked at all (new entries this round;
+#      oracle-backed before rows-only);
+#   3. stale: last driver evidence is r1/r3 — the testdata has been
+#      regenerated since, so those rows predate the current layout
+#      (TPC-H q2/q8/q9/..., elb_parse, dedup family, pipeline ops);
+#   4. round-4-verified (freshest evidence, re-checked last).
 _R1_CHECKED = [
     "filter_project", "inner_join", "left_join", "semi_join", "anti_join",
     "broadcast_join", "range_join", "hash_agg", "tpch_q1", "distinct_agg",
@@ -100,14 +100,40 @@ _R3_CHECKED = [
 ]
 
 
+_R4_CHECKED = [
+    "ngram_jaccard_prefix", "near_dedup", "simhash_pairs",
+    "similarity_topk_lsh", "similarity_topk_ivf", "quality_filter",
+    "multimodal_decode", "multimodal_features", "multimodal_resize",
+    "sketch_rollup", "bucketed_join", "sessionize", "stream_tumbling",
+    "stream_sliding", "stream_stateful", "stream_stream_join",
+    "filter_project", "inner_join", "left_join", "semi_join", "anti_join",
+    "broadcast_join", "range_join", "hash_agg", "tpch_q1", "distinct_agg",
+    "approx_distinct", "rollup_agg", "cube_agg", "window_rank",
+    "window_analytic", "scalar_subquery", "window_range",
+    "group_map_profile", "topk", "topk_per_group", "set_ops",
+    "scalar_funcs", "tpch_q3", "tpch_q5", "tpch_q4", "tpch_q6", "tpch_q10",
+    "tpch_q13", "tpch_q18", "tpch_q19", "full_outer_join", "cross_join",
+    "array_funcs", "tpch_q7",
+]
+
+# percentile_approx has never had a driver row that exercised its
+# error-bound oracle (added r2; its only driver check was r1, pre-oracle).
+_NEVER_ORACLE_GREEN = ["percentile_approx"]
+
+
 def _driver_order(names) -> list[str]:
     checked = set(_R1_CHECKED) | set(_R3_CHECKED) | set(_R3_FAILED)
-    never_oracle = [n for n in names if n not in checked and n in ORACLE_SQL]
-    never_rows = [n for n in names if n not in checked and n not in ORACLE_SQL]
-    failed = [n for n in names if n in set(_R3_FAILED)]
-    r1_stale = [n for n in names if n in set(_R1_CHECKED)]
-    r3_fresh = [n for n in names if n in set(_R3_CHECKED)]
-    return never_oracle + never_rows + failed + r1_stale + r3_fresh
+    r4 = set(_R4_CHECKED)
+    first = [n for n in _NEVER_ORACLE_GREEN if n in names]
+    taken = set(first)
+    never = [n for n in names if n not in checked and n not in r4
+             and n not in taken]
+    never_oracle = [n for n in never if n in ORACLE_SQL]
+    never_rows = [n for n in never if n not in ORACLE_SQL]
+    stale = [n for n in names
+             if n in checked and n not in r4 and n not in taken]
+    r4_fresh = [n for n in names if n in r4 and n not in taken]
+    return first + never_oracle + never_rows + stale + r4_fresh
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
