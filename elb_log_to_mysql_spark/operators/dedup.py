@@ -450,6 +450,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance <= max_hamming.
 
@@ -461,7 +462,51 @@ def simhash_near_pairs(
     power of two above it that divides 64): a fixed 4-way split would
     silently drop candidates for max_hamming > 3, because a pair at
     distance 4 can differ in every 16-bit quarter.
+
+    Clone-dense corpora need two explicit bounds (the round-4 10×
+    sweep measured a 7× candidate blowup without them):
+
+    - FIRST-MATCH candidate generation: a clone pair collides in all
+      n_blocks blocks, so the block join emits it n_blocks times. A
+      pair is kept only at its LOWEST matching block — a pure bitwise
+      filter on fp_a^fp_b evaluated in the same codegen stage as the
+      join, so duplicate candidates die before ever shuffling. This
+      replaces the old dropDuplicates (one full shuffle of the
+      n_blocks-duplicated candidate stream) and is exact: every pair
+      sharing >=1 block survives exactly once.
+    - `max_bucket` caps degenerate buckets (the near_dedup pattern,
+      :198-205): a block value shared by k docs contributes k² join
+      rows regardless of first-match filtering, so buckets larger
+      than the cap are dropped outright. Pairs whose every matching
+      block is over-full are lost — the explicit recall trade for a
+      hard cost bound, measured in SCALE_SWEEP (recall floor 0.99
+      held at 10× clone density with the default cap untouched).
     """
+    cand, fp = simhash_candidates(
+        documents, id_col, text_col, max_hamming, max_bucket
+    )
+    out = (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+    return unpersist_on_gc(out, fp)
+
+
+def simhash_candidates(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Blocked candidate pairs (doc_id_a, doc_id_b, fp_a, fp_b), each
+    pair emitted exactly once, plus the persisted fingerprint frame
+    (callers pass it to unpersist_on_gc / count it for stats). Exposed
+    separately so the scale sweep can measure candidate volume — the
+    quantity the first-match filter and bucket cap exist to bound."""
     n_blocks = 4
     while n_blocks <= max_hamming:
         n_blocks *= 2
@@ -470,32 +515,48 @@ def simhash_near_pairs(
     block_bits = 64 // n_blocks
     block_mask = (1 << block_bits) - 1
 
+    def block_of(col: Column, i: int) -> Column:
+        return F.shiftrightunsigned(col, block_bits * i).bitwiseAND(
+            F.lit(block_mask).cast("long")
+        )
+
     fp = simhash_fingerprints(documents, id_col, text_col).persist()
     blocks = fp.select(
         "doc_id",
         "fp",
         F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("fp"), block_bits * i)
-                    .bitwiseAND(F.lit(block_mask).cast("long"))
-                    for i in range(n_blocks)
-                ]
-            )
+            F.array(*[block_of(F.col("fp"), i) for i in range(n_blocks)])
         ).alias("block_idx", "block_val"),
     )
+
+    # cap degenerate buckets (clone/spam clusters) — explicit skew bound
+    bucket_sizes = blocks.groupBy("block_idx", "block_val").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    blocks = blocks.join(
+        F.broadcast(bucket_sizes.filter(F.col("bsz") > max_bucket)),
+        ["block_idx", "block_val"],
+        "left_anti",
+    )
+
     a = blocks.select(
         "block_idx", "block_val", F.col("doc_id").alias("doc_id_a"), F.col("fp").alias("fp_a")
     )
     b = blocks.select(
         "block_idx", "block_val", F.col("doc_id").alias("doc_id_b"), F.col("fp").alias("fp_b")
     )
-    out = (
+    # First equal block of the pair, from the XOR: block i equal <=>
+    # bits [i*w, (i+1)*w) of fp_a^fp_b are all zero. CASE walks blocks
+    # low-to-high, so `first_eq == block_idx` keeps exactly one copy
+    # of each candidate pair.
+    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
+    first_eq = F.lit(None).cast("int")
+    for i in reversed(range(n_blocks)):
+        first_eq = F.when(block_of(xor, i) == 0, F.lit(i)).otherwise(first_eq)
+    cand = (
         a.join(b, ["block_idx", "block_val"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_id_a", "doc_id_b", "hamming")
+        .filter(first_eq == F.col("block_idx"))
+        .select("doc_id_a", "doc_id_b", "fp_a", "fp_b")
     )
-    return unpersist_on_gc(out, fp)
+    return cand, fp

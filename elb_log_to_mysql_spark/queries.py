@@ -28,7 +28,7 @@ from elb_log_to_mysql_spark.functions.numeric import DAVG_SQL, DSUM_SQL, dsum
 from elb_log_to_mysql_spark.operators import advanced, asof, dedup, relational
 from elb_log_to_mysql_spark.operators import multimodal, sessionize, similarity, skew
 from elb_log_to_mysql_spark.operators import textops, tpch, windows
-from elb_log_to_mysql_spark.session import tune_session
+from elb_log_to_mysql_spark.session import carry_caches, tune_session
 from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
 from elb_log_to_mysql_spark.sources.tables import (
     load_table,
@@ -1328,8 +1328,9 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
-    SELECT doc_id_a, doc_id_b,
-           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(0 AS BIGINT) AS false_pairs,
+           TRUE AS recall_floor_met
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_id_a
     JOIN sizes sb ON sb.doc_id = doc_id_b
@@ -1337,15 +1338,45 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
     """,
 )
 def q_near_dedup(spark, sf_dir):
-    """MinHash-LSH near-dup pairs, checked against the EXACT Jaccard
-    pair set: LSH only generates candidates — every candidate is
-    verified with exact Jaccard on the shingle sets — so precision is
-    structural, and at this corpus the 64-hash/16-band S-curve has
-    measured total recall at threshold 0.6 (every qualifying pair
-    collides in >=1 band; verified at sf0.001 and sf0.01). The DuckDB
-    twin is the same exact pair set, making this a full value check of
-    the production LSH path, not a rows-only count."""
-    return dedup.near_dedup_minhash(_t(spark, sf_dir, "documents"))
+    """MinHash-LSH near-dup audit against the EXACT Jaccard pair set.
+
+    Three driver-checked values: `n_exact` (the oracle recomputes the
+    exact threshold-0.6 pair count independently in DuckDB — a full
+    value check of the shingling/Jaccard ground truth), `false_pairs`
+    (must be exactly 0: LSH only generates candidates, every candidate
+    is verified with exact Jaccard, so precision is STRUCTURAL), and a
+    0.9 recall floor. Recall is asserted as a floor, not set equality:
+    with 64 hashes / 16 bands the collision probability for a pair at
+    exactly j=0.6 is ~0.89 (1-(1-0.6^4)^16), so total recall is an
+    empirical property of the corpus (measured 1.0 at sf0.001/sf0.01 —
+    the qualifying pairs are all high-j); a regenerated corpus with a
+    borderline pair must not fail the gate when the operator behaves
+    as designed."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+    found = dedup.near_dedup_minhash(docs)
+    joined = exact.select("doc_id_a", "doc_id_b").join(
+        found.select("doc_id_a", "doc_id_b", F.lit(1).alias("f")),
+        ["doc_id_a", "doc_id_b"],
+        "left",
+    )
+    recall_stats = joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("f", F.lit(0))).alias("n_hit"),
+    )
+    found_stats = found.agg(F.count(F.lit(1)).alias("n_found"))
+    out = recall_stats.crossJoin(F.broadcast(found_stats)).select(
+        "n_exact",
+        (F.col("n_found") - F.col("n_hit")).alias("false_pairs"),
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_hit") >= F.lit(0.9) * F.col("n_exact"))
+        ).alias("recall_floor_met"),
+    )
+    # Keep both operators' shingle caches alive until this derived
+    # audit plan executes (unpersist_on_gc parents would otherwise be
+    # released at plan-build time).
+    return carry_caches(out, exact, found)
 
 
 @_q(
@@ -1386,14 +1417,14 @@ def q_simhash_pairs(spark, sf_dir):
     (xxhash64 fingerprints), so the audit verifies the property that
     matters: the sketch does not drop near-identical duplicates."""
     docs = _t(spark, sf_dir, "documents")
-    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.9).select(
-        "doc_id_a", "doc_id_b"
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.9)
+    found = dedup.simhash_near_pairs(docs, max_hamming=6)
+    joined = exact.select("doc_id_a", "doc_id_b").join(
+        found.select("doc_id_a", "doc_id_b", F.lit(1).alias("f")),
+        ["doc_id_a", "doc_id_b"],
+        "left",
     )
-    found = dedup.simhash_near_pairs(docs, max_hamming=6).select(
-        "doc_id_a", "doc_id_b", F.lit(1).alias("f")
-    )
-    joined = exact.join(found, ["doc_id_a", "doc_id_b"], "left")
-    return joined.agg(
+    out = joined.agg(
         F.count(F.lit(1)).alias("n_exact"),
         F.sum(F.coalesce("f", F.lit(0))).alias("n_hit"),
     ).select(
@@ -1403,6 +1434,8 @@ def q_simhash_pairs(spark, sf_dir):
             | (F.col("n_hit") >= F.lit(0.9) * F.col("n_exact"))
         ).alias("recall_floor_met"),
     )
+    # Pin the operators' GC-scoped caches to the derived audit plan.
+    return carry_caches(out, exact, found)
 
 
 # ===========================================================================
@@ -1483,13 +1516,14 @@ def q_similarity_topk_lsh(spark, sf_dir):
     checks (the oracle recomputes the ground-truth neighbor set)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    exact = similarity.similarity_topk_bruteforce(emb, q, k=10).select(
-        "query_id", "neighbor_id"
-    )
+    exact = similarity.similarity_topk_bruteforce(emb, q, k=10)
     approx = similarity.similarity_topk_lsh(
         emb, q, k=10, n_planes=3, n_tables=24
     )
-    return _ann_recall_audit(exact, approx, floor=0.95)
+    out = _ann_recall_audit(
+        exact.select("query_id", "neighbor_id"), approx, floor=0.95
+    )
+    return carry_caches(out, exact, approx)
 
 
 @_q(
@@ -1525,13 +1559,14 @@ def q_similarity_topk_ivf(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 20)
     if sf_dir not in _IVF_CENTROIDS:
         _IVF_CENTROIDS[sf_dir] = similarity.train_ivf_centroids(emb)
-    exact = similarity.similarity_topk_bruteforce(emb, q, k=10).select(
-        "query_id", "neighbor_id"
-    )
+    exact = similarity.similarity_topk_bruteforce(emb, q, k=10)
     approx = similarity.similarity_topk_ivf(
         emb, q, k=10, nprobe=12, centroids=_IVF_CENTROIDS[sf_dir]
     )
-    return _ann_recall_audit(exact, approx, floor=0.95)
+    out = _ann_recall_audit(
+        exact.select("query_id", "neighbor_id"), approx, floor=0.95
+    )
+    return carry_caches(out, exact, approx)
 
 
 @_q(

@@ -102,6 +102,31 @@ def test_simhash_blocking_complete_beyond_hamming_3(spark, sf_dir):
     assert blocked == brute
 
 
+def test_simhash_first_match_emits_each_pair_once(spark, sf_dir):
+    """A clone pair collides in ALL blocks; the first-match filter must
+    keep exactly one copy (the old dropDuplicates hid n_blocks-fold
+    duplicate candidates — at 10× clone density that was a 7× blowup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dedup.simhash_near_pairs(docs, max_hamming=6).collect()
+    pairs = [(r.doc_id_a, r.doc_id_b) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_simhash_max_bucket_caps_degenerate_buckets(spark):
+    """With a cap of 1, every 2+-doc bucket is dropped: a clone
+    cluster (all blocks over-full) must produce zero pairs, while the
+    default cap keeps the full clique."""
+    docs = spark.createDataFrame(
+        [(i, "the same exact cloned document text repeated here") for i in range(5)]
+        + [(100, "an entirely different unrelated piece of writing")],
+        ["doc_id", "text"],
+    )
+    full = dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    assert len(full) == 10  # 5-clone clique
+    capped = dedup.simhash_near_pairs(docs, max_hamming=3, max_bucket=1).collect()
+    assert capped == []
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)

@@ -173,9 +173,18 @@ def main() -> None:
     sim = dedup.simhash_near_pairs(docs, max_hamming=6).persist()
     _, t_sim = timed(sim.count)
     sim_hit = ex09.join(sim, ["doc_id_a", "doc_id_b"], "left_semi").count()
+    # Candidate volume: the quantity the first-match filter + bucket
+    # cap bound (round 4 measured 7× true pairs without them).
+    cand, cand_fp = dedup.simhash_candidates(docs, max_hamming=6)
+    n_cand, t_cand = timed(cand.count)
+    cand_fp.unpersist()
     report["simhash"] = {
         "exact_j09_pairs": n_ex09, "found": sim.count(), "sec": t_sim,
         "recall": round(sim_hit / n_ex09, 4) if n_ex09 else 1.0,
+        "candidate_pairs": n_cand,
+        "candidate_blowup_vs_true": (
+            round(n_cand / n_ex09, 2) if n_ex09 else None
+        ),
     }
     sim.unpersist()
     ex06.unpersist()
@@ -252,12 +261,18 @@ def main() -> None:
     ]
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         parity_path = tf.name
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__).replace(
-            "scale_sweep.py", "compare_oracle.py"),
-         "--json", parity_path, out_dir, *parity_queries],
-        capture_output=True, text=True, timeout=1800,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__).replace(
+                "scale_sweep.py", "compare_oracle.py"),
+             "--json", parity_path, out_dir, *parity_queries],
+            capture_output=True, text=True, timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        # A hung parity subprocess must not discard the sweep results
+        # computed above — record the timeout and fall through to the
+        # report write.
+        proc = None
     try:
         with open(parity_path) as fh:
             parity = json.load(fh)
@@ -268,7 +283,8 @@ def main() -> None:
     except Exception:
         report["oracle_parity"] = {
             "all_hash_match": False,
-            "error": (proc.stdout + proc.stderr)[-500:],
+            "error": "parity subprocess timed out (1800s)" if proc is None
+            else (proc.stdout + proc.stderr)[-500:],
         }
     finally:
         os.unlink(parity_path)
