@@ -210,16 +210,31 @@ def approx_distinct(lineitem: DataFrame, rsd: float = 0.01) -> DataFrame:
     in-bound flags asserting |approx − exact| ≤ 5·rsd·exact. The
     exact twin here is the verification harness, not the scale path.
     """
-    est_p = F.approx_count_distinct("l_partkey", rsd)
-    est_o = F.approx_count_distinct("l_orderkey", rsd)
-    ex_p = F.countDistinct("l_partkey")
-    ex_o = F.countDistinct("l_orderkey")
+    # The approx and exact legs are SEPARATE aggregations joined on the
+    # (tiny) group key, never one mixed agg: Spark rewrites multi-column
+    # DISTINCT aggregates with an Expand that multiplies the input ×
+    # (n_distinct_cols + 1), and a mixed agg drags the HLL sketch
+    # updates through that expansion — measured 45 s vs 1.6 s at sf0.1
+    # for the same contract. Split, the approx leg is a pure map-side
+    # combine (the 100 TB path the docstring describes) and only the
+    # verification leg pays the Expand.
+    est = lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("est_p"),
+        F.approx_count_distinct("l_orderkey", rsd).alias("est_o"),
+    )
+    exact = lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
     bound = F.lit(5 * rsd)
-    return lineitem.groupBy("l_returnflag").agg(
-        ex_p.alias("n_parts"),
-        ex_o.alias("n_orders"),
-        (F.abs(est_p - ex_p) <= bound * ex_p).alias("parts_in_bound"),
-        (F.abs(est_o - ex_o) <= bound * ex_o).alias("orders_in_bound"),
+    return exact.join(F.broadcast(est), "l_returnflag").select(
+        "l_returnflag",
+        "n_parts",
+        "n_orders",
+        (F.abs(F.col("est_p") - F.col("n_parts")) <= bound * F.col("n_parts"))
+        .alias("parts_in_bound"),
+        (F.abs(F.col("est_o") - F.col("n_orders")) <= bound * F.col("n_orders"))
+        .alias("orders_in_bound"),
     )
 
 

@@ -55,8 +55,13 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    # spread=True: scan-bound aggregate consumers opt into a post-scan
+    # repartition when the parquet layout is single-row-group (see
+    # sources/tables.py for the measured win/loss split).
+    return load_table(spark, sf_dir, name, spread=spread)
 
 
 def _dsum(expr: str) -> str:
@@ -207,7 +212,9 @@ def q_range_join(spark, sf_dir):
     """,
 )
 def q_hash_agg(spark, sf_dir):
-    return relational.hash_agg_q1(_t(spark, sf_dir, "lineitem"))
+    # spread: wide decimal aggregate over the bare fact scan — the
+    # measured winner case for the narrow-layout repartition (~35%).
+    return relational.hash_agg_q1(_t(spark, sf_dir, "lineitem", spread=True))
 
 
 # canonical-name alias: hash_agg IS the TPC-H Q1 pricing summary
@@ -948,7 +955,9 @@ def q_pivot_agg(spark, sf_dir):
     """,
 )
 def q_stats_agg(spark, sf_dir):
-    return advanced.stats_agg(_t(spark, sf_dir, "lineitem"))
+    # spread: moment computations over the bare fact scan (2.1 s ->
+    # 0.87 s at sf0.1 on the single-row-group layout).
+    return advanced.stats_agg(_t(spark, sf_dir, "lineitem", spread=True))
 
 
 @_q(
@@ -1050,7 +1059,11 @@ def q_percentile_approx(spark, sf_dir):
     """,
 )
 def q_grouping_sets(spark, sf_dir):
-    return advanced.grouping_sets_agg(spark, _t(spark, sf_dir, "lineitem"))
+    # spread: the grouping-set Expand multiplies the scan output, so
+    # parallelizing the map side pays (1.12 s -> 0.87 s at sf0.1).
+    return advanced.grouping_sets_agg(
+        spark, _t(spark, sf_dir, "lineitem", spread=True)
+    )
 
 
 @_q(

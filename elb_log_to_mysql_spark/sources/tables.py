@@ -40,11 +40,78 @@ def raw_parquet_schema(spark: SparkSession, path: str):
         return spark.read.parquet(path).schema
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+    df = (
+        _load_events(spark, path) if name == "events"
+        else spark.read.parquet(path)
+    )
+    return _spread_if_narrow(spark, df, path) if spread else df
+
+
+# A parquet file's scan parallelism is bounded by its ROW GROUPS, not
+# its byte size: Spark assigns each row group to the byte split holding
+# its midpoint, so a single-row-group file runs every downstream
+# operator single-task until the first exchange — broadcast joins and
+# partial aggregations included. (The driver's regenerated testdata
+# ships exactly that layout; round-3 measured scan-bound aggregates
+# 3.8× slower on it.) `spread=True` lets a SCAN-BOUND consumer — one
+# whose per-row post-scan work dominates (wide aggregate expressions)
+# — ask for a post-scan repartition when the layout under-parallelizes
+# a meaningfully-sized table. It is deliberately opt-in: measured
+# head-to-head at sf0.1 (min-of-4, one warm session), spreading wins
+# ~35% for hash_agg/tpch_q1 but LOSES ~2× for join-shaped plans
+# (tpch_q3/q9), whose extra full-table exchange isn't amortized by the
+# cheap hash-probe work after it. Filters and column pruning still
+# push through the repartition into the scan (Catalyst moves
+# Filter/Project below Repartition), and at real scale a 100 TB table
+# has thousands of row groups, so the guard makes this a no-op — it
+# never adds a shuffle to a well-laid-out read.
+_SPREAD_MIN_ROWS = 50_000
+
+
+def _parquet_layout(path: str) -> tuple[int, int] | None:
+    """(row_groups, rows) from local parquet footers; None when the
+    path is remote/unreadable (object stores: trust the writer's
+    layout)."""
+    if _LAYOUT_CACHE.get(path, "miss") != "miss":
+        return _LAYOUT_CACHE[path]
+    out = None
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [os.path.join(path, f) for f in os.listdir(path)
+             if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        groups = rows = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            groups += md.num_row_groups
+            rows += md.num_rows
+        out = (groups, rows)
+    except Exception:
+        out = None
+    _LAYOUT_CACHE[path] = out
+    return out
+
+
+_LAYOUT_CACHE: dict[str, tuple[int, int] | None] = {}
+
+
+def _spread_if_narrow(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    layout = _parquet_layout(path)
+    if layout is None:
+        return df
+    groups, rows = layout
+    cores = spark.sparkContext.defaultParallelism
+    if groups >= cores or rows < _SPREAD_MIN_ROWS:
+        return df
+    return df.repartition(cores)
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

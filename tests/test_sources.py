@@ -171,3 +171,27 @@ def test_read_media_dir_binary_files(spark, tmp_path):
     )
     decoded = {r.fmt for r in multimodal.decode_media(media).collect()}
     assert decoded == {"jpeg", "png"}
+
+
+def test_spread_repartitions_narrow_fact_scan(spark, sf_dir):
+    """spread=True must widen a single-row-group fact table to the
+    session's parallelism, stay a no-op for small tables, and keep
+    filter pushdown reaching the scan through the repartition."""
+    target = spark.sparkContext.defaultParallelism
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem", spread=True)
+    assert li.rdd.getNumPartitions() == target
+    # region: 5 rows, far below the spread threshold — untouched
+    region = load_table(spark, "/root/testdata/sf0.01", "region", spread=True)
+    assert region.rdd.getNumPartitions() < target
+    # result parity with the unspread read
+    plain = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    assert li.count() == plain.count()
+    # pushdown survives the repartition: Catalyst moves the filter
+    # below the exchange into the parquet scan
+    plan = (
+        li.filter(F.col("l_returnflag") == "A")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "l_returnflag" in plan.split(
+        "PushedFilters"
+    )[1][:200]
