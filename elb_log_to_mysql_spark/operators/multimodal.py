@@ -71,6 +71,18 @@ def binary_metadata(documents: DataFrame) -> DataFrame:
     )
 
 
+def media_metadata(media: DataFrame, id_pattern: str = r"doc_(\d+)\.bin") -> DataFrame:
+    """Metadata profile over a `binaryFile` ingest (sources/formats.py:
+    read_media_dir): id recovered from the file name, byte length and
+    sha2 digest of the raw content — all JVM expressions, content never
+    leaves the executor. The dir-scan twin of `binary_metadata`."""
+    return media.select(
+        F.regexp_extract(F.col("path"), id_pattern, 1).cast("long").alias("doc_id"),
+        F.octet_length(F.col("content")).cast("long").alias("byte_len"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    )
+
+
 def decode_image_stub(payload: bytes) -> tuple[str, int, int]:
     """STUB decode — deterministic fake in place of a real codec.
 

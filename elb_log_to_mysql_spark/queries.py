@@ -2257,6 +2257,83 @@ def q_multimodal_decode(spark, sf_dir):
 
 
 @_q(
+    "media_dir_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           sha256(text) AS sha
+    FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 64)
+    """,
+)
+def q_media_dir_meta(spark, sf_dir):
+    """binaryFile-source ingest e2e (sources/formats.py:read_media_dir):
+    the first 64 documents are materialized as real files on disk, read
+    back through the binaryFile source (path-glob pushed to the
+    listing), and profiled with JVM-only expressions — id from the
+    file name, byte length and sha2 of the raw content. The oracle
+    recomputes both from the source table, so the digest proves the
+    bytes survived the write→list→scan round trip intact. The 64-row
+    driver-side materialization is the test harness, not the operator:
+    at scale the media dir already exists."""
+    import shutil
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(64)
+        .collect()
+    )
+    out_dir = os.path.join(
+        "/tmp/spark-graft-media", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for r in docs:
+        with open(os.path.join(out_dir, f"doc_{r.doc_id}.bin"), "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    from elb_log_to_mysql_spark.sources.formats import read_media_dir
+
+    media = read_media_dir(spark, out_dir, glob="*.bin")
+    return multimodal.media_metadata(media)
+
+
+@_q(
+    "orc_source_agg",
+    f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {{dsum_price}} AS sum_price,
+           strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+    FROM orders GROUP BY o_orderstatus
+    """.format(dsum_price=DSUM_SQL.format(expr="o_totalprice")),
+)
+def q_orc_source_agg(spark, sf_dir):
+    """ORC source e2e (sources/formats.py:read_orc/write_orc): the
+    orders table is round-tripped through our ORC sink, scanned back
+    through the ORC source with an explicit schema, and aggregated;
+    the oracle aggregates the original parquet — value equality proves
+    the ORC round trip preserves every column it touches (decimal sum
+    included). The rewrite-per-call keeps the copy in lockstep with
+    regenerated testdata."""
+    from elb_log_to_mysql_spark.sources.formats import read_orc, write_orc
+
+    orders = _t(spark, sf_dir, "orders")
+    out_dir = os.path.join(
+        "/tmp/spark-graft-orc",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "orders",
+    )
+    write_orc(orders, out_dir)
+    df = read_orc(spark, out_dir, orders.schema)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+    )
+
+
+@_q(
     "multimodal_frames",
     """
     WITH sized AS (
