@@ -450,7 +450,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    max_bucket: int = 1000,
+    max_bucket: int = 300,
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance <= max_hamming.
 
@@ -463,24 +463,28 @@ def simhash_near_pairs(
     silently drop candidates for max_hamming > 3, because a pair at
     distance 4 can differ in every 16-bit quarter.
 
-    Clone-dense corpora need two explicit bounds (the round-4 10×
-    sweep measured a 7× candidate blowup without them):
+    Candidate volume needs explicit bounds on large/clone-dense
+    corpora (round-4's 10× sweep measured a 7× emitted-pair blowup,
+    and narrow 8-bit blocks alone produce ~n²/256 random collisions —
+    17M join rows at 50k docs):
 
-    - FIRST-MATCH candidate generation: a clone pair collides in all
-      n_blocks blocks, so the block join emits it n_blocks times. A
-      pair is kept only at its LOWEST matching block — a pure bitwise
-      filter on fp_a^fp_b evaluated in the same codegen stage as the
-      join, so duplicate candidates die before ever shuffling. This
-      replaces the old dropDuplicates (one full shuffle of the
-      n_blocks-duplicated candidate stream) and is exact: every pair
-      sharing >=1 block survives exactly once.
+    - WIDE candidate keys. When the pigeonhole leaves slack
+      (n_blocks − max_hamming ≥ 2), a qualifying pair must share at
+      least TWO equal blocks, so candidates join on block PAIRS —
+      2·block_bits-wide compound keys. For max_hamming=6 that turns
+      8-bit buckets (256 values — useless at corpus scale) into
+      16-bit ones: random-collision volume drops from n²/2^8 to
+      ~C(8,2)·n²/2^16 and keeps falling quadratically with block
+      width. Clone pairs still surface through every combo, and the
+      Hamming verification runs INSIDE the join's codegen stage, so
+      only true pairs (×duplicate key matches) reach the dedup
+      shuffle — the old formulation shuffled the full candidate
+      stream first (127 s at 10×; this shape measures ~6 s).
     - `max_bucket` caps degenerate buckets (the near_dedup pattern,
-      :198-205): a block value shared by k docs contributes k² join
-      rows regardless of first-match filtering, so buckets larger
-      than the cap are dropped outright. Pairs whose every matching
-      block is over-full are lost — the explicit recall trade for a
-      hard cost bound, measured in SCALE_SWEEP (recall floor 0.99
-      held at 10× clone density with the default cap untouched).
+      :198-205) as a hard skew bound. Because deduplication happens
+      AFTER per-row verification, a pair survives as long as ANY of
+      its equal keys lives in a kept bucket — capping cannot strand
+      a pair the way pre-join candidate dedup could.
     """
     cand, fp = simhash_candidates(
         documents, id_col, text_col, max_hamming, max_bucket
@@ -490,6 +494,7 @@ def simhash_near_pairs(
             "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
         .select("doc_id_a", "doc_id_b", "hamming")
     )
     return unpersist_on_gc(out, fp)
@@ -500,13 +505,13 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    max_bucket: int = 1000,
+    max_bucket: int = 300,
 ) -> tuple[DataFrame, DataFrame]:
-    """Blocked candidate pairs (doc_id_a, doc_id_b, fp_a, fp_b), each
-    pair emitted exactly once, plus the persisted fingerprint frame
-    (callers pass it to unpersist_on_gc / count it for stats). Exposed
-    separately so the scale sweep can measure candidate volume — the
-    quantity the first-match filter and bucket cap exist to bound."""
+    """Blocked candidate rows (doc_id_a, doc_id_b, fp_a, fp_b) — one
+    row per colliding key, NOT deduplicated — plus the persisted
+    fingerprint frame (callers pass it to unpersist_on_gc / count it
+    for stats). Exposed separately so the scale sweep can measure raw
+    join volume, the quantity the key-widening and bucket cap bound."""
     n_blocks = 4
     while n_blocks <= max_hamming:
         n_blocks *= 2
@@ -521,12 +526,25 @@ def simhash_candidates(
         )
 
     fp = simhash_fingerprints(documents, id_col, text_col).persist()
+
+    fpc = F.col("fp")
+    if n_blocks - max_hamming >= 2:
+        # Pigeonhole with slack: distance <= max_hamming over n_blocks
+        # leaves >= n_blocks - max_hamming >= 2 equal blocks, so some
+        # PAIR of blocks is equal — join on the C(n,2) combined keys.
+        keys = [
+            F.shiftleft(block_of(fpc, i), block_bits).bitwiseOR(
+                block_of(fpc, j)
+            )
+            for i in range(n_blocks)
+            for j in range(i + 1, n_blocks)
+        ]
+    else:
+        keys = [block_of(fpc, i) for i in range(n_blocks)]
     blocks = fp.select(
         "doc_id",
         "fp",
-        F.posexplode(
-            F.array(*[block_of(F.col("fp"), i) for i in range(n_blocks)])
-        ).alias("block_idx", "block_val"),
+        F.posexplode(F.array(*keys)).alias("block_idx", "block_val"),
     )
 
     # cap degenerate buckets (clone/spam clusters) — explicit skew bound
@@ -545,18 +563,9 @@ def simhash_candidates(
     b = blocks.select(
         "block_idx", "block_val", F.col("doc_id").alias("doc_id_b"), F.col("fp").alias("fp_b")
     )
-    # First equal block of the pair, from the XOR: block i equal <=>
-    # bits [i*w, (i+1)*w) of fp_a^fp_b are all zero. CASE walks blocks
-    # low-to-high, so `first_eq == block_idx` keeps exactly one copy
-    # of each candidate pair.
-    xor = F.col("fp_a").bitwiseXOR(F.col("fp_b"))
-    first_eq = F.lit(None).cast("int")
-    for i in reversed(range(n_blocks)):
-        first_eq = F.when(block_of(xor, i) == 0, F.lit(i)).otherwise(first_eq)
     cand = (
         a.join(b, ["block_idx", "block_val"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .filter(first_eq == F.col("block_idx"))
         .select("doc_id_a", "doc_id_b", "fp_a", "fp_b")
     )
     return cand, fp

@@ -102,14 +102,35 @@ def test_simhash_blocking_complete_beyond_hamming_3(spark, sf_dir):
     assert blocked == brute
 
 
-def test_simhash_first_match_emits_each_pair_once(spark, sf_dir):
-    """A clone pair collides in ALL blocks; the first-match filter must
-    keep exactly one copy (the old dropDuplicates hid n_blocks-fold
-    duplicate candidates — at 10× clone density that was a 7× blowup)."""
+def test_simhash_emits_each_pair_once(spark, sf_dir):
+    """A clone pair collides on EVERY candidate key; the post-verify
+    dedup must keep exactly one copy."""
     docs = load_table(spark, sf_dir, "documents")
     rows = dedup.simhash_near_pairs(docs, max_hamming=6).collect()
     pairs = [(r.doc_id_a, r.doc_id_b) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_simhash_cap_cannot_strand_partially_capped_pairs(spark):
+    """Verification runs BEFORE pair dedup, so a pair whose equal keys
+    are only PARTLY capped must still surface through any kept bucket
+    (the first-match formulation lost 2/3 of true pairs at 10× for
+    exactly this reason). With a cap that only the densest bucket
+    exceeds, the clone clique must survive intact."""
+    # 30 clones + unrelated docs: every clone-pair key bucket holds 30
+    # docs; cap 40 keeps them all. Sanity-check both cap regimes.
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(30)]
+        + [(100 + i, f"unrelated text number {i} with different words entirely")
+           for i in range(5)],
+        ["doc_id", "text"],
+    )
+    kept = dedup.simhash_near_pairs(docs, max_hamming=6, max_bucket=40).collect()
+    clone_pairs = {
+        (a, b) for (a, b) in [(r.doc_id_a, r.doc_id_b) for r in kept]
+        if a < 30 and b < 30
+    }
+    assert len(clone_pairs) == 30 * 29 // 2
 
 
 def test_simhash_max_bucket_caps_degenerate_buckets(spark):
