@@ -1,0 +1,129 @@
+"""Property-based invariants for the dedup family (hypothesis).
+
+Each property pins an operator against a plain-Python oracle on
+randomized corpora drawn from a SMALL token alphabet — small so that
+shingle collisions, duplicate documents, and near-duplicates actually
+occur instead of every document being trivially unique. Example
+counts are kept low because each example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from elb_log_to_mysql_spark.operators import dedup
+
+_WORDS = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far", "big", "red"]
+
+_DOC = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=20)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = [t for t in text.lower().split() if t]
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(corpus=_CORPUS)
+@settings(**_SETTINGS)
+def test_word_shingles_match_python_oracle(spark, corpus):
+    """word_shingles (sequence+slice+transform, no explode) must equal
+    the plain sliding-window definition, including docs shorter than n
+    tokens (empty array, not a crash) and duplicate shingles
+    (distinct)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    rows = df.select(
+        "doc_id", dedup.word_shingles("text", 3).alias("sh")
+    ).collect()
+    for r in rows:
+        assert set(r.sh) == _py_shingles(corpus[r.doc_id]), corpus[r.doc_id]
+        assert len(r.sh) == len(set(r.sh))
+
+
+@given(corpus=st.lists(_DOC.filter(bool), min_size=1, max_size=12), seed=st.integers(0, 2**16))
+@settings(**_SETTINGS)
+def test_simhash_is_token_order_invariant(spark, corpus, seed):
+    """SimHash is a bag-of-words vote tally: permuting a document's
+    tokens must leave its fingerprint bit-identical (the property that
+    makes it a CONTENT sketch rather than a sequence hash)."""
+    rng = random.Random(seed)
+
+    def shuffled(t: str) -> str:
+        toks = t.split()
+        rng.shuffle(toks)
+        return " ".join(toks)
+
+    n = len(corpus)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)]
+        + [(i + n, shuffled(t)) for i, t in enumerate(corpus)],
+        ["doc_id", "text"],
+    )
+    fps = {
+        r.doc_id: r.fp for r in dedup.simhash_fingerprints(df).collect()
+    }
+    for i in range(n):
+        assert fps[i] == fps[i + n], corpus[i]
+
+
+@given(corpus=_CORPUS)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_pairs_match_python_bruteforce(spark, corpus):
+    """The inverted-index exact-Jaccard join must equal the O(n²)
+    Python brute force — same pair set AND same jaccard values — on
+    corpora dense with shared shingles (the regime where the
+    size-compatibility prune and hash representation could silently
+    drop or distort pairs)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    sh = {i: _py_shingles(t) for i, t in enumerate(corpus)}
+    want = {}
+    for a in range(len(corpus)):
+        for b in range(a + 1, len(corpus)):
+            if not sh[a] or not sh[b]:
+                continue
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= 0.5:
+                want[(a, b)] = j
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_dedup_picks_deterministic_survivor(spark, rows):
+    """exact_dedup must keep exactly the row the total order selects
+    per key — never an arbitrary partition-dependent one (the reason
+    it is row_number, not dropDuplicates)."""
+    df = spark.createDataFrame(rows, ["k", "ord", "payload"]).repartition(8)
+    got = {
+        (r.k, r.ord, r.payload)
+        for r in dedup.exact_dedup(df, ["k"], ["ord", "payload"]).collect()
+    }
+    want = {min(g) for g in {
+        k: [t for t in rows if t[0] == k] for k, _, _ in rows
+    }.values()}
+    assert got == {(k, o, p) for (k, o, p) in want}
