@@ -126,6 +126,106 @@ def decode_media(media: DataFrame) -> DataFrame:
     )
 
 
+DECODED_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def _decode_real_one(payload: bytes) -> tuple:
+    """REAL (not stub) container parsing for the two formats decodable
+    with the standard library alone: RIFF/WAVE audio (stdlib `wave`
+    reads the fmt chunk: rate/channels/frame count) and BMP images
+    (BITMAPINFOHEADER: width/height at fixed little-endian offsets).
+    Compressed formats (JPEG/PNG/...) still need external codecs and
+    stay on the stub path. Malformed payloads degrade to
+    kind='unknown' — the error-absorbing row policy (reference
+    etl:129-131), never a task failure."""
+    import io
+    import struct
+    import wave
+
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            with wave.open(io.BytesIO(payload)) as w:
+                return (
+                    "wav", w.getframerate(), w.getnchannels(),
+                    w.getnframes(), None, None,
+                )
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            width, height = struct.unpack_from("<ii", payload, 18)
+            return ("bmp", None, None, None, width, abs(height))
+    except Exception:
+        pass
+    return ("unknown", None, None, None, None, None)
+
+
+def make_wav_bytes(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
+    """Well-formed 16-bit PCM WAV container (silence payload) — the
+    deterministic fixture generator for the real-decode path."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(n_channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00" * (2 * n_channels * n_frames))
+    return buf.getvalue()
+
+
+def make_bmp_bytes(width: int, height: int, fill: int = 0x7F) -> bytes:
+    """Well-formed uncompressed 24-bit BMP (BITMAPINFOHEADER, rows
+    padded to 4 bytes) — the image fixture for the real-decode path."""
+    import struct
+
+    row = bytes([fill]) * (width * 3)
+    row += b"\x00" * ((4 - len(row) % 4) % 4)
+    pixels = row * height
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + len(info) + len(pixels), 0, 0,
+                         14 + len(info))
+    return header + info + pixels
+
+
+def decode_media_real(media: DataFrame) -> DataFrame:
+    """Real-codec decode over mapInPandas for stdlib-decodable formats
+    (WAV/BMP); same Arrow batch plumbing as `decode_media`, but the
+    emitted values are parsed out of the actual container bytes —
+    the upgrade path a PIL/ffmpeg-backed decoder would slot into."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(_decode_real_one)
+            cols = list(zip(*decoded)) or [[]] * 6
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": cols[0],
+                    "sample_rate": pd.array(cols[1], dtype="Int64"),
+                    "n_channels": pd.array(cols[2], dtype="Int64"),
+                    "n_frames": pd.array(cols[3], dtype="Int64"),
+                    "width": pd.array(cols[4], dtype="Int64"),
+                    "height": pd.array(cols[5], dtype="Int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode_batches, DECODED_REAL_SCHEMA
+    )
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

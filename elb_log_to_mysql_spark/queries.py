@@ -2299,6 +2299,77 @@ def q_media_dir_meta(spark, sf_dir):
 
 
 @_q(
+    "multimodal_decode_real",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'bmp' END AS kind,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(8000 + (doc_id % 4) * 2000 AS BIGINT) END
+             AS sample_rate,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(1 + (doc_id // 2) % 2 AS BIGINT) END AS n_channels,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(100 + (n_chars % 100) AS BIGINT) END AS n_frames,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(16 + doc_id % 16 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(8 + doc_id % 8 AS BIGINT) END AS height
+    FROM (SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 32)
+    """,
+)
+def q_multimodal_decode_real(spark, sf_dir):
+    """REAL-codec decode e2e — no stub arithmetic in the checked
+    values: WAV and BMP containers are written with table-derived
+    parameters (rate/channels/frames from doc_id and n_chars),
+    ingested through the binaryFile source, and the decode
+    (operators/multimodal.py:_decode_real_one) parses the ACTUAL
+    container bytes — stdlib `wave` for the RIFF fmt chunk, the
+    BITMAPINFOHEADER offsets for BMP. The oracle recomputes every
+    field from the generation parameters, so a decoder that misreads
+    any header field hash-mismatches. Compressed formats (JPEG/PNG)
+    still require external codecs; this entry upgrades the family's
+    evidence from replayed-stub to real-bytes for the formats the
+    sandbox can decode."""
+    import shutil
+
+    from elb_log_to_mysql_spark.sources.formats import read_media_dir
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(32)
+        .collect()
+    )
+    out_dir = os.path.join(
+        "/tmp/spark-graft-media-real",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for r in docs:
+        if r.doc_id % 2 == 0:
+            payload = multimodal.make_wav_bytes(
+                sample_rate=8000 + (r.doc_id % 4) * 2000,
+                n_channels=1 + (r.doc_id // 2) % 2,
+                n_frames=100 + (r.n_chars % 100),
+            )
+        else:
+            payload = multimodal.make_bmp_bytes(
+                width=16 + r.doc_id % 16, height=8 + r.doc_id % 8
+            )
+        with open(os.path.join(out_dir, f"doc_{r.doc_id}.bin"), "wb") as fh:
+            fh.write(payload)
+    media = read_media_dir(spark, out_dir, glob="*.bin").select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return multimodal.decode_media_real(media)
+
+
+@_q(
     "orc_source_agg",
     f"""
     SELECT o_orderstatus,

@@ -452,3 +452,24 @@ def test_quality_filter_rules_fire_individually(spark):
     assert not rows[5].symbol_ok and not rows[5].keep
     assert not rows[6].stopword_ok and not rows[6].keep
     assert not rows[7].repetition_ok and not rows[7].keep
+
+
+def test_decode_media_real_parses_actual_containers(spark):
+    """The real decoder must read header fields out of genuine WAV/BMP
+    bytes (stdlib wave / BITMAPINFOHEADER), and absorb malformed
+    payloads as kind='unknown' instead of failing the task."""
+    from elb_log_to_mysql_spark.operators import multimodal as mm
+
+    rows = [
+        (1, mm.make_wav_bytes(sample_rate=44100, n_channels=2, n_frames=777)),
+        (2, mm.make_bmp_bytes(width=31, height=7)),
+        (3, b"RIFF\x00\x00\x00\x00WAVEgarbage-not-a-wav"),
+        (4, b"plain text, no container at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.decode_media_real(df).collect()}
+    assert (got[1].kind, got[1].sample_rate, got[1].n_channels,
+            got[1].n_frames) == ("wav", 44100, 2, 777)
+    assert (got[2].kind, got[2].width, got[2].height) == ("bmp", 31, 7)
+    assert got[3].kind == "unknown"
+    assert got[4].kind == "unknown"
