@@ -185,18 +185,111 @@ def make_wav_bytes(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
 def make_bmp_bytes(width: int, height: int, fill: int = 0x7F) -> bytes:
     """Well-formed uncompressed 24-bit BMP (BITMAPINFOHEADER, rows
     padded to 4 bytes) — the image fixture for the real-decode path."""
+    import numpy as np
+
+    return _bmp_encode_pixels(
+        np.full((height, width, 3), fill, dtype=np.uint8)
+    )
+
+
+def _bmp_encode_pixels(arr) -> bytes:
+    """(h, w, 3) uint8 pixel array -> uncompressed 24-bit BMP bytes
+    (positive height = bottom-up row order, rows padded to 4 bytes)."""
     import struct
 
-    row = bytes([fill]) * (width * 3)
-    row += b"\x00" * ((4 - len(row) % 4) % 4)
-    pixels = row * height
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    pad = (4 - (3 * w) % 4) % 4
+    padded = np.zeros((h, 3 * w + pad), dtype=np.uint8)
+    padded[:, : 3 * w] = arr[::-1].reshape(h, 3 * w)
+    pixels = padded.tobytes()
     info = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
-        2835, 2835, 0, 0,
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
     )
-    header = struct.pack("<2sIHHI", b"BM", 14 + len(info) + len(pixels), 0, 0,
-                         14 + len(info))
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + len(info) + len(pixels), 0, 0, 14 + len(info)
+    )
     return header + info + pixels
+
+
+def _bmp_decode_pixels(payload: bytes):
+    """Uncompressed 24-bit BMP bytes -> (h, w, 3) uint8 array, row
+    order normalized top-down regardless of stored orientation."""
+    import struct
+
+    import numpy as np
+
+    w, h = struct.unpack_from("<ii", payload, 18)
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    h_abs = abs(h)
+    row_sz = 3 * w + (4 - (3 * w) % 4) % 4
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row_sz * h_abs, offset=offset
+    ).reshape(h_abs, row_sz)[:, : 3 * w].reshape(h_abs, w, 3)
+    return arr[::-1] if h > 0 else arr
+
+
+RESIZED_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("redecodes", T.BooleanType()),
+    ]
+)
+
+
+def resize_images_real(media: DataFrame, max_side: int = 16) -> DataFrame:
+    """REAL image resize for uncompressed BMP payloads: the pixel
+    array is parsed out of the actual container, downscaled with
+    integer nearest-neighbor indexing (no float scale factors, so the
+    output dimensions are exactly `dim·max_side // max(w,h)` — the
+    same arithmetic an oracle can replay), re-encoded as a valid BMP,
+    and re-decoded in-operator to prove the output parses. Non-BMP /
+    malformed payloads emit a null row with redecodes=false (the
+    error-absorbing policy)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(doc_id: int, payload: bytes) -> tuple:
+            try:
+                arr = _bmp_decode_pixels(payload)
+                h0, w0 = arr.shape[:2]
+                m = max(w0, h0)
+                if m > max_side:
+                    ow = max(1, w0 * max_side // m)
+                    oh = max(1, h0 * max_side // m)
+                else:
+                    ow, oh = w0, h0
+                out = arr[(np.arange(oh) * h0) // oh][
+                    :, (np.arange(ow) * w0) // ow
+                ]
+                encoded = _bmp_encode_pixels(out)
+                redec = _decode_real_one(encoded)
+                ok = redec[0] == "bmp" and (redec[4], redec[5]) == (ow, oh)
+                return (doc_id, ow, oh, len(encoded), ok)
+            except Exception:
+                return (doc_id, None, None, None, False)
+
+        for pdf in batches:
+            rows = [one(d, p) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+            cols = list(zip(*rows)) or [[]] * 5
+            yield pd.DataFrame(
+                {
+                    "doc_id": cols[0],
+                    "out_width": pd.array(cols[1], dtype="Int64"),
+                    "out_height": pd.array(cols[2], dtype="Int64"),
+                    "n_bytes": pd.array(cols[3], dtype="Int64"),
+                    "redecodes": cols[4],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resize_batches, RESIZED_REAL_SCHEMA
+    )
 
 
 def decode_media_real(media: DataFrame) -> DataFrame:

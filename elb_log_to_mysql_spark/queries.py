@@ -2370,6 +2370,71 @@ def q_multimodal_decode_real(spark, sf_dir):
 
 
 @_q(
+    "multimodal_resize_real",
+    """
+    WITH f AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32)
+    ), s AS (
+      SELECT doc_id,
+             GREATEST((w * 16) // GREATEST(w, h), 1) AS ow,
+             GREATEST((h * 16) // GREATEST(w, h), 1) AS oh
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(ow AS BIGINT) AS out_width,
+           CAST(oh AS BIGINT) AS out_height,
+           CAST(54 + oh * (3 * ow + (4 - (3 * ow) % 4) % 4) AS BIGINT)
+             AS n_bytes,
+           TRUE AS redecodes
+    FROM s
+    """,
+)
+def q_multimodal_resize_real(spark, sf_dir):
+    """REAL image resize e2e: BMP fixtures with table-derived
+    dimensions are ingested through the binaryFile source, their pixel
+    arrays parsed from the actual container bytes, downscaled with
+    integer nearest-neighbor indexing, and re-encoded as valid BMPs
+    (operators/multimodal.py:resize_images_real). The oracle replays
+    the integer scale arithmetic AND the BMP layout math (54-byte
+    header + 4-byte-padded rows), and the operator re-decodes its own
+    output in-plan — so wrong pixel geometry, wrong padding, or an
+    unparseable output all hash-mismatch."""
+    import shutil
+
+    from elb_log_to_mysql_spark.sources.formats import read_media_dir
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(32)
+        .collect()
+    )
+    out_dir = os.path.join(
+        "/tmp/spark-graft-media-resize",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for r in docs:
+        payload = multimodal.make_bmp_bytes(
+            width=16 + r.doc_id % 16,
+            height=8 + r.doc_id % 8,
+            fill=r.doc_id % 256,
+        )
+        with open(os.path.join(out_dir, f"doc_{r.doc_id}.bin"), "wb") as fh:
+            fh.write(payload)
+    media = read_media_dir(spark, out_dir, glob="*.bin").select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return multimodal.resize_images_real(media, max_side=16)
+
+
+@_q(
     "orc_source_agg",
     f"""
     SELECT o_orderstatus,

@@ -473,3 +473,33 @@ def test_decode_media_real_parses_actual_containers(spark):
     assert (got[2].kind, got[2].width, got[2].height) == ("bmp", 31, 7)
     assert got[3].kind == "unknown"
     assert got[4].kind == "unknown"
+
+
+def test_resize_images_real_resamples_actual_pixels(spark):
+    """Real resize must carry PIXEL CONTENT, not just header geometry:
+    a half-black/half-white image downscaled 2x keeps its halves, and
+    the re-encoded output must parse with the real decoder."""
+    import numpy as np
+
+    from elb_log_to_mysql_spark.operators import multimodal as mm
+
+    arr = np.zeros((8, 16, 3), dtype=np.uint8)
+    arr[:, 8:] = 255  # left half black, right half white
+    payload = mm._bmp_encode_pixels(arr)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    r = mm.resize_images_real(df, max_side=8).collect()[0]
+    assert (r.out_width, r.out_height, r.redecodes) == (8, 4, True)
+    # pure-python re-check of the emitted geometry + content
+    out = mm._bmp_decode_pixels(
+        mm._bmp_encode_pixels(
+            mm._bmp_decode_pixels(payload)[
+                (np.arange(4) * 8) // 4
+            ][:, (np.arange(8) * 16) // 8]
+        )
+    )
+    assert out.shape == (4, 8, 3)
+    assert (out[:, :4] == 0).all() and (out[:, 4:] == 255).all()
+    # corrupt payload -> absorbed, not failed
+    bad = spark.createDataFrame([(2, b"not a bmp")], "doc_id long, payload binary")
+    rb = mm.resize_images_real(bad).collect()[0]
+    assert rb.redecodes is False and rb.out_width is None
