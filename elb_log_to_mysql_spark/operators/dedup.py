@@ -297,6 +297,89 @@ def ngram_jaccard_pairs(
     )
     return unpersist_on_gc(out, sh)
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING (already-deduped) corpus —
+    the daily-ingest pattern: cost must scale with the batch, never
+    with the accumulated corpus.
+
+    Per new document: `exact_dup` (content fingerprint collides with
+    an existing doc), `near_dup` (n-gram Jaccard >= threshold against
+    any existing doc), `keep` (neither). Both checks are CROSS joins
+    only — new×existing, never existing×existing: the fingerprint
+    check is a broadcast-able semi-join on a 16-byte key, and the
+    near-dup check drives the shingle inverted index from the batch
+    side, so the corpus-side index is probed, not rebuilt (in
+    production it is a bucketed table keyed by shingle; here both
+    sides derive in-plan). Within-batch duplicates are the separate
+    `near_dedup`/`dedup_survivors` path — this operator answers "is it
+    already in the lake".
+    """
+    new_docs = ensure_min_partitions(new_docs)
+
+    fp_new = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        content_fingerprint(text_col).alias("fp"),
+    )
+    fp_ex = existing_docs.select(content_fingerprint(text_col).alias("fp"))
+    exact = (
+        fp_new.join(fp_ex, "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("exact_dup", F.lit(True))
+    )
+
+    def shingled(df: DataFrame, side: str) -> DataFrame:
+        sh = df.select(
+            F.col(id_col).alias(f"doc_id_{side}"),
+            F.explode(word_shingles(text_col, shingle_n)).alias("shingle_s"),
+        ).select(f"doc_id_{side}", F.xxhash64("shingle_s").alias("shingle"))
+        sizes = sh.groupBy(f"doc_id_{side}").agg(
+            F.count(F.lit(1)).alias(f"n_{side}")
+        )
+        return sh.join(sizes, f"doc_id_{side}")
+
+    a = shingled(new_docs, "new")
+    b = shingled(existing_docs, "ex")
+    near = (
+        a.join(b, "shingle")
+        .filter(
+            F.least("n_new", "n_ex")
+            >= F.greatest("n_new", "n_ex") * F.lit(threshold)
+        )
+        .groupBy("doc_id_new", "n_new", "doc_id_ex", "n_ex")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(
+            F.col("n_inter")
+            / (F.col("n_new") + F.col("n_ex") - F.col("n_inter"))
+            >= threshold
+        )
+        .select(F.col("doc_id_new").alias("doc_id"))
+        .distinct()
+        .withColumn("near_dup", F.lit(True))
+    )
+
+    return (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup", F.lit(False)).alias("near_dup"),
+            (
+                ~F.coalesce("exact_dup", F.lit(False))
+                & ~F.coalesce("near_dup", F.lit(False))
+            ).alias("keep"),
+        )
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     documents: DataFrame,
     id_col: str = "doc_id",

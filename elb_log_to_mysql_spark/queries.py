@@ -1250,6 +1250,85 @@ def q_dedup_docs_exact(spark, sf_dir):
 
 
 @_q(
+    "incremental_dedup",
+    r"""
+    WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8),
+    exd AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+    fpn AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM newd
+    ),
+    fpe AS (
+      SELECT DISTINCT
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM exd
+    ),
+    tn AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t FROM newd
+    ),
+    te AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t FROM exd
+    ),
+    shn AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingles
+      FROM tn
+    ),
+    she AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingles
+      FROM te
+    ),
+    sn AS (SELECT doc_id, unnest(shingles) AS shingle
+           FROM shn WHERE len(shingles) > 0),
+    se AS (SELECT doc_id, unnest(shingles) AS shingle
+           FROM she WHERE len(shingles) > 0),
+    szn AS (SELECT doc_id, COUNT(*) AS n_sh FROM sn GROUP BY doc_id),
+    sze AS (SELECT doc_id, COUNT(*) AS n_sh FROM se GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_n, b.doc_id AS id_e, COUNT(*) AS n_inter
+      FROM sn a JOIN se b ON a.shingle = b.shingle
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT id_n AS doc_id
+      FROM inter
+      JOIN szn ON szn.doc_id = id_n
+      JOIN sze ON sze.doc_id = id_e
+      WHERE n_inter / (szn.n_sh + sze.n_sh - n_inter) >= 0.6
+    ),
+    exact AS (
+      SELECT DISTINCT doc_id FROM fpn WHERE fp IN (SELECT fp FROM fpe)
+    )
+    SELECT newd.doc_id,
+           COALESCE(e.m, FALSE) AS exact_dup,
+           COALESCE(nr.m, FALSE) AS near_dup,
+           (NOT COALESCE(e.m, FALSE)) AND (NOT COALESCE(nr.m, FALSE)) AS keep
+    FROM newd
+    LEFT JOIN (SELECT doc_id, TRUE AS m FROM exact) e USING (doc_id)
+    LEFT JOIN (SELECT doc_id, TRUE AS m FROM near) nr USING (doc_id)
+    """,
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Dedup a new ingest batch (doc_id%10 >= 8) against the existing
+    corpus (doc_id%10 < 8): per new doc, exact-fingerprint and
+    cross-corpus near-dup verdicts plus the keep decision
+    (operators/dedup.py:incremental_dedup). Cost scales with the
+    batch — both checks are new×existing probes, never a corpus
+    self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 >= 8),
+        docs.filter(F.col("doc_id") % 10 < 8),
+    )
+
+
+@_q(
     "ngram_jaccard",
     r"""
     WITH toks AS (

@@ -503,3 +503,26 @@ def test_resize_images_real_resamples_actual_pixels(spark):
     bad = spark.createDataFrame([(2, b"not a bmp")], "doc_id long, payload binary")
     rb = mm.resize_images_real(bad).collect()[0]
     assert rb.redecodes is False and rb.out_width is None
+
+
+def test_incremental_dedup_verdicts(spark):
+    """New-batch vs existing-corpus dedup: exact clone -> exact_dup
+    (and near_dup, trivially), paraphrase sharing most shingles ->
+    near_dup only, novel doc -> keep."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different existing content here")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),  # exact clone (whitespace-normalized)
+            (11, base + " tonight"),  # near-dup: shares most shingles
+            (12, "entirely novel words nobody wrote before today"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in dedup.incremental_dedup(new, existing).collect()}
+    assert got[10].exact_dup and not got[10].keep
+    assert got[11].near_dup and not got[11].exact_dup and not got[11].keep
+    assert got[12].keep and not got[12].exact_dup and not got[12].near_dup
