@@ -167,10 +167,15 @@ def _decode_real_one(payload: bytes) -> tuple:
     return ("unknown", None, None, None, None, None)
 
 
-def make_wav_bytes(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
-    """Well-formed 16-bit PCM WAV container (silence payload) — the
-    deterministic fixture generator for the real-decode path."""
+def make_wav_bytes(
+    sample_rate: int, n_channels: int, n_frames: int, amplitude: int = 0
+) -> bytes:
+    """Well-formed 16-bit PCM WAV container — the deterministic
+    fixture generator for the real-decode path. `amplitude` fills
+    every sample with that constant int16 value (0 = silence), giving
+    sample-level features an exactly predictable ground truth."""
     import io
+    import struct
     import wave
 
     buf = io.BytesIO()
@@ -178,8 +183,63 @@ def make_wav_bytes(sample_rate: int, n_channels: int, n_frames: int) -> bytes:
         w.setnchannels(n_channels)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(b"\x00" * (2 * n_channels * n_frames))
+        w.writeframes(
+            struct.pack("<h", amplitude) * (n_channels * n_frames)
+        )
     return buf.getvalue()
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("rms", T.LongType()),
+    ]
+)
+
+
+def audio_features_real(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction: the PCM frames are decoded out
+    of the actual WAV container (stdlib `wave` + numpy int16 view) and
+    reduced to sample-level statistics — total sample count, peak
+    |amplitude|, and integer-rounded RMS. This exercises the payload
+    bytes end-to-end, not just the header fields; malformed payloads
+    emit a null row (error-absorbing policy)."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        def one(doc_id: int, payload: bytes) -> tuple:
+            try:
+                with wave.open(io.BytesIO(payload)) as w:
+                    raw = w.readframes(w.getnframes())
+                x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                if x.size == 0:
+                    return (doc_id, 0, 0, 0)
+                rms = int(round(float(np.sqrt(np.mean(x * x)))))
+                return (doc_id, x.size, int(np.abs(x).max()), rms)
+            except Exception:
+                return (doc_id, None, None, None)
+
+        for pdf in batches:
+            rows = [one(d, p) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+            cols = list(zip(*rows)) or [[]] * 4
+            yield pd.DataFrame(
+                {
+                    "doc_id": cols[0],
+                    "n_samples": pd.array(cols[1], dtype="Int64"),
+                    "peak": pd.array(cols[2], dtype="Int64"),
+                    "rms": pd.array(cols[3], dtype="Int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        feature_batches, AUDIO_FEATURES_SCHEMA
+    )
 
 
 def make_bmp_bytes(width: int, height: int, fill: int = 0x7F) -> bytes:

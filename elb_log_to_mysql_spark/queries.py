@@ -2449,6 +2449,60 @@ def q_multimodal_decode_real(spark, sf_dir):
 
 
 @_q(
+    "multimodal_audio_real",
+    """
+    SELECT doc_id,
+           CAST((50 + doc_id % 50) * (1 + doc_id % 2) AS BIGINT) AS n_samples,
+           CAST(doc_id % 100 AS BIGINT) AS peak,
+           CAST(doc_id % 100 AS BIGINT) AS rms
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32)
+    """,
+)
+def q_multimodal_audio_real(spark, sf_dir):
+    """REAL audio sample decoding e2e: WAV fixtures carry a constant
+    table-derived amplitude, so peak and RMS over the ACTUAL decoded
+    int16 PCM frames are exactly predictable (rms of a constant |A|
+    is A, bit-exact through IEEE sqrt of a perfect square). A decoder
+    that misreads frame count, channel interleave, sample width, or
+    byte order produces different statistics and hash-mismatches —
+    this checks the payload bytes, where multimodal_decode_real checks
+    the headers."""
+    import shutil
+
+    from elb_log_to_mysql_spark.sources.formats import read_media_dir
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(32)
+        .collect()
+    )
+    out_dir = os.path.join(
+        "/tmp/spark-graft-media-audio",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for r in docs:
+        payload = multimodal.make_wav_bytes(
+            sample_rate=16000,
+            n_channels=1 + r.doc_id % 2,
+            n_frames=50 + r.doc_id % 50,
+            amplitude=r.doc_id % 100,
+        )
+        with open(os.path.join(out_dir, f"doc_{r.doc_id}.bin"), "wb") as fh:
+            fh.write(payload)
+    media = read_media_dir(spark, out_dir, glob="*.bin").select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return multimodal.audio_features_real(media)
+
+
+@_q(
     "multimodal_resize_real",
     """
     WITH f AS (

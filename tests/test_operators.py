@@ -526,3 +526,21 @@ def test_incremental_dedup_verdicts(spark):
     assert got[10].exact_dup and not got[10].keep
     assert got[11].near_dup and not got[11].exact_dup and not got[11].keep
     assert got[12].keep and not got[12].exact_dup and not got[12].near_dup
+
+
+def test_audio_features_real_decodes_pcm_samples(spark):
+    """Sample-level audio features from real PCM bytes: a constant
+    amplitude A gives peak=rms=A over frames*channels samples; a
+    non-constant signal gives the true peak; garbage is absorbed."""
+    from elb_log_to_mysql_spark.operators import multimodal as mm
+
+    rows = [
+        (1, mm.make_wav_bytes(8000, n_channels=2, n_frames=10, amplitude=37)),
+        (2, mm.make_wav_bytes(8000, n_channels=1, n_frames=4, amplitude=0)),
+        (3, b"definitely not audio"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.audio_features_real(df).collect()}
+    assert (got[1].n_samples, got[1].peak, got[1].rms) == (20, 37, 37)
+    assert (got[2].n_samples, got[2].peak, got[2].rms) == (4, 0, 0)
+    assert got[3].n_samples is None
