@@ -2026,6 +2026,55 @@ def q_stream_tumbling(spark, sf_dir):
 
 
 @_q(
+    "stream_static_join",
+    f"""
+    WITH ranked AS (
+      SELECT user_id, event_type AS channel,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), profile AS (
+      SELECT user_id, channel FROM ranked WHERE rn = 1
+    )
+    SELECT p.channel, e.event_type,
+           COUNT(*) AS n_events,
+           {_dsum('e.value')} AS sum_value
+    FROM events e JOIN profile p USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment under real Structured Streaming: the
+    event stream joins a BATCH-derived static profile (each user's
+    first event_type — min ts with event_id tiebreak) per micro-batch
+    (streaming/windows.py:stream_static_enrich), then aggregates.
+    The DuckDB twin recomputes profile derivation, join, and
+    aggregation in one batch query — stream ≡ batch for stateless
+    stream-static joins."""
+    from pyspark.sql import Window
+
+    from elb_log_to_mysql_spark.streaming.windows import stream_static_enrich
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    profile = (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    raw_schema = raw_parquet_schema(spark, os.path.join(sf_dir, "events.parquet"))
+
+    def transform(stream):
+        from elb_log_to_mysql_spark.streaming.windows import ensure_event_time
+
+        return stream_static_enrich(ensure_event_time(stream), profile)
+
+    return run_stream_to_batch(
+        spark, os.path.join(sf_dir, "events.parquet"), transform, raw_schema
+    )
+
+
+@_q(
     "stream_sliding",
     f"""
     WITH expanded AS (

@@ -80,6 +80,30 @@ def sliding_counts(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame, profile: DataFrame
+) -> DataFrame:
+    """STREAM-STATIC inner join + aggregation: each micro-batch of the
+    event stream joins a static (batch) dimension — the join mode that
+    backs every streaming-enrichment pipeline (events × user profile,
+    logs × geo table). Stateless by construction: the static side is
+    re-planned per micro-batch, no join state is kept, and Catalyst
+    broadcasts it when it fits — at scale the static side is a compact
+    dimension, exactly the broadcast case.
+
+    `profile` must provide (user_id, channel); output is event counts
+    and exact-decimal value sums per (channel, event_type).
+    """
+    return (
+        events.join(profile, "user_id")
+        .groupBy("channel", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DET_DECIMAL)).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def session_window_agg(
     events: DataFrame, gap: str = "30 minutes"
 ) -> DataFrame:

@@ -218,3 +218,44 @@ def test_stateful_idle_timeout_evicts_and_flushes():
     assert flushed[0].iloc[0].to_dict() == {
         "user_id": 7, "n_events": 2, "sum_cents": 350, "max_gap_us": 2_000_000
     }
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stateless stream-static inner join: the streaming result must
+    equal the batch plan exactly (same join, same aggregation)."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from elb_log_to_mysql_spark.sources.tables import (
+        load_table,
+        raw_parquet_schema,
+    )
+    from elb_log_to_mysql_spark.streaming.windows import (
+        ensure_event_time,
+        run_stream_to_batch,
+        stream_static_enrich,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    profile = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("channel"))
+    )
+    batch = {
+        tuple(r)
+        for r in stream_static_enrich(ev, profile).collect()
+    }
+    src = os.path.join(sf_dir, "events.parquet")
+    streamed = {
+        tuple(r)
+        for r in run_stream_to_batch(
+            spark, src,
+            lambda s: stream_static_enrich(ensure_event_time(s), profile),
+            raw_parquet_schema(spark, src),
+        ).collect()
+    }
+    assert streamed == batch
