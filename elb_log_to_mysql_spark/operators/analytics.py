@@ -1,0 +1,246 @@
+"""Product/behavioral analytics operators over the event stream.
+
+The reference engine (etl_elb_log_to_mysql.py) stops at a flat log
+table; any downstream analytics happen in MySQL. These operators move
+the standard event-analytics battery (funnel conversion, cohort
+retention, anomaly flagging, CDC snapshot merge, rolling statistics,
+one-pass profiling) into the engine itself, expressed as distributed
+DataFrame plans.
+
+Scale notes (100 TB / 1000-executor posture):
+
+- `funnel_analysis` is ONE shuffle: events are grouped per user and
+  the ordered funnel-stage fold runs as a pure higher-order-function
+  expression (`aggregate` over a sorted struct array) inside codegen —
+  no window over the raw stream, no self-join chain, no Python. Per-
+  user arrays are bounded by per-user activity, not corpus size.
+- `retention_cohorts` is two shuffles (first-touch per user, then the
+  cohort/offset rollup) — both partial-agg friendly.
+- `anomaly_zscore` is the classic two-pass score: a 5-row stats
+  aggregate broadcast back over the stream. Both passes are map-side
+  combinable; the join is a broadcast, never a shuffle of the stream.
+- `scd1_merge` computes latest-per-key on each side with a tie-safe
+  `max(struct(ts, event_id, ...))` — an ordinary partial aggregate,
+  deliberately NOT a row_number window (no sort, map-side combine).
+- `data_profile` reads the fact table ONCE for all columns (a single
+  multi-aggregate; Spark plans the distinct counts via Expand) and
+  unpivots the one result row driver-side-free with `stack`.
+
+Determinism contract: every double aggregate goes through the exact
+DECIMAL image (functions/numeric.py) so results are bit-identical
+across partitionings and match the DuckDB oracle; ranking ties carry
+`event_id` as a unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.functions.eventtime import normalize_event_time
+from elb_log_to_mysql_spark.functions.numeric import davg, dsum
+
+
+def funnel_analysis(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered funnel conversion: how many users reached step k via a
+    strictly ordered subsequence of their event stream.
+
+    Greedy earliest-match over the (ts, event_id)-sorted per-user
+    stream is equivalent to the min-after-min chain (the SQL oracle's
+    formulation): advancing at the first possible occurrence of each
+    step never forecloses a later step. One shuffle; the fold is a
+    codegen'd higher-order function, not a window or join chain.
+    """
+    ev = normalize_event_time(events)
+    filtered = ev.filter(F.col("event_type").isin(steps)).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    stage = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < len(steps))
+            & (e["event_type"] == F.element_at(step_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    per_user = filtered.groupBy("user_id").agg(stage.alias("max_stage"))
+    counts = per_user.agg(
+        *[
+            F.sum((F.col("max_stage") >= k).cast("bigint")).alias(f"s{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{k}, '{steps[k - 1]}', s{k}" for k in range(1, len(steps) + 1)
+    )
+    return (
+        counts.select(
+            F.expr(
+                f"stack({len(steps)}, {stack_args}) "
+                "AS (step_idx, step_name, n_users)"
+            ),
+            F.col("s1").alias("_first"),
+        )
+        .select(
+            "step_idx",
+            "step_name",
+            "n_users",
+            F.round(F.col("n_users").cast("double") / F.col("_first"), 9).alias(
+                "conversion"
+            ),
+        )
+        .orderBy("step_idx")
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; activity bucketed by whole-week offset from that
+    first day. `n_users` is exact distinct."""
+    ev = normalize_event_time(events).select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format(F.date_trunc("week", "cohort_day"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            F.floor(F.datediff("d", "cohort_day") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def anomaly_zscore(events: DataFrame, threshold: float = 3.0) -> DataFrame:
+    """Flag events whose `value` deviates >= `threshold` standard
+    deviations from the per-type mean.
+
+    Mean and variance derive from exact-decimal sums of v and v*v
+    (sample variance, n-1), so stats — and therefore every z-score —
+    are bit-identical to a single-node oracle computing the same
+    expression sequence. The 5-row stats side is broadcast."""
+    ev = normalize_event_time(events)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value").alias("sv"),
+        dsum(F.col("value") * F.col("value")).alias("svv"),
+    )
+    stats = stats.select(
+        "event_type",
+        (F.col("sv") / F.col("n")).alias("mean_v"),
+        F.sqrt(
+            (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("stddev_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("stddev_v")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) >= threshold)
+    )
+
+
+def scd1_merge(events: DataFrame, split: str) -> DataFrame:
+    """SCD type-1 / CDC snapshot merge: the pre-`split` stream is the
+    base snapshot (latest state per user), the post-`split` stream is
+    the change feed; merge keeps the newest state and labels each key
+    `insert` (new key), `update` (key present in both), or `carry`
+    (untouched base key).
+
+    Latest-per-key is `max(struct(ts, event_id, state))` — tie-safe
+    (event_id unique), partial-agg friendly, and avoids the full sort
+    a row_number window would require."""
+    ev = normalize_event_time(events)
+    latest = F.max(F.struct("ts", "event_id", "event_type")).alias("s")
+
+    def side(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(latest)
+            .select(
+                "user_id",
+                F.col("s.ts").alias(f"{prefix}_ts"),
+                F.col("s.event_id").alias(f"{prefix}_id"),
+                F.col("s.event_type").alias(f"{prefix}_state"),
+            )
+        )
+
+    base = side(ev.filter(F.col("ts") < F.lit(split).cast("timestamp")), "b")
+    upd = side(ev.filter(F.col("ts") >= F.lit(split).cast("timestamp")), "u")
+    merged = base.join(upd, "user_id", "full_outer")
+    return merged.select(
+        "user_id",
+        F.coalesce("u_state", "b_state").alias("state"),
+        F.date_format(
+            F.coalesce("u_ts", "b_ts"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("updated_at"),
+        F.when(F.col("b_id").isNull(), F.lit("insert"))
+        .when(F.col("u_id").isNull(), F.lit("carry"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+
+
+def rolling_median(events: DataFrame, frame_rows: int = 10) -> DataFrame:
+    """Exact trailing median of `value` over the last `frame_rows`
+    events per user (ordered by ts, event_id). `percentile(0.5)` is
+    Spark's exact interpolated quantile — identical arithmetic to the
+    oracle's quantile_cont, so values are bit-stable."""
+    ev = normalize_event_time(events)
+    frame = (
+        f"(PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {frame_rows - 1} PRECEDING AND CURRENT ROW)"
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(
+            F.expr(f"percentile(value, 0.5) OVER {frame}"), 9
+        ).alias("med_{}".format(frame_rows)),
+    )
+
+
+def data_profile(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
+    """One-pass column profiler (Deequ-style): row/null/exact-distinct
+    counts, min/max, and deterministic mean for each numeric column,
+    from a SINGLE scan of the fact table. The per-column result row is
+    unpivoted with `stack` — no driver-side loop over columns."""
+    aggs: list = [F.count(F.lit(1)).alias("n_rows")]
+    for c in numeric_cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__mn"),
+            F.max(c).cast("double").alias(f"{c}__mx"),
+            davg(c).alias(f"{c}__av"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__mn, {c}__mx, {c}__av"
+        for c in numeric_cols
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(numeric_cols)}, {stack_args}) AS "
+            "(col_name, n_null, n_distinct, min_val, max_val, avg_val)"
+        ),
+    ).select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val",
+        "avg_val",
+    )

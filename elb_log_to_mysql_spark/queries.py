@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from elb_log_to_mysql_spark.functions.numeric import DAVG_SQL, DSUM_SQL, dsum
-from elb_log_to_mysql_spark.operators import advanced, asof, dedup, relational
+from elb_log_to_mysql_spark.operators import advanced, analytics, asof, dedup, relational
 from elb_log_to_mysql_spark.operators import multimodal, sessionize, similarity, skew
 from elb_log_to_mysql_spark.operators import textops, tpch, windows
 from elb_log_to_mysql_spark.session import carry_caches, tune_session
@@ -3557,4 +3557,212 @@ def q_bucketed_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             dsum("o_totalprice").alias("sum_price"),
         )
+    )
+
+
+# ===========================================================================
+# Behavioral analytics / CDC battery (operators/analytics.py)
+# ===========================================================================
+
+@_q(
+    "funnel_analysis",
+    """
+    WITH f AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    v AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM f WHERE event_type = 'view') WHERE rn = 1
+    ),
+    c AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT e.user_id, e.ts, e.event_id,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM f e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click'
+          AND (e.ts, e.event_id) > (v.ts, v.event_id)) WHERE rn = 1
+    ),
+    p AS (
+      SELECT user_id FROM (
+        SELECT e.user_id,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM f e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase'
+          AND (e.ts, e.event_id) > (c.ts, c.event_id)) WHERE rn = 1
+    ),
+    n AS (SELECT (SELECT COUNT(*) FROM v) AS s1,
+                 (SELECT COUNT(*) FROM c) AS s2,
+                 (SELECT COUNT(*) FROM p) AS s3)
+    SELECT 1 AS step_idx, 'view' AS step_name, s1 AS n_users,
+           ROUND(CAST(s1 AS DOUBLE) / s1, 9) AS conversion FROM n
+    UNION ALL
+    SELECT 2, 'click', s2, ROUND(CAST(s2 AS DOUBLE) / s1, 9) FROM n
+    UNION ALL
+    SELECT 3, 'purchase', s3, ROUND(CAST(s3 AS DOUBLE) / s1, 9) FROM n
+    """,
+)
+def q_funnel_analysis(spark, sf_dir):
+    """Ordered view->click->purchase funnel in ONE shuffle: per-user
+    greedy subsequence fold as a codegen'd higher-order expression
+    (operators/analytics.py:funnel_analysis); the oracle replays the
+    equivalent min-after-min SQL chain."""
+    return analytics.funnel_analysis(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@_q(
+    "retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(date_trunc('week', f.cohort_day), '%Y-%m-%d')
+             AS cohort_week,
+           CAST(FLOOR(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                      / 7.0) AS INTEGER) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix
+    (operators/analytics.py:retention_cohorts)."""
+    return analytics.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "anomaly_zscore",
+    f"""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             {_dsum('value')} AS sv,
+             {_dsum('value * value')} AS svv
+      FROM events GROUP BY event_type
+    ),
+    st AS (
+      SELECT event_type, sv / n AS mean_v,
+             SQRT((svv - sv * sv / n) / (n - 1)) AS stddev_v
+      FROM s
+    )
+    SELECT event_id, e.event_type, value,
+           ROUND((value - mean_v) / stddev_v, 6) AS zscore
+    FROM events e JOIN st ON e.event_type = st.event_type
+    WHERE ABS(ROUND((value - mean_v) / stddev_v, 6)) >= 3.0
+    """,
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-type z-score outlier flags; stats from exact-decimal sums
+    so scores are bit-identical to the oracle
+    (operators/analytics.py:anomaly_zscore)."""
+    return analytics.anomaly_zscore(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "scd1_merge",
+    """
+    WITH b AS (
+      SELECT user_id, ts, event_id, event_type FROM (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-20') WHERE rn = 1
+    ),
+    u AS (
+      SELECT user_id, ts, event_id, event_type FROM (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20') WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, u.user_id) AS user_id,
+           COALESCE(u.event_type, b.event_type) AS state,
+           strftime(COALESCE(u.ts, b.ts), '%Y-%m-%d %H:%M:%S')
+             AS updated_at,
+           CASE WHEN b.user_id IS NULL THEN 'insert'
+                WHEN u.user_id IS NULL THEN 'carry'
+                ELSE 'update' END AS action
+    FROM b FULL OUTER JOIN u ON b.user_id = u.user_id
+    """,
+)
+def q_scd1_merge(spark, sf_dir):
+    """CDC snapshot upsert: base (pre-split) merged with the change
+    feed via tie-safe max(struct) latest-per-key — partial aggregate,
+    no sort window (operators/analytics.py:scd1_merge)."""
+    return analytics.scd1_merge(_t(spark, sf_dir, "events"), "2024-01-20")
+
+
+@_q(
+    "rolling_median",
+    """
+    SELECT user_id, event_id, value,
+           ROUND(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 9) AS med_10
+    FROM events
+    """,
+)
+def q_rolling_median(spark, sf_dir):
+    """Exact trailing 10-row median per user — Spark `percentile`
+    window vs DuckDB quantile_cont, identical interpolation
+    (operators/analytics.py:rolling_median)."""
+    return analytics.rolling_median(_t(spark, sf_dir, "events"), 10)
+
+
+@_q(
+    "data_profile",
+    f"""
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+    SELECT 'l_quantity' AS col_name, n_rows,
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity IS NULL)
+             AS n_null,
+           (SELECT COUNT(DISTINCT l_quantity) FROM lineitem) AS n_distinct,
+           (SELECT CAST(MIN(l_quantity) AS DOUBLE) FROM lineitem)
+             AS min_val,
+           (SELECT CAST(MAX(l_quantity) AS DOUBLE) FROM lineitem)
+             AS max_val,
+           (SELECT {_davg('l_quantity')} FROM lineitem) AS avg_val
+    FROM n
+    UNION ALL
+    SELECT 'l_extendedprice', n_rows,
+           (SELECT COUNT(*) FROM lineitem WHERE l_extendedprice IS NULL),
+           (SELECT COUNT(DISTINCT l_extendedprice) FROM lineitem),
+           (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) FROM lineitem),
+           (SELECT CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem),
+           (SELECT {_davg('l_extendedprice')} FROM lineitem)
+    FROM n
+    UNION ALL
+    SELECT 'l_discount', n_rows,
+           (SELECT COUNT(*) FROM lineitem WHERE l_discount IS NULL),
+           (SELECT COUNT(DISTINCT l_discount) FROM lineitem),
+           (SELECT CAST(MIN(l_discount) AS DOUBLE) FROM lineitem),
+           (SELECT CAST(MAX(l_discount) AS DOUBLE) FROM lineitem),
+           (SELECT {_davg('l_discount')} FROM lineitem)
+    FROM n
+    UNION ALL
+    SELECT 'l_tax', n_rows,
+           (SELECT COUNT(*) FROM lineitem WHERE l_tax IS NULL),
+           (SELECT COUNT(DISTINCT l_tax) FROM lineitem),
+           (SELECT CAST(MIN(l_tax) AS DOUBLE) FROM lineitem),
+           (SELECT CAST(MAX(l_tax) AS DOUBLE) FROM lineitem),
+           (SELECT {_davg('l_tax')} FROM lineitem)
+    FROM n
+    """,
+)
+def q_data_profile(spark, sf_dir):
+    """Deequ-style one-pass profiler: null/distinct/min/max/mean for
+    four measures from a SINGLE fact scan, unpivoted via stack
+    (operators/analytics.py:data_profile). The oracle recomputes each
+    cell independently."""
+    return analytics.data_profile(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )

@@ -1,0 +1,152 @@
+"""Behavioral-analytics operator invariants (operators/analytics.py).
+
+The registry oracles check value parity against DuckDB; these tests
+pin the semantic properties that parity alone wouldn't catch — funnel
+monotonicity and ordering strictness, cohort-offset bounds, merge
+action partitioning, and the single-scan plan shape of the profiler.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from elb_log_to_mysql_spark.operators import analytics
+from elb_log_to_mysql_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_funnel_counts_are_monotone_nonincreasing(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    rows = analytics.funnel_analysis(ev, ["view", "click", "purchase"]).collect()
+    assert [r["step_idx"] for r in rows] == [1, 2, 3]
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0]["conversion"] == 1.0
+
+
+def test_funnel_requires_strict_order(spark):
+    # purchase BEFORE view must not count as a completed funnel
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 10, "purchase"),
+        (1, base + dt.timedelta(minutes=1), 11, "view"),
+        (2, base, 20, "view"),
+        (2, base + dt.timedelta(minutes=1), 21, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in analytics.funnel_analysis(ev, ["view", "purchase"]).collect()
+    }
+    assert out == {"view": 2, "purchase": 1}
+
+
+def test_funnel_tie_on_timestamp_breaks_by_event_id(spark):
+    # same-instant events: progression follows event_id order
+    base = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, base, 5, "view"), (1, base, 6, "purchase"),
+         (2, base, 8, "purchase"), (2, base, 7, "view")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    out = {
+        r["step_name"]: r["n_users"]
+        for r in analytics.funnel_analysis(ev, ["view", "purchase"]).collect()
+    }
+    # user 1: view(5) then purchase(6) -> completes; user 2: purchase(7? no —
+    # view is id 7, purchase id 8) -> completes too
+    assert out == {"view": 2, "purchase": 2}
+
+
+def test_retention_week_zero_covers_every_user(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = analytics.retention_cohorts(ev).collect()
+    assert all(r["week_offset"] >= 0 for r in out)
+    week0 = sum(r["n_users"] for r in out if r["week_offset"] == 0)
+    n_users = ev.select("user_id").distinct().count()
+    # every user is active in their own cohort week 0
+    assert week0 == n_users
+
+
+def test_anomaly_zscore_flags_are_symmetric_tail(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = analytics.anomaly_zscore(ev, threshold=1.0)
+    flagged = out.count()
+    total = ev.count()
+    # |z|>=1 should flag a strict minority but not nothing
+    assert 0 < flagged < total
+    assert out.filter("abs(zscore) < 1.0").count() == 0
+
+
+def test_scd1_merge_actions_partition_the_keyspace(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    split = "2024-01-20"
+    out = analytics.scd1_merge(ev, split).cache()
+    n_out = out.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert n_out == n_users
+    by_action = {
+        r["action"]: r["n"]
+        for r in out.groupBy("action").count().withColumnRenamed("count", "n").collect()
+    }
+    from pyspark.sql import functions as F
+
+    pre = ev.filter(F.col("ts") < split).select("user_id").distinct()
+    post = ev.filter(F.col("ts") >= split).select("user_id").distinct()
+    assert by_action.get("insert", 0) == post.join(pre, "user_id", "anti").count()
+    assert by_action.get("carry", 0) == pre.join(post, "user_id", "anti").count()
+    assert by_action.get("update", 0) == pre.join(post, "user_id", "semi").count()
+    out.unpersist()
+
+
+def test_scd1_merge_state_is_latest_event(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = analytics.scd1_merge(ev, "2024-01-20")
+    from pyspark.sql import functions as F
+
+    latest = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("s"))
+        .select("user_id", F.col("s.event_type").alias("want"))
+    )
+    mism = out.join(latest, "user_id").filter("state <> want").count()
+    assert mism == 0
+
+
+def test_rolling_median_first_row_equals_value(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    out = analytics.rolling_median(ev, 10)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    first = out.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    # a window of one row: median == the value itself
+    assert first.filter(F.expr("med_10 <> round(value, 9)")).count() == 0
+
+
+def test_data_profile_single_scan_and_values(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    prof = analytics.data_profile(li, ["l_quantity", "l_discount"])
+    rows = {r["col_name"]: r for r in prof.collect()}
+    assert set(rows) == {"l_quantity", "l_discount"}
+    n = li.count()
+    assert rows["l_quantity"]["n_rows"] == n
+    assert rows["l_quantity"]["min_val"] == 1.0
+    assert rows["l_quantity"]["n_null"] == 0
+    # one-pass contract: exactly one parquet scan in the physical plan
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+
+
+@pytest.mark.parametrize("threshold", [2.0, 3.0])
+def test_anomaly_threshold_monotone(spark, threshold):
+    ev = load_table(spark, SF_DIR, "events")
+    lo = analytics.anomaly_zscore(ev, threshold).count()
+    hi = analytics.anomaly_zscore(ev, threshold + 1.0).count()
+    assert hi <= lo
