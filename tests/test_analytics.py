@@ -141,7 +141,9 @@ def test_data_profile_single_scan_and_values(spark):
     assert rows["l_quantity"]["n_null"] == 0
     # one-pass contract: exactly one parquet scan in the physical plan
     plan = prof._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan parquet") == 1
+    # AQE repeats the tree under "== Initial Plan =="; count the final only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan parquet") == 1
 
 
 @pytest.mark.parametrize("threshold", [2.0, 3.0])
