@@ -3766,3 +3766,47 @@ def q_data_profile(spark, sf_dir):
         _t(spark, sf_dir, "lineitem"),
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+
+
+@_q(
+    "zorder_scan",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN 10 AND 150
+      AND l_suppkey BETWEEN 1 AND 8
+    GROUP BY l_returnflag
+    """,
+)
+def q_zorder_scan(spark, sf_dir):
+    """2-D range query over a Z-order-clustered copy of the fact table
+    (sinks/layout.py:write_zordered). The Morton layout makes BOTH
+    predicate columns' file/row-group statistics narrow, so the scan
+    prunes ~everything outside the query rectangle — the 100 TB
+    data-skipping lever (tests/test_layout.py pins that the z-ordered
+    layout skips strictly more row groups than a 1-D sort for the same
+    predicate). The oracle checks the clustered copy returns exactly
+    the original table's answer."""
+    import hashlib
+    import tempfile
+
+    from elb_log_to_mysql_spark.sinks.layout import write_zordered
+
+    li = _t(spark, sf_dir, "lineitem")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"{tempfile.gettempdir()}/zorder_lineitem_{tag}"
+    write_zordered(li, path, "l_partkey", "l_suppkey", num_files=16)
+    return (
+        spark.read.parquet(path)
+        .filter(
+            F.col("l_partkey").between(10, 150)
+            & F.col("l_suppkey").between(1, 8)
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+    )

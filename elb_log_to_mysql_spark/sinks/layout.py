@@ -163,3 +163,111 @@ def compact_small_files(
     df.coalesce(n_out).write.mode("overwrite").parquet(dest_path)
     after = compaction_stats(spark, dest_path)
     return {"before": before, "after": after, "target_files": n_out}
+
+
+def _zvalue(cx, cy, bits: int = 16):
+    """Morton (Z-order) interleave of two normalized integer columns —
+    a pure codegen expression chain (2*bits shift/mask/or terms), no
+    UDF. 2*bits <= 62 keeps the result in a signed long."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(cx, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(cy, i).bitwiseAND(F.lit(1)).cast("long"), 2 * i + 1
+            )
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    num_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Cluster a table on the Z-order (Morton) curve of two columns and
+    write it as range-partitioned, internally sorted parquet.
+
+    Why this matters at 100 TB: parquet scans prune row groups / files
+    whose [min, max] column statistics exclude the predicate. A layout
+    sorted on ONE column makes only that column's stats selective; a
+    2-D query on (x, y) still reads every file for the y predicate.
+    Z-ordering interleaves the bits of both dimensions so files cover
+    compact rectangles of (x, y) space — BOTH columns' min/max ranges
+    become narrow, and a 2-D range predicate skips ~everything outside
+    its rectangle (the same mechanism as Delta OPTIMIZE ZORDER BY,
+    re-derived here with plain expressions).
+
+    The two normalization scalars per column (min/max) are the only
+    driver-side values — a bounded 4-scalar aggregate, not a collect.
+    The write is one range shuffle on the z-value (repartitionByRange
+    samples the distribution, giving equal-sized files even under
+    skew) + an in-partition sort; the z column is projected away
+    before write, which preserves row order.
+    """
+    from pyspark.sql import functions as F
+
+    lo_x, hi_x, lo_y, hi_y = df.agg(
+        F.min(col_x), F.max(col_x), F.min(col_y), F.max(col_y)
+    ).first()
+    span = (1 << bits) - 1
+
+    def norm(c, lo, hi):
+        width = max(1, int(hi) - int(lo))
+        return ((F.col(c).cast("long") - int(lo)) * span / width).cast("int")
+
+    z = _zvalue(norm(col_x, lo_x, hi_x), norm(col_y, lo_y, hi_y), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def pruning_stats(path: str, predicates: dict[str, tuple]) -> dict:
+    """Data-skipping census from parquet footer statistics only: how
+    many row groups could a reader skip for a conjunctive range
+    predicate {col: (lo, hi)}? Metadata-only (no data pages read) —
+    the same stats a 100 TB scan's row-group pruning consults."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(
+        f
+        for f in _glob.glob(_os.path.join(path, "*.parquet"))
+        + _glob.glob(_os.path.join(path, "part-*"))
+        if not _os.path.basename(f).startswith("_")
+    )
+    total = 0
+    matching = 0
+    for f in set(files):
+        md = _pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            total += 1
+            row_group = md.row_group(rg)
+            cols = {
+                row_group.column(i).path_in_schema: row_group.column(i).statistics
+                for i in range(row_group.num_columns)
+            }
+            hit = True
+            for col, (lo, hi) in predicates.items():
+                st = cols.get(col)
+                if st is None or not st.has_min_max:
+                    continue  # no stats -> cannot skip
+                if st.max < lo or st.min > hi:
+                    hit = False
+                    break
+            matching += int(hit)
+    return {"row_groups": total, "matching": matching, "skipped": total - matching}

@@ -141,3 +141,56 @@ def test_compaction_is_shuffle_free(spark, tmp_path):
     df = spark.read.parquet(src).coalesce(2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_zorder_skips_more_than_linear_sort_on_second_dim(spark, tmp_path):
+    """The point of the Morton layout: a 2-D predicate prunes files on
+    BOTH columns, while a 1-D sort leaves the second column's stats
+    wide. Compare footer-stats skipping for the same predicate."""
+    from elb_log_to_mysql_spark.sinks.layout import pruning_stats, write_zordered
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(li, zpath, "l_partkey", "l_suppkey", num_files=16)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    # predicate on the SECOND dimension only: the 1-D (l_partkey) sort
+    # leaves l_suppkey stats full-width in every file (skips nothing),
+    # while z-order files cover compact (x, y) rectangles
+    pred = {"l_suppkey": (1, 2)}
+    z = pruning_stats(zpath, pred)
+    lin = pruning_stats(lpath, pred)
+    assert z["row_groups"] == lin["row_groups"] == 16
+    assert lin["skipped"] == 0
+    assert z["skipped"] >= 4
+    # and the clustered copy is lossless
+    assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_zorder_scan_results_equal_original(spark):
+    from elb_log_to_mysql_spark.queries import QUERIES
+
+    out = QUERIES["zorder_scan"](spark, "/root/testdata/sf0.001")
+    from elb_log_to_mysql_spark.functions.numeric import dsum
+    from elb_log_to_mysql_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    want = (
+        load_table(spark, "/root/testdata/sf0.001", "lineitem")
+        .filter(
+            F.col("l_partkey").between(10, 150)
+            & F.col("l_suppkey").between(1, 8)
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_extendedprice").alias("sum_price"))
+    )
+    got = {tuple(r) for r in out.collect()}
+    exp = {tuple(r) for r in want.collect()}
+    assert got == exp and len(exp) > 0
