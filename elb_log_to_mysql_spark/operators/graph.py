@@ -91,3 +91,59 @@ def dedup_clusters(
         id_col,
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list; returns
+    (id, pr). Every node must have out-degree >= 1 (feed a
+    symmetrized edge set for undirected graphs — no dangling-mass
+    correction is applied).
+
+    Each iteration is one shuffle: edges join the current rank vector
+    on src (partial-agg contributions groupBy dst). The rank vector is
+    localCheckpoint'ed per round so the plan doesn't nest iterations
+    (on a cluster: reliable checkpoint). Contributions are summed
+    through the exact-decimal contract (functions/numeric.py), so
+    ranks are bit-identical across partitionings and to a single-node
+    oracle unrolling the same iterations — floating summation order is
+    the classic source of irreproducible PageRank.
+    """
+    from elb_log_to_mysql_spark.functions.numeric import dsum
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = e.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    n = nodes.count()
+    base = 0.15 / n  # literal 0.15, NOT 1-damping: bit-parity with the oracle
+    pr = nodes.withColumn("pr", F.lit(1.0 / n)).localCheckpoint()
+    for _ in range(iterations):
+        contribs = (
+            e.join(pr.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("pr") / F.col("outdeg")).alias("c"),
+            )
+            .groupBy("id")
+            .agg(dsum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return pr

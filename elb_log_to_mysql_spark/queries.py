@@ -3810,3 +3810,67 @@ def q_zorder_scan(spark, sf_dir):
             dsum("l_extendedprice").alias("sum_price"),
         )
     )
+
+
+@_q(
+    "pagerank_parts",
+    """
+    WITH e AS (
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR),
+                      'p' || CAST(l_partkey AS VARCHAR)
+      FROM lineitem
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS id FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (SELECT id, 1.0 / n AS pr FROM nodes CROSS JOIN nn),
+    it1 AS (
+      SELECT nodes.id, 0.15 / nn.n + 0.85 * COALESCE(c.s, 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS id, CAST(CAST(SUM(CAST(pr0.pr / deg.outdeg AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS s
+        FROM e JOIN pr0 ON e.src = pr0.id
+               JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) c ON nodes.id = c.id
+    ),
+    it2 AS (
+      SELECT nodes.id, 0.15 / nn.n + 0.85 * COALESCE(c.s, 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS id, CAST(CAST(SUM(CAST(it1.pr / deg.outdeg AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS s
+        FROM e JOIN it1 ON e.src = it1.id
+               JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) c ON nodes.id = c.id
+    ),
+    it3 AS (
+      SELECT nodes.id, 0.15 / nn.n + 0.85 * COALESCE(c.s, 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS id, CAST(CAST(SUM(CAST(it2.pr / deg.outdeg AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS s
+        FROM e JOIN it2 ON e.src = it2.id
+               JOIN deg ON e.src = deg.src
+        GROUP BY e.dst) c ON nodes.id = c.id
+    )
+    SELECT id, ROUND(pr, 9) AS pr FROM it3
+""",
+)
+def q_pagerank_parts(spark, sf_dir):
+    """Fixed-3-iteration PageRank over the symmetrized part-supplier
+    bipartite graph (operators/graph.py:pagerank). Each iteration is
+    one shuffle; contributions go through the exact-decimal contract
+    so ranks are bit-identical to the oracle's unrolled-CTE replay of
+    the same iterations."""
+    from elb_log_to_mysql_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = li.select(p.alias("src"), s.alias("dst")).union(
+        li.select(s.alias("src"), p.alias("dst"))
+    )
+    pr = pagerank(edges, iterations=3, damping=0.85)
+    return pr.select("id", F.round("pr", 9).alias("pr"))

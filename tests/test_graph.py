@@ -32,3 +32,47 @@ def test_dedup_clusters_defaults_to_own_id(spark):
     pairs = spark.createDataFrame([(0, 3), (3, 5)], ["doc_id_a", "doc_id_b"])
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(docs, pairs).collect()}
     assert got == {0: 0, 3: 0, 5: 0, 1: 1, 2: 2, 4: 4}
+
+
+def test_pagerank_mass_conserved_and_degree_ordered(spark):
+    """No dangling nodes in a symmetrized graph -> total rank mass
+    stays ~1 each iteration; suppliers touching more parts outrank
+    suppliers touching fewer."""
+    from pyspark.sql import functions as F
+
+    from elb_log_to_mysql_spark.operators.graph import pagerank
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    edges = li.select(p.alias("src"), s.alias("dst")).union(
+        li.select(s.alias("src"), p.alias("dst"))
+    )
+    pr = pagerank(edges, iterations=3).cache()
+    total = pr.agg(F.sum("pr")).first()[0]
+    assert abs(total - 1.0) < 1e-3
+    # rank correlates with degree: top-ranked supplier is a max-degree one
+    deg = (
+        edges.distinct().groupBy("src").count().withColumnRenamed("src", "id")
+    )
+    joined = pr.join(deg, "id").filter(F.col("id").startswith("s"))
+    top = joined.orderBy(F.col("pr").desc()).first()
+    max_deg = joined.agg(F.max("count")).first()[0]
+    assert top["count"] >= 0.8 * max_deg
+    pr.unpersist()
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """On a k-regular graph PageRank's fixpoint is uniform; a ring is
+    2-regular, so 3 iterations must keep ranks exactly equal."""
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)]
+        + [((i + 1) % 6, i) for i in range(6)],
+        "src int, dst int",
+    )
+    from elb_log_to_mysql_spark.operators.graph import pagerank
+
+    pr = pagerank(edges, iterations=3)
+    vals = {r["pr"] for r in pr.collect()}
+    assert len(vals) == 1
