@@ -461,3 +461,43 @@ def corpus_ngrams(
     return counts.orderBy(
         F.col("n_occurrences").desc(), F.col("gram")
     ).limit(k)
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 3,
+    block_on_last_word: bool = True,
+) -> DataFrame:
+    """Entity-resolution building block: distinct value pairs within
+    edit distance `max_dist`, found via blocked self-join + JVM-side
+    `levenshtein` verification (no Python in the loop).
+
+    Blocking is what makes fuzzy matching survive scale: the self-join
+    runs per block (here the trailing word — for product-style names
+    the head noun; swap in phonetic keys or length bands per domain),
+    so candidate volume is sum-of-block² instead of n². The
+    levenshtein filter evaluates inside the join's codegen stage —
+    non-candidates never reach the output shuffle."""
+    vals = (
+        df.select(F.col(col).alias("name"))
+        .filter(F.col("name").isNotNull())
+        .distinct()
+    )
+    if block_on_last_word:
+        vals = vals.withColumn("blk", F.substring_index("name", " ", -1))
+    else:
+        vals = vals.withColumn(
+            "blk", F.concat(F.substring("name", 1, 1), F.length("name") % 4)
+        )
+    a, b = vals.alias("a"), vals.alias("b")
+    return (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .filter(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein("a.name", "b.name").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

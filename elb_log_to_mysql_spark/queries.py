@@ -3874,3 +3874,64 @@ def q_pagerank_parts(spark, sf_dir):
     )
     pr = pagerank(edges, iterations=3, damping=0.85)
     return pr.select("id", F.round("pr", 9).alias("pr"))
+
+
+@_q(
+    "fuzzy_match_parts",
+    """
+    WITH v AS (
+      SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL
+    ),
+    bb AS (SELECT name, regexp_extract(name, '[^ ]+$') AS blk FROM v)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM bb a JOIN bb b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def q_fuzzy_match_parts(spark, sf_dir):
+    """Blocked fuzzy matching over part names: block on the head noun,
+    verify with JVM-side levenshtein inside the join stage
+    (operators/textops.py:fuzzy_name_pairs)."""
+    out = textops.fuzzy_name_pairs(
+        _t(spark, sf_dir, "part"), "p_name", max_dist=3
+    )
+    return out.select("name_a", "name_b", F.col("dist").cast("long").alias("dist"))
+
+
+@_q(
+    "triangle_count_cosupply",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    e AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    )
+    SELECT COUNT(*) AS n_triangles
+    FROM e ab
+    JOIN e bc ON ab.v = bc.u
+    JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+    """,
+)
+def q_triangle_count_cosupply(spark, sf_dir):
+    """Triangle count of the supplier co-supply graph via degree-
+    ordered wedge enumeration (operators/graph.py:triangle_count); the
+    oracle counts the same triangles with the orientation-free
+    canonical 3-way join."""
+    from elb_log_to_mysql_spark.operators.graph import triangle_count
+
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = ps.alias("a"), ps.alias("b")
+    edges = (
+        a.join(b, F.col("a.p") == F.col("b.p"))
+        .filter(F.col("a.s") < F.col("b.s"))
+        .select(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)

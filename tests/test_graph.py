@@ -76,3 +76,23 @@ def test_pagerank_uniform_on_regular_graph(spark):
     pr = pagerank(edges, iterations=3)
     vals = {r["pr"] for r in pr.collect()}
     assert len(vals) == 1
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has exactly 4 triangles; adding a pendant edge adds none."""
+    from elb_log_to_mysql_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(k4 + [(3, 9)], "src int, dst int")
+    n = triangle_count(edges).first()["n_triangles"]
+    assert n == 4
+
+
+def test_triangle_count_ignores_duplicate_and_reversed_edges(spark):
+    from elb_log_to_mysql_spark.operators.graph import triangle_count
+
+    tri = [(1, 2), (2, 3), (3, 1), (2, 1), (1, 2)]
+    n = triangle_count(
+        spark.createDataFrame(tri, "src int, dst int")
+    ).first()["n_triangles"]
+    assert n == 1

@@ -544,3 +544,21 @@ def test_audio_features_real_decodes_pcm_samples(spark):
     assert (got[1].n_samples, got[1].peak, got[1].rms) == (20, 37, 37)
     assert (got[2].n_samples, got[2].peak, got[2].rms) == (4, 0, 0)
     assert got[3].n_samples is None
+
+
+def test_fuzzy_name_pairs_blocked_join_finds_known_neighbors(spark):
+    from pyspark.sql import functions as F
+
+    from elb_log_to_mysql_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [("red widget",), ("ted widget",), ("blue widget",), ("red bolt",)],
+        "p_name string",
+    )
+    out = textops.fuzzy_name_pairs(df, "p_name", max_dist=1).collect()
+    pairs = {(r["name_a"], r["name_b"]) for r in out}
+    # distance-1 pair inside the 'widget' block
+    assert ("red widget", "ted widget") in pairs
+    # cross-block pair is never considered, whatever its distance
+    assert all("bolt" not in a or "bolt" in b for a, b in pairs)
+    assert all(r["dist"] <= 1 for r in out)
