@@ -146,3 +146,54 @@ def test_stream_ingest_jdbc_exactly_once_and_incremental(spark, tmp_path):
         .collect()
     )
     assert len(per_file) == 3 and all(r["count"] in (5, 3) for r in per_file)
+
+
+def test_streaming_ingest_to_jdbc_idempotent(spark, tmp_path):
+    """The reference ETL as an always-on pipeline: readStream over the
+    log directory -> identical parse chain -> foreachBatch idempotent
+    JDBC append (streaming/ingest.py). Covers both replay layers:
+    checkpointed restart adds nothing new, and a re-delivered file
+    (fresh checkpoint — invisible to the engine) is replaced, not
+    duplicated."""
+    from elb_log_to_mysql_spark.streaming.ingest import stream_alb_to_jdbc
+
+    src = tmp_path / "logs"
+    src.mkdir()
+    line = (
+        'h2 2025-05-26T10:00:{s:02d}.000123Z app/x/y 1.2.3.4:443 5.6.7.8:80 '
+        '0.001 0.020 0.000 200 200 100 2000 "GET https://ex.com/p/{i} HTTP/2.0" '
+        '"curl/8.5.0" CIPHER TLSv1.3 arn'
+    )
+    for f in range(2):
+        (src / f"file{f}.log").write_text(
+            "\n".join(line.format(s=i % 60, i=f * 100 + i) for i in range(50)) + "\n"
+        )
+    url = _derby_url()
+    ckpt = str(tmp_path / "ckpt")
+    stream_alb_to_jdbc(
+        spark, str(src), url, driver=DERBY_DRIVER, checkpoint=ckpt
+    )
+    back = _read_back(spark, url, "elb_log_data")
+    assert back.count() == 100
+    # restart with the SAME checkpoint: nothing to do, no duplicates
+    stream_alb_to_jdbc(
+        spark, str(src), url, driver=DERBY_DRIVER, checkpoint=ckpt
+    )
+    assert _read_back(spark, url, "elb_log_data").count() == 100
+    # re-delivery: fresh checkpoint reprocesses both files — the
+    # file-scoped delete-then-append converges instead of doubling
+    stream_alb_to_jdbc(
+        spark, str(src), url, driver=DERBY_DRIVER,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    back2 = _read_back(spark, url, "elb_log_data")
+    assert back2.count() == 100
+    # and the content matches the batch parse of the same directory
+    from elb_log_to_mysql_spark.sources.alb import read_alb_logs
+
+    batch = read_alb_logs(spark, str(src) + "/*.log")
+    assert back2.count() == batch.count()
+    assert (
+        back2.agg(F.sum("elb_status_code")).first()[0]
+        == batch.agg(F.sum("elb_status_code")).first()[0]
+    )
