@@ -257,3 +257,41 @@ def test_parse_observation_census(spark):
         "n_ts_dropped": 1,
         "n_emitted": 2,
     }
+
+
+def test_main_run_etl_parquet_fallback(spark, tmp_path, monkeypatch):
+    """The runnable entrypoint (main.py:run_etl) with a local LOG_PATH
+    and no DB config: parses the directory and lands parquet."""
+    from elb_log_to_mysql_spark.main import log_path_from_env, run_etl
+
+    src = tmp_path / "logs"
+    src.mkdir()
+    (src / "a.log").write_text(
+        'h2 2025-05-26T10:00:01.000123Z app/x/y 1.2.3.4:443 5.6.7.8:80 '
+        '0.001 0.020 0.000 200 200 100 2000 '
+        '"GET https://ex.com/p HTTP/2.0" "curl/8.5.0" CIPHER TLSv1.3 arn\n'
+        * 7
+    )
+    monkeypatch.setenv("LOG_PATH", str(src) + "/*.log")
+    monkeypatch.delenv("AWS_BUCKET_NAME", raising=False)
+    assert log_path_from_env().endswith("*.log")
+    n = run_etl(
+        spark, log_path_from_env(), None, fallback_dir=str(tmp_path / "out")
+    )
+    assert n == 7
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.columns[:2] == ["log_timestamp", "client_ip"]
+
+
+def test_main_env_url_assembly(monkeypatch):
+    from elb_log_to_mysql_spark.main import log_path_from_env, mysql_url_from_env
+
+    monkeypatch.setenv("DB_HOST", "db.example")
+    monkeypatch.setenv("DB_USER", "u")
+    monkeypatch.setenv("DB_NAME", "logs")
+    monkeypatch.delenv("DB_PORT", raising=False)
+    assert mysql_url_from_env() == "jdbc:mysql://db.example:3306/logs"
+    monkeypatch.delenv("LOG_PATH", raising=False)
+    monkeypatch.setenv("AWS_BUCKET_NAME", "b")
+    monkeypatch.setenv("AWS_LOG_PREFIX", "elb/prod/")
+    assert log_path_from_env() == "s3a://b/elb/prod/*.gz"
