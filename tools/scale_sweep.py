@@ -268,6 +268,12 @@ def main() -> None:
         "asof_join", "range_join", "skew_salted_agg", "scalar_subquery",
         "topk_per_group", "exact_dedup", "incremental_agg", "sessionize",
         "window_distribution",
+        # analytics battery at 10x fact volume (small outputs only:
+        # rolling_median's 10M-row result and the near-complete
+        # co-supply triangle join are excluded from the PARITY list —
+        # collect-size and oracle-side cost, not operator concerns)
+        "funnel_analysis", "retention_cohorts", "anomaly_zscore",
+        "scd1_merge", "data_profile", "pagerank_parts",
     ]
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         parity_path = tf.name
