@@ -3935,3 +3935,47 @@ def q_triangle_count_cosupply(spark, sf_dir):
         .distinct()
     )
     return triangle_count(edges)
+
+
+@_q(
+    "jsonl_deadletter",
+    """
+    SELECT CAST(SUM(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad,
+           CAST(SUM(CASE WHEN event_id % 10 <> 0
+                    THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END) AS BIGINT) AS sum_k
+    FROM events
+    """,
+)
+def q_jsonl_deadletter(spark, sf_dir):
+    """Error-absorbing JSON ingest (sources/formats.py:
+    read_jsonl_with_deadletter): every 10th event's JSON payload is
+    deterministically truncated before staging, the PERMISSIVE reader
+    routes those lines to the dead-letter frame verbatim, and the
+    good frame parses the rest — the at-scale replacement for the
+    reference's silent row drop (etl:129-131). The oracle recomputes
+    good/bad/sum from the uncorrupted table by the same id rule."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from elb_log_to_mysql_spark.sources.formats import read_jsonl_with_deadletter
+
+    ev = _t(spark, sf_dir, "events")
+    line = F.when(
+        F.col("event_id") % 10 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    staged = f"{tempfile.gettempdir()}/jsonl_dl_{tag}"
+    shutil.rmtree(staged, ignore_errors=True)
+    ev.select(line.alias("value")).write.mode("overwrite").text(staged)
+    good, dead = read_jsonl_with_deadletter(spark, staged, "k long")
+    g = good.agg(
+        F.count(F.lit(1)).alias("n_good"), F.sum("k").alias("sum_k")
+    )
+    d = dead.agg(F.count(F.lit(1)).alias("n_bad"))
+    return g.crossJoin(d).select("n_good", "n_bad", "sum_k")

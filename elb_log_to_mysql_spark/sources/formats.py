@@ -11,6 +11,7 @@ explicitly opted out.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -104,3 +105,50 @@ def read_media_dir(
 
         df = df.filter(F.col("length") <= max_bytes)
     return df
+
+
+def read_jsonl_with_deadletter(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingest with corrupt-record routing: returns
+    (good, dead) DataFrames from ONE source definition.
+
+    The reference absorbs bad rows by dropping them inside the parse
+    map (etl:129-131) — at scale that silently loses data you cannot
+    audit. Here every unparseable line is routed, verbatim, to a
+    dead-letter frame: `good` carries the typed columns, `dead` the
+    raw line for quarantine/replay. Both are projections over the
+    same text scan.
+
+    Implemented as text + `from_json` (PERMISSIVE with an in-schema
+    corrupt field) rather than `spark.read.json`: the JSON source
+    forbids plans that reference only its internal corrupt column
+    (SPARK-26159 guard), which makes exactly the dead-letter count an
+    analysis error; from_json has no such restriction and parses in
+    the scan's codegen stage either way.
+    """
+    base = _require_schema(schema)
+    if isinstance(base, str):
+        base = T._parse_datatype_string(base)
+    full = T.StructType(
+        list(base.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        "value",
+        F.from_json(
+            "value",
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("j"),
+    )
+    good = parsed.filter(F.col(f"j.{corrupt_col}").isNull()).select(
+        *[F.col(f"j.{f.name}").alias(f.name) for f in base.fields]
+    )
+    dead = parsed.filter(F.col(f"j.{corrupt_col}").isNotNull()).select(
+        F.col("value").alias("raw_line")
+    )
+    return good, dead

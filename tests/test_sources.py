@@ -195,3 +195,17 @@ def test_spread_repartitions_narrow_fact_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan and "l_returnflag" in plan.split(
         "PushedFilters"
     )[1][:200]
+
+
+def test_jsonl_deadletter_routes_corrupt_lines_verbatim(spark, tmp_path):
+    from elb_log_to_mysql_spark.sources.formats import read_jsonl_with_deadletter
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"k": 1}\n{"k": 2\nnot json at all\n{"k": 3}\n'
+    )
+    good, dead = read_jsonl_with_deadletter(spark, str(p), "k long")
+    assert sorted(r["k"] for r in good.collect()) == [1, 3]
+    raws = sorted(r["raw_line"] for r in dead.collect())
+    assert raws == ['{"k": 2', "not json at all"]
