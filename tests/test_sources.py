@@ -207,5 +207,5 @@ def test_jsonl_deadletter_routes_corrupt_lines_verbatim(spark, tmp_path):
     )
     good, dead = read_jsonl_with_deadletter(spark, str(p), "k long")
     assert sorted(r["k"] for r in good.collect()) == [1, 3]
-    raws = sorted(r["raw_line"] for r in dead.collect())
-    assert raws == ['{"k": 2', "not json at all"]
+    raws = {r["raw_line"] for r in dead.collect()}
+    assert raws == {'{"k": 2', "not json at all"}
