@@ -244,3 +244,86 @@ def data_profile(df: DataFrame, numeric_cols: list[str]) -> DataFrame:
         "col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val",
         "avg_val",
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    weight: "F.Column",
+    k: int,
+) -> DataFrame:
+    """Probability-proportional-to-size sampling, systematic variant:
+    within each stratum, walk the key-ordered cumulative-weight line
+    and pick the row at every crossing of `total_weight / k` — exactly
+    k picks per stratum, heavier rows proportionally likelier, fully
+    deterministic (a pure function of keys and weights: reproducible
+    across runs, engines, and partitionings).
+
+    Deliberately transcendental-free: the classic A-ES exponential-
+    race key (u^(1/w)) needs pow/ln, which are only ~1-ulp accurate
+    and differ between libm implementations — a cross-engine ordering
+    hazard. Here the only operations are decimal cumulative sums
+    (order-independent by the engine-wide contract) and IEEE-exact
+    +,-,/,floor, so the picked set is bit-stable everywhere.
+
+    One shuffle (the per-stratum window). Strata sort independently;
+    a mega-stratum bounds one task — pre-split hot strata if needed.
+    """
+    from pyspark.sql.window import Window
+
+    from elb_log_to_mysql_spark.functions.numeric import DET_DECIMAL
+
+    w_ord = Window.partitionBy(stratum_col).orderBy(key_col)
+    w_all = Window.partitionBy(stratum_col)
+    wv = weight.alias("w")
+    base = df.select(stratum_col, key_col, wv)
+    dec = F.sum(F.col("w").cast(DET_DECIMAL))
+    cum = dec.over(w_ord).cast("string").cast("double")
+    tot = dec.over(w_all).cast("string").cast("double")
+    step = tot / k
+    picked = (
+        base.withColumn("cw", cum)
+        .withColumn("step", step)
+        .filter(
+            F.floor(F.col("cw") / F.col("step"))
+            > F.floor((F.col("cw") - F.col("w")) / F.col("step"))
+        )
+    )
+    return picked.select(stratum_col, key_col)
+
+
+def equal_width_histogram(
+    df: DataFrame, value: "F.Column", bins: int = 20
+) -> DataFrame:
+    """Equal-width histogram with in-plan bounds: min/max come from a
+    broadcast scalar aggregate (no driver round-trip), bin edges are
+    derived arithmetic. Two scans of the value column (bounds + fill),
+    one tiny broadcast, one groupBy — the standard distributed
+    histogram. Top edge clamps into the last bin."""
+    v = value.alias("v")
+    vals = df.select(v)
+    bounds = vals.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / bins
+    binned = (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / width),
+                F.lit(bins - 1),
+            ).cast("int").alias("bin"),
+            "lo",
+            "hi",
+        )
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w2 = (F.col("hi") - F.col("lo")) / bins
+    return binned.select(
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * w2, 6).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * w2, 6).alias("bin_hi"),
+        "n",
+    ).orderBy("bin")

@@ -3979,3 +3979,70 @@ def q_jsonl_deadletter(spark, sf_dir):
     )
     d = dead.agg(F.count(F.lit(1)).alias("n_bad"))
     return g.crossJoin(d).select("n_good", "n_bad", "sum_k")
+
+
+@_q(
+    "weighted_sample",
+    """
+    WITH w AS (
+      SELECT c_mktsegment, c_custkey,
+             GREATEST(c_acctbal, 0.01) AS w
+      FROM customer
+    ),
+    c AS (
+      SELECT c_mktsegment, c_custkey, w,
+             CAST(CAST(SUM(CAST(w AS DECIMAL(28,8)))
+                       OVER (PARTITION BY c_mktsegment ORDER BY c_custkey)
+                  AS STRING) AS DOUBLE) AS cw,
+             CAST(CAST(SUM(CAST(w AS DECIMAL(28,8)))
+                       OVER (PARTITION BY c_mktsegment)
+                  AS STRING) AS DOUBLE) AS tw
+      FROM w
+    )
+    SELECT c_mktsegment, c_custkey
+    FROM c
+    WHERE FLOOR(cw / (tw / 20)) > FLOOR((cw - w) / (tw / 20))
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """PPS systematic sampling: 20 customers per segment, probability
+    proportional to account balance — transcendental-free (decimal
+    cumsums + IEEE-exact floor arithmetic) so the picked set is
+    bit-identical across engines
+    (operators/analytics.py:pps_systematic_sample)."""
+    return analytics.pps_systematic_sample(
+        _t(spark, sf_dir, "customer"),
+        "c_mktsegment",
+        "c_custkey",
+        F.greatest(F.col("c_acctbal"), F.lit(0.01)),
+        k=20,
+    )
+
+
+@_q(
+    "histogram",
+    """
+    WITH b AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+      FROM lineitem
+    ),
+    f AS (
+      SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20)),
+                        19) AS INTEGER) AS bin, lo, hi
+      FROM lineitem CROSS JOIN b
+    )
+    SELECT bin,
+           ROUND(lo + bin * ((hi - lo) / 20), 6) AS bin_lo,
+           ROUND(lo + (bin + 1) * ((hi - lo) / 20), 6) AS bin_hi,
+           COUNT(*) AS n
+    FROM f
+    GROUP BY bin, lo, hi
+    ORDER BY bin
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Equal-width 20-bin histogram with in-plan broadcast bounds
+    (operators/analytics.py:equal_width_histogram)."""
+    return analytics.equal_width_histogram(
+        _t(spark, sf_dir, "lineitem"), F.col("l_extendedprice"), bins=20
+    )

@@ -152,3 +152,32 @@ def test_anomaly_threshold_monotone(spark, threshold):
     lo = analytics.anomaly_zscore(ev, threshold).count()
     hi = analytics.anomaly_zscore(ev, threshold + 1.0).count()
     assert hi <= lo
+
+
+def test_pps_sample_exactly_k_per_stratum_and_includes_giants(spark):
+    from pyspark.sql import functions as F
+
+    rows = [("a", i, 1.0 if i != 7 else 1000.0) for i in range(100)] + [
+        ("b", i, 1.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "seg string, k long, w double")
+    out = analytics.pps_systematic_sample(df, "seg", "k", F.col("w"), k=5)
+    per = {r["seg"]: r["n"] for r in out.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {"a": 5, "b": 5}
+    # a weight holding >1/k of the stratum's mass is ALWAYS picked
+    assert out.filter("seg = 'a' and k = 7").count() == 1
+    # deterministic: a second run picks the identical set
+    again = analytics.pps_systematic_sample(df, "seg", "k", F.col("w"), k=5)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_histogram_partitions_all_rows(spark):
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    h = analytics.equal_width_histogram(li, F.col("l_quantity"), bins=10)
+    rows = h.collect()
+    assert sum(r["n"] for r in rows) == li.count()
+    assert all(r["bin_hi"] > r["bin_lo"] for r in rows)
+    assert [r["bin"] for r in rows] == sorted(r["bin"] for r in rows)
