@@ -269,6 +269,13 @@ def pps_systematic_sample(
 
     One shuffle (the per-stratum window). Strata sort independently;
     a mega-stratum bounds one task — pre-split hot strata if needed.
+
+    Standard systematic-PPS caveat: a single weight exceeding
+    total/k absorbs several step crossings, so such strata return
+    FEWER than k distinct rows (the giant is picked once, with
+    certainty — survey practice's "certainty unit"); callers needing
+    exactly k distinct picks remove certainty units and re-sample
+    the remainder.
     """
     from pyspark.sql.window import Window
 
