@@ -4046,3 +4046,61 @@ def q_histogram(spark, sf_dir):
     return analytics.equal_width_histogram(
         _t(spark, sf_dir, "lineitem"), F.col("l_extendedprice"), bins=20
     )
+
+
+@_q(
+    "semantic_dedup",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    ), sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ), reach(id, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON r.id = s.u
+    ), cc AS (
+      SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+    ), assigned AS (
+      SELECT e.vec_id, e.label, COALESCE(cc.cluster_id, e.vec_id) AS cluster_id
+      FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.id
+    )
+    SELECT vec_id, label, cluster_id,
+           vec_id = cluster_id AS is_survivor
+    FROM assigned
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """Semantic (embedding-space) dedup end to end: exact cosine
+    near-dup pairs -> connected components -> min-id survivor policy,
+    composing the ANN and graph families
+    (operators/similarity.py:embedding_near_dup +
+    operators/graph.py:dedup_clusters). In production the pair stage
+    swaps to the LSH-bucketed variant (embedding_near_dup_lsh) — same
+    downstream closure; the exact twin here keeps the oracle exact.
+    The 0.45 threshold carries >5e-4 margin to the nearest pair, so
+    float32-vs-double accumulation cannot flip an edge."""
+    from elb_log_to_mysql_spark.operators.graph import dedup_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup(emb, threshold=0.45).select(
+        F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
+    )
+    clusters = dedup_clusters(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"),
+        pairs,
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(
+            clusters.withColumnRenamed("doc_id", "vec_id"), "vec_id"
+        )
+        .select(
+            "vec_id",
+            "label",
+            "cluster_id",
+            (F.col("vec_id") == F.col("cluster_id")).alias("is_survivor"),
+        )
+    )
