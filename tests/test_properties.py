@@ -127,3 +127,100 @@ def test_exact_dedup_picks_deterministic_survivor(spark, rows):
         k: [t for t in rows if t[0] == k] for k, _, _ in rows
     }.values()}
     assert got == {(k, o, p) for (k, o, p) in want}
+
+
+# --- analytics family properties -----------------------------------------
+
+_EVENT_TYPES = ["view", "click", "purchase"]
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),        # user_id
+        st.integers(min_value=0, max_value=50),       # ts offset (seconds)
+        st.sampled_from(_EVENT_TYPES),                # event_type
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _py_funnel(rows, steps):
+    """Greedy earliest-match subsequence per user over (ts, event_id)
+    order — the plain-Python definition of the funnel fold."""
+    by_user: dict[int, list] = {}
+    for user, ts, eid, et in rows:
+        by_user.setdefault(user, []).append((ts, eid, et))
+    reached = [0] * len(steps)
+    for evs in by_user.values():
+        stage = 0
+        for _, _, et in sorted(evs):
+            if stage < len(steps) and et == steps[stage]:
+                stage += 1
+        for k in range(stage):
+            reached[k] += 1
+    return reached
+
+
+@given(events=_EVENTS)
+@settings(**_SETTINGS)
+def test_funnel_matches_python_oracle(spark, events):
+    import datetime as dt
+
+    from elb_log_to_mysql_spark.operators import analytics
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=off), i, et)
+        for i, (u, off, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows or [(1, base, 0, "view")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    if not rows:
+        rows = [(1, base, 0, "view")]
+    got = {
+        r["step_idx"]: r["n_users"]
+        for r in analytics.funnel_analysis(df, _EVENT_TYPES).collect()
+    }
+    want = _py_funnel(
+        [(u, ts, eid, et) for (u, ts, eid, et) in rows], _EVENT_TYPES
+    )
+    assert [got[k] for k in (1, 2, 3)] == want
+
+
+@given(events=_EVENTS, split_off=st.integers(min_value=0, max_value=50))
+@settings(**_SETTINGS)
+def test_scd1_merge_equals_python_latest_state(spark, events, split_off):
+    import datetime as dt
+
+    from elb_log_to_mysql_spark.operators import analytics
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, base + dt.timedelta(seconds=off), i, et)
+        for i, (u, off, et) in enumerate(events)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    split = base + dt.timedelta(seconds=split_off)
+    out = {
+        r["user_id"]: (r["state"], r["action"])
+        for r in analytics.scd1_merge(df, split.isoformat(sep=" ")).collect()
+    }
+    latest: dict[int, tuple] = {}
+    pre, post = set(), set()
+    for u, ts, eid, et in rows:
+        (pre if ts < split else post).add(u)
+        if u not in latest or (ts, eid) > latest[u][:2]:
+            latest[u] = (ts, eid, et)
+    assert set(out) == pre | post
+    for u, (state, action) in out.items():
+        assert state == latest[u][2]
+        want = (
+            "insert" if u not in pre else "carry" if u not in post else "update"
+        )
+        assert action == want
