@@ -334,3 +334,57 @@ def equal_width_histogram(
         F.round(F.col("lo") + (F.col("bin") + 1) * w2, 6).alias("bin_hi"),
         "n",
     ).orderBy("bin")
+
+
+def ewma_per_user(events: DataFrame) -> DataFrame:
+    """Final exponentially-weighted moving average of `value` per user
+    (decay 1/2), folded over the (ts, event_id)-ordered history:
+    acc_0 = x_0; acc_i = (x_i + acc_{i-1}) / 2.
+
+    alpha is FIXED at 1/2 deliberately: halving is exact IEEE
+    arithmetic, so the fold is bit-identical on any engine — a general
+    alpha needs pow(1-a, k), whose last-ulp varies by libm and breaks
+    cross-engine hash equality. One shuffle (groupBy user); the fold
+    is a codegen higher-order function over the sorted array, same
+    shape as the funnel fold."""
+    ev = normalize_event_time(events)
+    arr = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    vals = F.transform(arr, lambda e: e["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, 1_000_000_000),
+        F.element_at(vals, 1),
+        lambda acc, x: (x + acc) / 2,
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(ewma.alias("ewma"), F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events", F.round("ewma", 9).alias("ewma"))
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts: consecutive event-type
+    pairs per user ((ts, event_id)-ordered), aggregated corpus-wide,
+    with the row-normalized probability. One window sort + one
+    aggregate; the per-user lag never crosses users, so partitioning
+    by user keeps the sort local to each key."""
+    from pyspark.sql.window import Window
+
+    ev = normalize_event_time(events)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("to_type"),
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_from), 9).alias("p"),
+    )

@@ -4104,3 +4104,44 @@ def q_semantic_dedup(spark, sf_dir):
             (F.col("vec_id") == F.col("cluster_id")).alias("is_survivor"),
         )
     )
+
+
+@_q(
+    "ewma",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                             (acc, x) -> (x + acc) / 2), 9) AS ewma
+    FROM events GROUP BY user_id
+    """,
+)
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA (decay 1/2) folded over event history — halving
+    is exact IEEE arithmetic, so the fold is bit-identical to the
+    oracle's list_reduce (operators/analytics.py:ewma_per_user)."""
+    return analytics.ewma_per_user(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "event_transitions",
+    """
+    WITH p AS (
+      SELECT event_type AS to_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type
+      FROM events
+    ), c AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM p WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type),
+                 9) AS p
+    FROM c
+    """,
+)
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over the event stream
+    (operators/analytics.py:event_transitions)."""
+    return analytics.event_transitions(_t(spark, sf_dir, "events"))

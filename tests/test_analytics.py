@@ -185,3 +185,33 @@ def test_histogram_partitions_all_rows(spark):
     assert sum(r["n"] for r in rows) == li.count()
     assert all(r["bin_hi"] > r["bin_lo"] for r in rows)
     assert [r["bin"] for r in rows] == sorted(r["bin"] for r in rows)
+
+
+def test_ewma_fold_matches_python(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [4.0, 2.0, 8.0, 16.0]
+    rows = [(1, base + dt.timedelta(seconds=i), i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    out = analytics.ewma_per_user(df).collect()[0]
+    acc = vals[0]
+    for v in vals[1:]:
+        acc = (v + acc) / 2
+    assert out["ewma"] == round(acc, 9) and out["n_events"] == 4
+
+
+def test_event_transitions_rows_and_probs(spark):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = analytics.event_transitions(ev).cache()
+    # each from_type's probabilities sum to ~1
+    sums = out.groupBy("from_type").agg(F.sum("p").alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-6 for r in sums)
+    # total transitions = total events - number of users
+    n_trans = out.agg(F.sum("n")).first()[0]
+    assert n_trans == ev.count() - ev.select("user_id").distinct().count()
+    out.unpersist()
