@@ -197,3 +197,41 @@ def test_streaming_ingest_to_jdbc_idempotent(spark, tmp_path):
         back2.agg(F.sum("elb_status_code")).first()[0]
         == batch.agg(F.sum("elb_status_code")).first()[0]
     )
+
+
+def test_streaming_ingest_picks_up_only_new_files(spark, tmp_path):
+    """Incremental semantics: after the first drain, a NEW file in the
+    watched directory is the only thing the next run processes (the
+    checkpoint skips completed files), and its rows append."""
+    from elb_log_to_mysql_spark.streaming.ingest import stream_alb_to_jdbc
+
+    src = tmp_path / "logs"
+    src.mkdir()
+    line = (
+        'h2 2025-05-26T11:00:{s:02d}.000123Z app/x/y 1.2.3.4:443 5.6.7.8:80 '
+        '0.001 0.020 0.000 200 200 100 2000 "GET https://ex.com/q/{i} HTTP/2.0" '
+        '"curl/8.5.0" CIPHER TLSv1.3 arn'
+    )
+
+    def write(fname, n, base):
+        (src / fname).write_text(
+            "\n".join(line.format(s=i % 60, i=base + i) for i in range(n)) + "\n"
+        )
+
+    url = _derby_url()
+    ckpt = str(tmp_path / "ckpt")
+    write("f0.log", 30, 0)
+    stream_alb_to_jdbc(spark, str(src), url, driver=DERBY_DRIVER, checkpoint=ckpt)
+    assert _read_back(spark, url, "elb_log_data").count() == 30
+    write("f1.log", 12, 1000)
+    stream_alb_to_jdbc(spark, str(src), url, driver=DERBY_DRIVER, checkpoint=ckpt)
+    back = _read_back(spark, url, "elb_log_data")
+    assert back.count() == 42
+    # lineage shows both files, 30/12 split preserved
+    per_file = {
+        r["log_source_file"].rsplit("/", 1)[-1]: r["n"]
+        for r in back.groupBy("log_source_file")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_file == {"f0.log": 30, "f1.log": 12}
