@@ -4145,3 +4145,59 @@ def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix over the event stream
     (operators/analytics.py:event_transitions)."""
     return analytics.event_transitions(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "multimodal_png_real",
+    """
+    SELECT doc_id,
+           CAST(16 + doc_id % 16 AS INTEGER) AS width,
+           CAST(8 + doc_id % 8 AS INTEGER) AS height,
+           ROUND(CAST(doc_id AS DOUBLE) + (8 + doc_id % 8 - 1) / 2.0, 6)
+             AS mean_pixel
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32)
+    """,
+)
+def q_multimodal_png_real(spark, sf_dir):
+    """REAL compressed-container decode e2e: PNG fixtures (8-bit RGB,
+    real DEFLATE via stdlib zlib, scanline filters cycling through all
+    five types) are decoded by inflating and unfiltering the actual
+    byte stream (operators/multimodal.py:png_decode_pixels). Pixels
+    form a vertical gradient (row r = doc_id + r, no 256-wrap in this
+    id range), so the decoded mean is exactly doc_id + (height-1)/2 —
+    a wrong sub/up/average/paeth predictor shifts the mean and
+    hash-mismatches. This closes the 'compressed formats need external
+    codecs' gap for the one compressed format whose codec ships in the
+    standard library."""
+    import shutil
+
+    from elb_log_to_mysql_spark.sources.formats import read_media_dir
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(32)
+        .collect()
+    )
+    out_dir = os.path.join(
+        "/tmp/spark-graft-media-png",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    for r in docs:
+        payload = multimodal.make_png_bytes(
+            width=16 + r.doc_id % 16,
+            height=8 + r.doc_id % 8,
+            row_base=r.doc_id,
+        )
+        with open(os.path.join(out_dir, f"doc_{r.doc_id}.png"), "wb") as fh:
+            fh.write(payload)
+    media = read_media_dir(spark, out_dir, glob="*.png").select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return multimodal.decode_png_media(media)

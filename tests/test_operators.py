@@ -562,3 +562,30 @@ def test_fuzzy_name_pairs_blocked_join_finds_known_neighbors(spark):
     # cross-block pair is never considered, whatever its distance
     assert all("bolt" not in a or "bolt" in b for a, b in pairs)
     assert all(r["dist"] <= 1 for r in out)
+
+
+def test_png_codec_all_filter_types_roundtrip(spark):
+    """Every PNG scanline filter (none/sub/up/average/paeth) must
+    survive encode->inflate->unfilter exactly; heights >= 5 force all
+    five types through the cycling encoder."""
+    from elb_log_to_mysql_spark.operators.multimodal import (
+        make_png_bytes,
+        png_decode_pixels,
+    )
+
+    for base in (0, 13, 250):  # 250 exercises the % 256 wrap
+        for w, h in ((1, 5), (7, 9), (16, 8)):
+            payload = make_png_bytes(w, h, base)
+            W, H, psum, n = png_decode_pixels(payload)
+            want = sum(((base + r) % 256) for r in range(h)) * w * 3
+            assert (W, H, n) == (w, h, w * h * 3)
+            assert psum == want
+
+
+def test_png_decode_rejects_non_png(spark):
+    import pytest as _pt
+
+    from elb_log_to_mysql_spark.operators.multimodal import png_decode_pixels
+
+    with _pt.raises(ValueError):
+        png_decode_pixels(b"BM" + b"\x00" * 60)
