@@ -2454,10 +2454,11 @@ def q_multimodal_decode_real(spark, sf_dir):
     container bytes — stdlib `wave` for the RIFF fmt chunk, the
     BITMAPINFOHEADER offsets for BMP. The oracle recomputes every
     field from the generation parameters, so a decoder that misreads
-    any header field hash-mismatches. Compressed formats (JPEG/PNG)
-    still require external codecs; this entry upgrades the family's
-    evidence from replayed-stub to real-bytes for the formats the
-    sandbox can decode."""
+    any header field hash-mismatches. JPEG still requires an external
+    codec; PNG is covered by multimodal_png_real (stdlib zlib DEFLATE
+    + full unfiltering). This entry upgrades the family's evidence
+    from replayed-stub to real-bytes for the formats the sandbox can
+    decode."""
     import shutil
 
     from elb_log_to_mysql_spark.sources.formats import read_media_dir
