@@ -315,3 +315,79 @@ def incremental_agg(events: DataFrame, split: str = "2025-07-01") -> DataFrame:
             (F.sum("total_state").cast("double") / F.sum("n")).alias("avg_value"),
         )
     )
+
+
+_CMS_SALTS = (0x9E3779B1, 0x85EBCA6B, 0xC2B2AE35)
+
+
+def _cms_bucket(key: Column, salt: int, width: int) -> Column:
+    """Multiplicative-hash bucket — pure 64-bit integer arithmetic
+    (identical on any engine; no float, no library hash)."""
+    return ((key * F.lit(salt)) % F.lit(2**31)) % F.lit(width)
+
+
+def countmin_estimates(
+    fact: DataFrame, key: str, width: int = 256, topk: int = 10
+) -> DataFrame:
+    """Count-Min sketch frequency estimation with an in-plan
+    exactness audit: build the d×w counter table (d=3 rows of
+    `width` counters) in ONE aggregation over the fact table, then
+    estimate the top-`topk` keys' frequencies as the min of their
+    d counters and place the estimate next to the exact count.
+
+    Scale posture: the sketch is a 768-row table — THE mergeable
+    summary (counters are sums: partial aggregation composes them
+    map-side, and day-level sketches add into month-level ones
+    without touching raw data, same union story as sketch_rollup's
+    HLL). Point queries join the broadcast sketch. The contract is
+    structural: CMS can only OVERcount (est >= exact always; the
+    hash is deterministic integer arithmetic so the estimate is
+    bit-reproducible and oracle-checkable, not a tolerance band).
+    """
+    k = F.col(key).cast("long")
+    stack_expr = ", ".join(
+        f"{j}, b{j}" for j in range(len(_CMS_SALTS))
+    )
+    buckets = fact.select(
+        *[
+            _cms_bucket(k, s, width).alias(f"b{j}")
+            for j, s in enumerate(_CMS_SALTS)
+        ]
+    ).select(
+        F.expr(
+            f"stack({len(_CMS_SALTS)}, {stack_expr}) AS (j, bucket)"
+        )
+    )
+    cms = buckets.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = (
+        fact.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col(key))
+        .limit(topk)
+    )
+    probes = exact.select(
+        key,
+        "exact_n",
+        F.expr(
+            "stack({n}, {args}) AS (j, bucket)".format(
+                n=len(_CMS_SALTS),
+                args=", ".join(
+                    f"{j}, (CAST({key} AS BIGINT) * {s}) % {2**31} % {width}"
+                    for j, s in enumerate(_CMS_SALTS)
+                ),
+            )
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy(key, "exact_n")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return est.select(
+        key,
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
+    )

@@ -4202,3 +4202,72 @@ def q_multimodal_png_real(spark, sf_dir):
         F.col("content").alias("payload"),
     )
     return multimodal.decode_png_media(media)
+
+
+@_q(
+    "sql_interface",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT s.c_mktsegment, s.o_orderkey,
+           CAST(n.n_orders AS BIGINT) AS n_orders,
+           ROUND(s.o_totalprice, 2) AS top_price
+    FROM seg s
+    JOIN (SELECT c_mktsegment, COUNT(*) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment) n
+      ON s.c_mktsegment = n.c_mktsegment
+    WHERE s.rk <= 3
+    """,
+)
+def q_sql_interface(spark, sf_dir):
+    """The SQL front end end-to-end: tables registered as catalog
+    views (sources/tables.py:register_views), the query submitted as
+    ONE spark.sql(...) string — CTE + window + join + subquery all
+    parsed/planned by Spark SQL, zero DataFrame calls. Proves a
+    SQL-only consumer gets the identical engine (same loader
+    normalizations, same Catalyst plan machinery) as the DataFrame
+    API."""
+    from elb_log_to_mysql_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ORACLE_SQL["sql_interface"])
+
+
+@_q(
+    "countmin_freq",
+    """
+    WITH buckets AS (
+      SELECT 0 AS j, (CAST(l_partkey AS BIGINT) * 2654435761) % 2147483648 % 256 AS bucket FROM lineitem
+      UNION ALL SELECT 1 AS j, (CAST(l_partkey AS BIGINT) * 2246822507) % 2147483648 % 256 AS bucket FROM lineitem
+      UNION ALL SELECT 2 AS j, (CAST(l_partkey AS BIGINT) * 3266489909) % 2147483648 % 256 AS bucket FROM lineitem
+    ), cms AS (
+      SELECT j, bucket, COUNT(*) AS c FROM buckets GROUP BY j, bucket
+    ), exact AS (
+      SELECT l_partkey, COUNT(*) AS exact_n FROM lineitem
+      GROUP BY l_partkey ORDER BY exact_n DESC, l_partkey LIMIT 10
+    ), probes AS (
+      SELECT l_partkey, exact_n, 0 AS j, (CAST(l_partkey AS BIGINT) * 2654435761) % 2147483648 % 256 AS bucket FROM exact
+      UNION ALL SELECT l_partkey, exact_n, 1 AS j, (CAST(l_partkey AS BIGINT) * 2246822507) % 2147483648 % 256 AS bucket FROM exact
+      UNION ALL SELECT l_partkey, exact_n, 2 AS j, (CAST(l_partkey AS BIGINT) * 3266489909) % 2147483648 % 256 AS bucket FROM exact
+    )
+    SELECT p.l_partkey, p.exact_n, MIN(c.c) AS cms_est,
+           MIN(c.c) >= p.exact_n AS never_undercounts
+    FROM probes p JOIN cms c ON p.j = c.j AND p.bucket = c.bucket
+    GROUP BY p.l_partkey, p.exact_n
+""",
+)
+def q_countmin_freq(spark, sf_dir):
+    """Count-Min sketch frequency estimates for the 10 heaviest part
+    keys, exact counts alongside and the structural never-undercount
+    contract checked in-plan (operators/advanced.py:
+    countmin_estimates). Pure 64-bit integer hashing, so the estimate
+    itself is bit-reproducible and oracle-checked — the second
+    mergeable sketch next to sketch_rollup's HLL."""
+    return advanced.countmin_estimates(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", width=256, topk=10
+    )

@@ -147,3 +147,21 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> list[str]:
+    """Expose the test-table star schema to the SQL front end: one
+    temp view per table (through `load_table`, so every layout
+    normalization — nanos-as-long, NTZ, spread — applies to SQL users
+    identically to DataFrame users). Returns the view names. This is
+    the catalog-registration step a `spark.sql(...)`-only consumer
+    calls once per session."""
+    names = []
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        name = f"{prefix}{t}"
+        load_table(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names

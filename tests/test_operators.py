@@ -589,3 +589,37 @@ def test_png_decode_rejects_non_png(spark):
 
     with _pt.raises(ValueError):
         png_decode_pixels(b"BM" + b"\x00" * 60)
+
+
+def test_countmin_never_undercounts_and_merges(spark, sf_dir):
+    """CMS structural guarantee: est >= exact for EVERY key (not just
+    the top-10), and the sketch built on split halves MERGES (counter
+    addition) to exactly the whole-corpus sketch."""
+    from pyspark.sql import functions as F
+
+    from elb_log_to_mysql_spark.operators.advanced import countmin_estimates
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = countmin_estimates(li, "l_partkey", width=64, topk=50)
+    assert out.filter("NOT never_undercounts").count() == 0
+    # mergeability: sum of half-sketch estimates == whole estimate is
+    # NOT guaranteed (min over merged counters), but counters add:
+    from elb_log_to_mysql_spark.operators.advanced import _CMS_SALTS, _cms_bucket
+
+    k = F.col("l_partkey").cast("long")
+    def sketch(df):
+        return (
+            df.select(_cms_bucket(k, _CMS_SALTS[0], 64).alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+        )
+    lo = li.filter("l_orderkey % 2 = 0")
+    hi = li.filter("l_orderkey % 2 = 1")
+    merged = (
+        sketch(lo).withColumnRenamed("c", "c1")
+        .join(sketch(hi).withColumnRenamed("c", "c2"), "b", "full_outer")
+        .select("b", (F.coalesce("c1", F.lit(0)) + F.coalesce("c2", F.lit(0))).alias("c"))
+    )
+    whole = sketch(li)
+    diff = merged.join(whole.withColumnRenamed("c", "cw"), "b").filter("c <> cw")
+    assert diff.count() == 0
