@@ -4,8 +4,11 @@ entry()   — flagship query (shipping-priority revenue top-k: the
             join+agg+topk spine of the engine) on sf0.001.
 queries() — every implemented operator from SURVEY.md §2, bound to
             the test tables (elb_log_to_mysql_spark/queries.py).
-oracle_sql() — DuckDB twins for the SQL-expressible subset; sketch-,
-            stream-, and UDF-based operators are rows-only by design.
+oracle_sql() — a DuckDB twin for EVERY entry (zero rows-only since
+            round 4): exact operators hash-match bit-for-bit; the
+            approximate/stream/UDF families carry value-checked
+            CONTRACT oracles (recall floors with exact counts
+            recomputed by DuckDB, error bounds, replayed arithmetic).
 """
 
 from __future__ import annotations
