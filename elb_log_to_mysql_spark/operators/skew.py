@@ -50,3 +50,43 @@ def salted_agg(
         F.min("_pmin").alias("value_min"),
         F.max("_pmax").alias("value_max"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-resilient equi-join WITHOUT relying on AQE's skew split:
+    the big side fans each row to a content-derived salt, the small
+    side replicates once per salt, and the join runs on (key, salt) —
+    a hot key's rows spread over `n_salts` reduce tasks instead of
+    serializing through one.
+
+    This is the portable fix when AQE can't help (non-shuffle joins it
+    won't split, writers keyed downstream, engines without runtime
+    re-plan) and the explicit form of what AQE's OptimizeSkewedJoin
+    does adaptively. Join-result equivalence: every big row meets
+    every matching small row exactly once (the big row exists under
+    ONE salt; the small side has exactly one replica with that salt),
+    so the output multiset is identical to the plain join — which is
+    exactly what the oracle checks. Cost: the small side is
+    `n_salts`x duplicated — it must remain the SMALL side; salts are
+    content-derived (not rand()), so retried tasks replay
+    deterministically.
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts))
+    )
+    salts = F.explode(
+        F.array(*[F.lit(i).cast("bigint") for i in range(n_salts)])
+    )
+    salted_small = small.withColumn("_salt", salts)
+    out = salted_big.join(
+        salted_small,
+        (F.col(big_key) == F.col(small_key))
+        & (salted_big["_salt"] == salted_small["_salt"]),
+    )
+    return out.drop("_salt")

@@ -4271,3 +4271,32 @@ def q_countmin_freq(spark, sf_dir):
     return advanced.countmin_estimates(
         _t(spark, sf_dir, "lineitem"), "l_partkey", width=256, topk=10
     )
+
+
+@_q(
+    "skew_salted_join",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           {_dsum('o_totalprice')} AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_skew_salted_join(spark, sf_dir):
+    """Salted skew-resilient join (operators/skew.py:salted_join):
+    the fact side spreads each key over 8 salts, the dim side
+    replicates per salt, and the (key, salt) join reproduces the
+    plain join's multiset exactly — checked by aggregating to the
+    identical rollup the oracle computes with an unsalted join."""
+    out = skew.salted_join(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "o_custkey",
+        "c_custkey",
+        n_salts=8,
+    )
+    return out.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )

@@ -623,3 +623,27 @@ def test_countmin_never_undercounts_and_merges(spark, sf_dir):
     whole = sketch(li)
     diff = merged.join(whole.withColumnRenamed("c", "cw"), "b").filter("c <> cw")
     assert diff.count() == 0
+
+
+def test_salted_join_multiset_equals_plain_join(spark, sf_dir):
+    """Row-level (not just aggregate) equivalence: the salted join
+    must produce exactly the plain join's multiset, for any salt
+    count, including rows whose key misses the small side."""
+    from pyspark.sql import functions as F
+
+    from elb_log_to_mysql_spark.operators.skew import salted_join
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    for n_salts in (1, 4):
+        got = salted_join(orders, cust, "o_custkey", "c_custkey", n_salts)
+        want = orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        assert got.count() == want.count()
+        assert (
+            got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+        )
