@@ -4300,3 +4300,64 @@ def q_skew_salted_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+@_q(
+    "stream_funnel",
+    ORACLE_SQL["funnel_analysis"],
+)
+def q_stream_funnel(spark, sf_dir):
+    """The funnel as an INCREMENTAL streaming computation: per-user
+    stage held in one int of keyed state (applyInPandasWithState,
+    streaming/stateful.py:funnel_stream), drained with AvailableNow
+    and rolled up to the identical step-count table the batch
+    operator produces — same oracle as funnel_analysis, proving
+    stream ≡ batch for the ordered-subsequence semantics."""
+    from elb_log_to_mysql_spark.streaming.stateful import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    raw_schema = raw_parquet_schema(spark, os.path.join(sf_dir, "events.parquet"))
+
+    def transform(stream):
+        from elb_log_to_mysql_spark.streaming.windows import event_time_micros
+
+        prepared = stream.filter(F.col("event_type").isin(steps)).select(
+            "user_id", "event_id", event_time_micros(stream), "event_type"
+        )
+        return funnel_stream(prepared, steps)
+
+    updates = run_stream_to_batch(
+        spark,
+        os.path.join(sf_dir, "events.parquet"),
+        transform,
+        raw_schema,
+        output_mode="update",
+    )
+    per_user = updates.groupBy("user_id").agg(F.max("stage").alias("max_stage"))
+    counts = per_user.agg(
+        *[
+            F.sum((F.col("max_stage") >= k).cast("bigint")).alias(f"s{k}")
+            for k in range(1, len(steps) + 1)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{k}, '{steps[k - 1]}', s{k}" for k in range(1, len(steps) + 1)
+    )
+    return (
+        counts.select(
+            F.expr(
+                f"stack({len(steps)}, {stack_args}) "
+                "AS (step_idx, step_name, n_users)"
+            ),
+            F.col("s1").alias("_first"),
+        )
+        .select(
+            "step_idx",
+            "step_name",
+            "n_users",
+            F.round(
+                F.col("n_users").cast("double") / F.col("_first"), 9
+            ).alias("conversion"),
+        )
+        .orderBy("step_idx")
+    )

@@ -135,3 +135,42 @@ def user_profile_stream(
             else GroupStateTimeout.ProcessingTimeTimeout
         ),
     )
+
+
+FUNNEL_STATE_SCHEMA = "stage INT"
+FUNNEL_OUTPUT_SCHEMA = "user_id LONG, stage INT"
+
+
+def make_funnel_update_fn(steps: list[str]):
+    """Per-user incremental funnel-stage tracker: the batch's events
+    are folded in (ts_us, event_id) order, advancing the stage on
+    each next-step match — the streaming twin of the batch fold in
+    operators/analytics.py:funnel_analysis. State is ONE int per user
+    (the reached stage), the smallest possible footprint. In-order
+    batch delivery is assumed, like the profile operator above; for
+    out-of-order sources, buffer within the watermark first."""
+
+    def _update(key, batches, state) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        stage = state.get[0] if state.exists else 0
+        for pdf in batches:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for et in pdf["event_type"]:
+                if stage < len(steps) and et == steps[stage]:
+                    stage += 1
+        state.update((stage,))
+        yield pd.DataFrame({"user_id": [user_id], "stage": [stage]})
+
+    return _update
+
+
+def funnel_stream(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Apply the incremental funnel over a streaming DataFrame with
+    columns (user_id, event_id, ts_us, event_type)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_funnel_update_fn(steps),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

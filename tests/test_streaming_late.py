@@ -259,3 +259,66 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stream_funnel_equals_batch_funnel(spark, tmp_path):
+    """Stream ≡ batch for the funnel fold: drive the incremental
+    stateful funnel over MULTIPLE micro-batches (two files dropped in
+    event-time order) and require the final stage table to equal the
+    batch operator's on the union."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from elb_log_to_mysql_spark.operators.analytics import funnel_analysis
+    from elb_log_to_mysql_spark.streaming.stateful import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    base = dt.datetime(2024, 1, 1)
+    # user 1 completes across the file split; user 2 only views
+    early = [(1, base, 1, "view"), (2, base, 2, "view")]
+    late = [
+        (1, base + dt.timedelta(minutes=1), 3, "click"),
+        (1, base + dt.timedelta(minutes=2), 4, "purchase"),
+    ]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    spark.createDataFrame(early, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f0.parquet"))
+    spark.createDataFrame(late, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "f1.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*/")
+    )
+    prepared = stream.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    q = (
+        funnel_stream(prepared, steps)
+        .writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("funnel_test")
+        .groupBy("user_id")
+        .agg(F.max("stage").alias("max_stage"))
+        .collect()
+    )
+    stages = {r["user_id"]: r["max_stage"] for r in got}
+    assert stages == {1: 3, 2: 1}
+    batch = funnel_analysis(
+        spark.createDataFrame(early + late, schema), steps
+    ).collect()
+    assert {r["step_name"]: r["n_users"] for r in batch} == {
+        "view": 2, "click": 1, "purchase": 1,
+    }
