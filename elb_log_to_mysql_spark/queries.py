@@ -4361,3 +4361,69 @@ def q_stream_funnel(spark, sf_dir):
         )
         .orderBy("step_idx")
     )
+
+
+@_q(
+    "asof_join_forward",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS side
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ), merged AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER w AS p_id,
+             last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS)
+               OVER w AS p_value,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER w AS p_ts
+      FROM tagged
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY ts DESC, side,
+                 (CASE WHEN side = 0 THEN event_id END) ASC NULLS FIRST,
+                 (CASE WHEN side = 0 THEN value END) ASC NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id AS click_event_id,
+           CASE WHEN p_ts IS NOT NULL
+                 AND epoch_us(p_ts) - epoch_us(ts) <= 86400000000
+                THEN p_id END AS next_purchase_id,
+           CASE WHEN p_ts IS NOT NULL
+                 AND epoch_us(p_ts) - epoch_us(ts) <= 86400000000
+                THEN p_value END AS next_purchase_value
+    FROM merged WHERE side = 1
+    """,
+)
+def q_asof_join_forward(spark, sf_dir):
+    """FORWARD as-of with tolerance: each click matched to the user's
+    next purchase within 24 h (operators/asof.py, direction="forward",
+    tolerance_us) — the other half of the merge-asof surface; same
+    union-merge single-shuffle plan, time walked in reverse."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof.asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values={
+            "event_id": "next_purchase_id",
+            "value": "next_purchase_value",
+        },
+        direction="forward",
+        tolerance_us=86_400_000_000,
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        "next_purchase_id",
+        "next_purchase_value",
+    )
