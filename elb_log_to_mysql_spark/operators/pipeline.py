@@ -348,3 +348,132 @@ def stratified_sample(
     for stratum, t in thresholds.items():
         thr = F.when(F.col(strata_col) == stratum, F.lit(t)).otherwise(thr)
     return df.filter(h < thr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    quotas: dict[str, int],
+    salt: str = "seed42",
+) -> DataFrame:
+    """EXACT-quota mixture sampling: take exactly `quotas[stratum]`
+    rows per stratum, chosen in deterministic md5(key|salt) order.
+
+    The data-mixing step of a corpus build — "this training mix is
+    50 GB web + 30 GB wiki + 20 GB books" — needs exact counts, which
+    `stratified_sample`'s hash-threshold (a keep-RATE) cannot hit.
+    A per-stratum `row_number` window would shuffle every row of a
+    stratum into one partition (web IS the skewed stratum); instead
+    the rank is a stratified variant of the bucketed two-pass prefix
+    sum (`_bucketed_global_cumsum`): the hash's 2-hex-char prefix
+    defines 256 key-range buckets per stratum, so
+
+    1. count rows per (stratum, bucket) — one narrow agg;
+    2. exclusive prefix-sum of bucket counts per stratum — a window
+       over ≤ 256 rows per stratum, small by design;
+    3. rank within (stratum, bucket) + broadcast bucket offset =
+       exact per-stratum rank, every heavy stage bounded by
+       ~stratum_rows/256.
+
+    Strata absent from `quotas` are dropped (quota 0). Adds
+    `mix_rank` (0-based selection order within the stratum); the
+    result is a pure function of (key, salt, quotas) — reproducible
+    across runs, cluster layouts, and partition counts.
+    """
+    skey = F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
+    keyed = df.withColumn("_skey", skey).withColumn(
+        "_bkt", F.substring("_skey", 1, 2)
+    )
+    totals = keyed.groupBy(strata_col, "_bkt").agg(F.count("*").alias("_bn"))
+    offsets = totals.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_bn").over(
+                Window.partitionBy(strata_col)
+                .orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(strata_col, "_bkt", "_offset")
+    local = (
+        F.row_number().over(
+            Window.partitionBy(strata_col, "_bkt").orderBy("_skey", key_col)
+        )
+        - 1
+    )
+    quota: Column = F.lit(0)
+    for stratum, n in quotas.items():
+        quota = F.when(F.col(strata_col) == stratum, F.lit(n)).otherwise(quota)
+    return (
+        keyed.join(F.broadcast(offsets), [strata_col, "_bkt"])
+        .withColumn("mix_rank", (F.col("_offset") + local).cast("long"))
+        .filter(F.col("mix_rank") < quota)
+        .drop("_skey", "_bkt", "_offset")
+    )
+
+
+def source_overlap(
+    documents: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    ngram: int = 5,
+) -> DataFrame:
+    """Pairwise cross-source n-gram contamination matrix: for every
+    source pair, how many distinct word n-grams they share, and the
+    containment ratio vs the smaller side.
+
+    The corpus-curation diagnostic run before mixing sources: a high
+    containment between a web crawl and a benchmark-derived source
+    means the mix double-counts (or leaks eval) content. Shuffles
+    16-hex-char md5 fingerprints instead of raw gram strings — the
+    distinct and the self-join move fixed-width keys, not text — and
+    the per-source gram-set sizes join back as a broadcast (the
+    matrix is |sources|², tiny). A fingerprint collision would fold
+    two grams in BOTH engines identically, so the count is still
+    deterministic. The self-join fans out k² pairs per fingerprint
+    shared by k sources — bounded by |sources|, not corpus size.
+    """
+    docs = ensure_min_partitions(documents)
+    grams = (
+        docs.select(
+            F.col(strata_col).alias("src"),
+            F.explode(word_shingles(text_col, ngram)).alias("gram"),
+        )
+        .select("src", F.substring(F.md5("gram"), 1, 16).alias("fp"))
+        .distinct()
+    )
+    sizes = grams.groupBy("src").agg(F.count("*").alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(
+            F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("src").alias("src_a"),
+                                     F.col("n_grams").alias("n_grams_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("src").alias("src_b"),
+                                     F.col("n_grams").alias("n_grams_b"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_grams_a",
+            "n_grams_b",
+            (
+                F.col("n_shared").cast("double")
+                / F.least("n_grams_a", "n_grams_b")
+            ).alias("containment"),
+        )
+    )

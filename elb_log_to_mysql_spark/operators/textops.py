@@ -463,6 +463,50 @@ def corpus_ngrams(
     ).limit(k)
 
 
+def unigram_prevalence(documents: DataFrame) -> DataFrame:
+    """Unigram-LM document scoring with exact integer statistics.
+
+    The cheap statistical-LM quality signal (cf. CCNet's LM filtering
+    stage): score each document by how common its tokens are in the
+    corpus itself. Emits per doc: `n_tokens`, `sum_freq` (sum over
+    token OCCURRENCES of that token's corpus-wide count), `min_freq`
+    (the rarest token's count — a typo/garbage detector), and
+    `mean_freq = sum_freq / n_tokens`. All-integer aggregation plus
+    ONE final IEEE division keeps the result bit-identical to a SQL
+    replay — a log-prob formulation would hit libm divergence between
+    engines, while the rank ordering of documents is the same.
+
+    Physical shape: one explode → vocab count agg (map-side partial
+    combine shrinks the shuffle to distinct-grams-per-partition) →
+    token↔vocab shuffle hash join → per-doc agg. The join key is
+    Zipf-skewed (stopwords); AQE skew-join splitting handles the hot
+    keys, and at corpus scale the vocab side is far too large to
+    broadcast, so a shuffle join is the right plan, not a fallback.
+    """
+    toks_arr = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+    toks = ensure_min_partitions(documents).select(
+        "doc_id", "lang", F.explode(toks_arr).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    # lang is functionally dependent on doc_id; grouping by both keeps
+    # the final agg a HashAggregate (FIRST() would force SortAggregate)
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("freq").alias("sum_freq"),
+            F.min("freq").alias("min_freq"),
+        )
+        .withColumn(
+            "mean_freq",
+            F.col("sum_freq").cast("double") / F.col("n_tokens"),
+        )
+    )
+
+
 def fuzzy_name_pairs(
     df: DataFrame,
     col: str,

@@ -4427,3 +4427,114 @@ def q_asof_join_forward(spark, sf_dir):
         "next_purchase_id",
         "next_purchase_value",
     )
+
+
+@_q(
+    "mixture_sample",
+    r"""
+    WITH ranked AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|seed42'), doc_id
+             ) - 1 AS BIGINT) AS mix_rank
+      FROM documents
+    )
+    SELECT doc_id, source, lang, n_chars, mix_rank
+    FROM ranked
+    WHERE mix_rank < CASE source
+                       WHEN 'src0' THEN 10
+                       WHEN 'src1' THEN 5
+                       WHEN 'src2' THEN 25
+                       WHEN 'src3' THEN 40
+                       ELSE 0 END
+    """,
+)
+def q_mixture_sample(spark, sf_dir):
+    """Exact-quota training-mix sampling: 10 docs of src0, 5 of src1,
+    all of src2 (quota == stratum size), src3 over-quota (40 > 25,
+    whole stratum survives), every other source dropped — the
+    data-mixing step of a corpus build, selected in deterministic
+    md5(key|salt) order via the stratified bucketed prefix-sum (no
+    per-stratum single-partition sort;
+    operators/pipeline.py:mixture_sample)."""
+    from elb_log_to_mysql_spark.operators.pipeline import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return mixture_sample(
+        docs,
+        strata_col="source",
+        key_col="doc_id",
+        quotas={"src0": 10, "src1": 5, "src2": 25, "src3": 40},
+    )
+
+
+@_q(
+    "source_overlap",
+    r"""
+    WITH toks AS (
+      SELECT source, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT source AS src, substring(md5(g), 1, 16) AS fp
+      FROM (
+        SELECT source, unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - 4, 0)),
+                 i -> array_to_string(t[i:i+4], ' ')))) AS g
+        FROM toks)
+    ), sizes AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY src
+    )
+    SELECT a.src AS src_a, b.src AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           sa.n AS n_grams_a, sb.n AS n_grams_b,
+           CAST(COUNT(*) AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+    FROM grams a
+    JOIN grams b USING (fp)
+    JOIN sizes sa ON sa.src = a.src
+    JOIN sizes sb ON sb.src = b.src
+    WHERE a.src < b.src
+    GROUP BY a.src, b.src, sa.n, sb.n
+    """,
+)
+def q_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: distinct shared 5-gram
+    fingerprints and containment ratio for every source pair — the
+    curation diagnostic run before committing a training mix
+    (operators/pipeline.py:source_overlap). The shuffle moves 16-char
+    md5 fingerprints, never gram text."""
+    from elb_log_to_mysql_spark.operators.pipeline import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"), ngram=5)
+
+
+@_q(
+    "unigram_prevalence",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ), vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id, t.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(v.freq) AS BIGINT) AS sum_freq,
+           MIN(v.freq) AS min_freq,
+           CAST(SUM(v.freq) AS DOUBLE) / COUNT(*) AS mean_freq
+    FROM toks t JOIN vocab v USING (tok)
+    GROUP BY t.doc_id, t.lang
+    """,
+)
+def q_unigram_prevalence(spark, sf_dir):
+    """Unigram-LM corpus-frequency scoring: per doc, the corpus-wide
+    frequency mass of its tokens (sum/min/mean) — the statistical
+    quality signal a CCNet-style filter thresholds on. All-integer
+    aggregation + one IEEE division = bit-exact vs the SQL replay
+    (operators/textops.py:unigram_prevalence)."""
+    return textops.unigram_prevalence(_t(spark, sf_dir, "documents"))

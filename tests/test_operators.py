@@ -647,3 +647,23 @@ def test_salted_join_multiset_equals_plain_join(spark, sf_dir):
         assert (
             got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
         )
+
+
+def test_unigram_prevalence_exact_counts(spark):
+    """Frequencies are corpus-wide occurrence counts; per-doc stats
+    are exact integers with one final IEEE division."""
+    from elb_log_to_mysql_spark.operators import textops
+
+    rows = [
+        (1, "the cat sat", "en"),
+        (2, "the the dog", "en"),
+        (3, "zyzzyx", "en"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in textops.unigram_prevalence(docs).collect()}
+    # corpus counts: the=3, cat=1, sat=1, dog=1, zyzzyx=1
+    assert out[1].n_tokens == 3 and out[1].sum_freq == 3 + 1 + 1
+    assert out[1].min_freq == 1
+    assert out[2].sum_freq == 3 + 3 + 1 and out[2].min_freq == 1
+    assert out[3].sum_freq == 1 and out[3].mean_freq == 1.0
+    assert out[1].mean_freq == 5 / 3

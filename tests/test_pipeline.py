@@ -266,3 +266,64 @@ def test_decontaminate_bloom_matches_exact_and_prunes(spark):
     dense = _bloom_words(bench_grams, 1 << 20, 5)
     assert sum(1 for w in dense if w) > 0  # bloom is non-trivial
     assert len(exact) > 0 and dropped_n >= 0
+
+
+def test_mixture_sample_exact_quotas(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    quotas = {"src0": 3, "src1": 1, "src2": per_source["src2"],
+              "src3": per_source["src3"] + 100}
+    out = pipeline.mixture_sample(docs, "source", "doc_id", quotas)
+    got = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # exact quota where the stratum is big enough, whole stratum when
+    # over-quota, absent strata dropped entirely
+    assert got == {
+        "src0": 3,
+        "src1": 1,
+        "src2": per_source["src2"],
+        "src3": per_source["src3"],
+    }
+
+
+def test_mixture_sample_rank_is_prefix_and_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    big = pipeline.mixture_sample(docs, "source", "doc_id", {"src0": 20})
+    small = pipeline.mixture_sample(docs, "source", "doc_id", {"src0": 5})
+    big_ids = {r.mix_rank: r.doc_id for r in big.collect()}
+    small_ids = {r.mix_rank: r.doc_id for r in small.collect()}
+    # ranks are a contiguous 0-based prefix, and a smaller quota is a
+    # strict PREFIX of the larger selection (stable mix growth)
+    assert sorted(big_ids) == list(range(20))
+    assert small_ids == {k: v for k, v in big_ids.items() if k < 5}
+
+
+def test_source_overlap_matches_bruteforce(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    out = {
+        (r.src_a, r.src_b): (r.n_shared, r.n_grams_a, r.n_grams_b)
+        for r in pipeline.source_overlap(docs, ngram=3).collect()
+    }
+    rows = docs.select(
+        "source", word_shingles("text", 3).alias("grams")
+    ).collect()
+    by_src: dict[str, set] = {}
+    for r in rows:
+        by_src.setdefault(r.source, set()).update(r.grams)
+    for (a, b), (n_shared, n_a, n_b) in out.items():
+        assert a < b
+        assert n_a == len(by_src[a]) and n_b == len(by_src[b])
+        assert n_shared == len(by_src[a] & by_src[b])
+    # every overlapping pair is present (no silently dropped pairs)
+    expected = {
+        (a, b)
+        for a in by_src
+        for b in by_src
+        if a < b and by_src[a] & by_src[b]
+    }
+    assert set(out) == expected
