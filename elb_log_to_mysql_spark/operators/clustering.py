@@ -1,0 +1,148 @@
+"""Deterministic distributed k-means (Lloyd's) over embedding columns.
+
+The reference engine has no clustering surface; this is part of the
+LLM-corpus extension family (SURVEY §2.3): clustering embeddings is
+the backbone of semantic sharding, topic balancing, and
+cluster-based dedup sampling at corpus scale.
+
+Two design constraints drive the implementation:
+
+1. **Never cap the data.** `train_ivf_centroids` (similarity.py:291)
+   deliberately fits MLlib k-means on a bounded sample — right for an
+   offline quantizer, wrong when the assignment of EVERY row is the
+   product (semantic sharding). Here every stage is a full-table
+   DataFrame op: explode → agg → broadcast join; nothing is
+   collected, nothing is sampled, state per iteration is k×dim rows.
+
+2. **Bit-reproducible across engines and layouts.** Float summation
+   is order-dependent, so naive distributed centroid means are not
+   reproducible run-to-run, let alone against a single-node oracle.
+   Centroid updates therefore sum an exact DECIMAL(28,8) image of
+   each coordinate (associative + commutative — partitioning and AQE
+   cannot change the result; see functions/numeric.py for the
+   engine-wide contract) and convert to double ONCE, via the
+   decimal→string→double detour that sidesteps DuckDB's
+   double-rounding on int128-backed decimals. Distances are
+   left-to-right IEEE folds over the 64 dims — the same op sequence
+   a DuckDB `list_reduce` replay executes, so argmin assignments are
+   bit-identical, not approximately equal.
+
+Initialization is the k lowest-id vectors (deterministic, no RNG).
+Empty clusters keep their previous centroid. Ties in distance break
+toward the lower cluster id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.functions.numeric import DET_DECIMAL
+from elb_log_to_mysql_spark.session import ensure_min_partitions
+
+
+def _sq_dist(vec, centroid):
+    """Sequential left fold of (x_i - c_i)^2 — IEEE-exact and
+    order-pinned so a SQL list_reduce replay is bit-identical.
+    (a-b)*(a-b), not pow(a-b, 2): pow goes through libm in some
+    engines and is not guaranteed correctly rounded."""
+    return F.aggregate(
+        F.zip_with(vec, centroid, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the k centroid arrays,
+    fan out k distance rows per vector, keep the argmin (ties to the
+    lower cluster id). The corpus side never shuffles."""
+    scored = vectors.join(F.broadcast(centroids)).withColumn(
+        "_dist", _sq_dist(F.col("_vec"), F.col("_centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("_dist", "cluster_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_centroid")
+    )
+
+
+def kmeans_embeddings(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full-table Lloyd's k-means, `iterations` assignment rounds.
+
+    Returns one row per input vector: (vec_id, cluster_id, dist) for
+    the FINAL assignment, where `dist` is the squared distance to the
+    final centroid — every column a deterministic function of the
+    input table alone.
+
+    Plan shape per iteration: one narrow posexplode→agg for the
+    decimal centroid sums (map-side partial combine carries k×dim
+    groups), one ≤k-row window to rebuild centroid arrays, one
+    broadcast join + per-vector top-1 window for reassignment. The
+    driver never sees a vector; iteration state is the k×dim centroid
+    table. At 1000 executors the only shuffles are the k×dim
+    aggregation and the per-vector argmin — both keyed on
+    high-cardinality columns, no skew hazard.
+    """
+    vectors = ensure_min_partitions(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_vec"),
+    )
+
+    # init: the k lowest-id vectors, ranked 0..k-1 by id
+    seeds = vectors.orderBy("vec_id").limit(k)
+    wseed = Window.partitionBy(F.lit(0)).orderBy("vec_id")
+    centroids = seeds.select(
+        (F.row_number().over(wseed) - 1).alias("cluster_id"),
+        F.col("_vec").alias("_centroid"),
+    )
+
+    assigned = _assign(vectors, centroids)
+    for _ in range(iterations - 1):
+        # decimal-exact per-(cluster, dim) sums -> double means
+        dim_means = (
+            assigned.select(
+                "cluster_id", F.posexplode("_vec").alias("_pos", "_x")
+            )
+            .groupBy("cluster_id", "_pos")
+            .agg(
+                F.sum(F.col("_x").cast(DET_DECIMAL)).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                "cluster_id",
+                "_pos",
+                (
+                    F.col("_s").cast("string").cast("double") / F.col("_n")
+                ).alias("_m"),
+            )
+        )
+        new_centroids = dim_means.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_m"))),
+                lambda s: s._m,
+            ).alias("_centroid")
+        )
+        # empty clusters keep their previous centroid
+        centroids = (
+            centroids.alias("old")
+            .join(new_centroids.alias("new"), "cluster_id", "left")
+            .select(
+                "cluster_id",
+                F.coalesce(F.col("new._centroid"), F.col("old._centroid")).alias(
+                    "_centroid"
+                ),
+            )
+        )
+        assigned = _assign(vectors, centroids)
+
+    return assigned.select(
+        "vec_id", "cluster_id", F.col("_dist").alias("dist")
+    )

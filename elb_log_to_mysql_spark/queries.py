@@ -4538,3 +4538,64 @@ def q_unigram_prevalence(spark, sf_dir):
     aggregation + one IEEE division = bit-exact vs the SQL replay
     (operators/textops.py:unigram_prevalence)."""
     return textops.unigram_prevalence(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "kmeans_embeddings",
+    r"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS cluster_id,
+             vec AS c
+      FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT 8)
+    ), d0 AS (
+      SELECT v.vec_id, v.vec, s.cluster_id,
+             list_reduce(list_transform(generate_series(1, 64),
+                 i -> (v.vec[i] - s.c[i]) * (v.vec[i] - s.c[i])),
+                 (acc, x) -> acc + x) AS dist
+      FROM v CROSS JOIN seeds s
+    ), a0 AS (
+      SELECT vec_id, vec, cluster_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster_id) AS rn
+        FROM d0) WHERE rn = 1
+    ), m AS (
+      SELECT cluster_id, i,
+             CAST(CAST(SUM(CAST(vec[i] AS DECIMAL(28,8))) AS STRING)
+                  AS DOUBLE) / COUNT(*) AS mi
+      FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+      GROUP BY cluster_id, i
+    ), c1 AS (
+      SELECT cluster_id, list(mi ORDER BY i) AS c FROM m GROUP BY cluster_id
+    ), cf AS (
+      SELECT s.cluster_id, COALESCE(c1.c, s.c) AS c
+      FROM seeds s LEFT JOIN c1 USING (cluster_id)
+    ), d1 AS (
+      SELECT v.vec_id, cf.cluster_id,
+             list_reduce(list_transform(generate_series(1, 64),
+                 i -> (v.vec[i] - cf.c[i]) * (v.vec[i] - cf.c[i])),
+                 (acc, x) -> acc + x) AS dist
+      FROM v CROSS JOIN cf
+    )
+    SELECT vec_id, cluster_id, dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cluster_id) AS rn
+      FROM d1) WHERE rn = 1
+    """,
+)
+def q_kmeans_embeddings(spark, sf_dir):
+    """Deterministic FULL-TABLE distributed k-means (k=8, 2 Lloyd
+    rounds, lowest-id seeding): every vector's final cluster and
+    squared distance, bit-identical to the oracle because centroid
+    means go through the engine-wide DECIMAL(28,8) sum contract and
+    distances are order-pinned IEEE folds
+    (operators/clustering.py:kmeans_embeddings). Complements the
+    capped-sample MLlib quantizer (train_ivf_centroids) with the
+    can't-cap-the-data semantic-sharding path."""
+    from elb_log_to_mysql_spark.operators.clustering import kmeans_embeddings
+
+    return kmeans_embeddings(_t(spark, sf_dir, "embeddings"), k=8, iterations=2)

@@ -667,3 +667,68 @@ def test_unigram_prevalence_exact_counts(spark):
     assert out[2].sum_freq == 3 + 3 + 1 and out[2].min_freq == 1
     assert out[3].sum_freq == 1 and out[3].mean_freq == 1.0
     assert out[1].mean_freq == 5 / 3
+
+
+def test_kmeans_embeddings_invariants(spark, sf_dir):
+    """Every vector assigned exactly once, assignment is the true
+    argmin against the final centroids, and the whole run is
+    deterministic (decimal-exact centroid contract)."""
+    from elb_log_to_mysql_spark.operators.clustering import kmeans_embeddings
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_embeddings(emb, k=4, iterations=2)
+    rows = out.collect()
+    n = emb.count()
+    assert len(rows) == n
+    assert {r.vec_id for r in rows} == {
+        r.vec_id for r in emb.select("vec_id").collect()
+    }
+    assert {r.cluster_id for r in rows} <= set(range(4))
+    # determinism: second run bit-identical (incl. double dists)
+    again = {r.vec_id: (r.cluster_id, r.dist)
+             for r in kmeans_embeddings(emb, k=4, iterations=2).collect()}
+    assert {r.vec_id: (r.cluster_id, r.dist) for r in rows} == again
+
+    # replay the whole 2-round Lloyd's in plain python (same decimal
+    # centroid contract, same left-to-right fold order) and demand
+    # bit-identical assignments AND distances
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def d8(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("1.00000000"), rounding=ROUND_HALF_UP
+        )
+
+    def sqdist(v, c):
+        acc = 0.0
+        for a, b in zip(v, c):
+            acc = acc + (a - b) * (a - b)
+        return acc
+
+    def argmin(v, cents):
+        return min(cents, key=lambda c: (sqdist(v, cents[c]), c))
+
+    seeds = sorted(vecs)[:4]
+    cents = {j: vecs[i] for j, i in enumerate(seeds)}
+    assign0 = {vid: argmin(v, cents) for vid, v in vecs.items()}
+    import collections
+    members = collections.defaultdict(list)
+    for vid, c in assign0.items():
+        members[c].append(vid)
+    cents1 = {
+        c: [
+            float(sum(d8(vecs[i][p]) for i in ids)) / len(ids)
+            for p in range(len(vecs[ids[0]]))
+        ]
+        for c, ids in members.items()
+    }
+    for c in cents:
+        cents1.setdefault(c, cents[c])
+    for r in rows:
+        assert r.cluster_id == argmin(vecs[r.vec_id], cents1), r.vec_id
+        assert r.dist == sqdist(vecs[r.vec_id], cents1[r.cluster_id]), r.vec_id
