@@ -232,6 +232,52 @@ def main() -> None:
         "ivf_sec": t_ivf, "ivf_recall": round(len(ivf & exact_tk) / len(exact_tk), 4),
     }
 
+    # --- corpus-curation family at the replica ---
+    from elb_log_to_mysql_spark.operators import pipeline, textops
+    from elb_log_to_mysql_spark.operators.clustering import kmeans_embeddings
+
+    quotas = {"src0": 40, "src1": 15, "src2": 250}
+    mix, t_mix = timed(
+        lambda: {
+            r.source: r.n
+            for r in pipeline.mixture_sample(docs, "source", "doc_id", quotas)
+            .groupBy("source")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+    )
+    ov = pipeline.source_overlap(docs, ngram=5).persist()
+    n_ov, t_ov = timed(ov.count)
+    ov_bad = ov.filter(
+        (F.col("containment") < 0) | (F.col("containment") > 1)
+        | (F.col("n_shared") > F.least("n_grams_a", "n_grams_b"))
+    ).count()
+    ov.unpersist()
+    prev = textops.unigram_prevalence(docs).persist()
+    n_prev, t_prev = timed(prev.count)
+    prev_bad = prev.filter(
+        (F.col("min_freq") < 1) | (F.col("sum_freq") < F.col("n_tokens"))
+    ).count()
+    prev.unpersist()
+    km = kmeans_embeddings(emb, k=8, iterations=2).persist()
+    n_km, t_km = timed(km.count)
+    km_sizes = {
+        r.cluster_id: r.n
+        for r in km.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    km.unpersist()
+    report["curation"] = {
+        "mixture_sec": t_mix,
+        "mixture_counts_exact": mix == quotas,
+        "source_overlap_pairs": n_ov, "source_overlap_sec": t_ov,
+        "source_overlap_invariant_violations": ov_bad,
+        "unigram_docs": n_prev, "unigram_sec": t_prev,
+        "unigram_invariant_violations": prev_bad,
+        "kmeans_rows": n_km, "kmeans_sec": t_km,
+        "kmeans_total_assigned": sum(km_sizes.values()),
+        "kmeans_nonempty_clusters": len(km_sizes),
+    }
+
     # --- event-time: sessionize + streaming twin on the replica ---
     sess, t_sess = timed(lambda: sessionize.sessionize(ev).count())
     batch = (
@@ -274,6 +320,10 @@ def main() -> None:
         # collect-size and oracle-side cost, not operator concerns)
         "funnel_analysis", "retention_cohorts", "anomaly_zscore",
         "scd1_merge", "data_profile", "pagerank_parts",
+        # round-5 corpus-curation family: value-parity at 10x, not
+        # just the invariant checks above
+        "mixture_sample", "source_overlap", "unigram_prevalence",
+        "kmeans_embeddings",
     ]
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         parity_path = tf.name
