@@ -477,3 +477,60 @@ def source_overlap(
             ).alias("containment"),
         )
     )
+
+
+def corpus_pipeline(
+    documents: DataFrame,
+    quotas: dict[str, int],
+    bench_mod: int = 97,
+    ngram: int = 5,
+    salt: str = "seed42",
+) -> DataFrame:
+    """The END-TO-END curation chain as ONE DataFrame expression:
+
+        quality gate -> exact dedup -> benchmark decontamination ->
+        exact-quota mixture -> deterministic global training order
+
+    — i.e. the whole pre-training data build the individual operators
+    implement, composed so Catalyst plans it as one job (shared scans,
+    no materialization boundaries between stages). Every stage is the
+    deterministic variant (Gopher-rule gate, min-id fingerprint
+    survivor, gram-set decontamination, hash-order quota, bucketed
+    global shuffle rank), so the FINAL training order is a pure
+    function of (corpus, quotas, salt) — reproducible end to end and
+    value-checkable against a single SQL replay of the full chain.
+
+    Returns (doc_id, source, mix_rank, pos): the selected corpus in
+    training order. Each stage's scale posture is documented on its
+    own operator; composition adds nothing that shuffles the corpus
+    beyond what the stages themselves do.
+    """
+    from elb_log_to_mysql_spark.operators.dedup import (
+        content_fingerprint,
+        exact_dedup,
+    )
+    from elb_log_to_mysql_spark.operators.textops import quality_filter
+
+    kept = documents.join(
+        quality_filter(documents).filter("keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    survivors = exact_dedup(
+        kept.withColumn("_fp", content_fingerprint("text")),
+        ["_fp"],
+        ["doc_id"],
+    ).drop("_fp")
+    clean = survivors.join(
+        decontaminate(documents, bench_mod=bench_mod, ngram=ngram).select(
+            "doc_id"
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    mixed = mixture_sample(
+        clean.select("doc_id", "source"), "source", "doc_id", quotas, salt
+    )
+    return shuffle_index(mixed, "doc_id", salt).select(
+        "doc_id", "source", "mix_rank", "pos"
+    )

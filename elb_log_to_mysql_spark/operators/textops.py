@@ -507,6 +507,44 @@ def unigram_prevalence(documents: DataFrame) -> DataFrame:
     )
 
 
+def bpe_pair_counts(documents: DataFrame, k: int = 40) -> DataFrame:
+    """First BPE merge iteration over the corpus: adjacent
+    character-pair frequencies within whitespace words, top-k.
+
+    Tokenizer training's inner loop is "count all adjacent symbol
+    pairs, merge the argmax, repeat" (Sennrich et al. 2016); the
+    count pass is the distributed-scale part — each merge decision
+    is a global argmax over it. One explode chain → one count agg
+    (map-side partial combine: the shuffle carries distinct pairs
+    per partition, ≤ ~1k keys for byte-level pairs) → deterministic
+    top-k with (count desc, pair) tiebreak. Words shorter than 2
+    chars are filtered BEFORE the position fan-out: Spark's
+    `sequence(1, 0)` steps downward and would crash substring.
+    """
+    words = ensure_min_partitions(documents).select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                lambda t: F.length(t) >= 2,
+            )
+        ).alias("w")
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
 def fuzzy_name_pairs(
     df: DataFrame,
     col: str,

@@ -327,3 +327,54 @@ def test_source_overlap_matches_bruteforce(spark, sf_dir):
         if a < b and by_src[a] & by_src[b]
     }
     assert set(out) == expected
+
+
+def test_corpus_pipeline_composes_stage_semantics(spark, sf_dir):
+    """Output ids are exactly (quality-kept ∩ dedup-survivor ∩
+    decontaminated) filtered by quota, and `pos` is a total 0-based
+    training order consistent with per-source mix_rank selection."""
+    from elb_log_to_mysql_spark.operators.dedup import (
+        content_fingerprint,
+        exact_dedup,
+    )
+    from elb_log_to_mysql_spark.operators.textops import quality_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    quotas = {"src0": 4, "src1": 3, "src2": 100}
+    out = pipeline.corpus_pipeline(docs, quotas=quotas).collect()
+
+    kept = {r.doc_id for r in quality_filter(docs).filter("keep").collect()}
+    surv = {
+        r.doc_id
+        for r in exact_dedup(
+            docs.join(
+                spark.createDataFrame([(i,) for i in kept], ["doc_id"]),
+                "doc_id",
+                "left_semi",
+            ).withColumn("_fp", content_fingerprint("text")),
+            ["_fp"],
+            ["doc_id"],
+        ).collect()
+    }
+    clean = {r.doc_id for r in pipeline.decontaminate(docs).collect()}
+    eligible = surv & clean
+    for r in out:
+        assert r.doc_id in eligible
+        assert r.mix_rank < quotas[r.source]
+    positions = sorted(r.pos for r in out)
+    assert positions == list(range(len(out)))
+
+
+def test_bpe_pair_counts_bruteforce(spark, sf_dir):
+    from elb_log_to_mysql_spark.operators.textops import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    got = [(r.pair, r.n_occurrences) for r in bpe_pair_counts(docs, k=15).collect()]
+    import collections
+    counts = collections.Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.lower().split():
+            for i in range(len(w) - 1):
+                counts[w[i:i + 2]] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert got == want
