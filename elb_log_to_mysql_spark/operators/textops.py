@@ -507,6 +507,71 @@ def unigram_prevalence(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_condprob(documents: DataFrame) -> DataFrame:
+    """Second-order statistical-LM scoring: per-document mean and min
+    of the corpus bigram conditional probability p(w2|w1) =
+    c(w1 w2) / c(w1), where c(w1) is w1's total corpus occurrence
+    count. Completes the LM family beside `unigram_prevalence`: a
+    document of individually-common words in an improbable ORDER
+    scores low here but high there.
+
+    Determinism contract: both counts are exact integers, each p is
+    ONE IEEE division (correctly rounded, bit-identical across
+    engines), the per-doc mean goes through the DECIMAL(28,8) sum
+    image (order-independent — see functions/numeric.py), and min is
+    order-free. No log(): rank-equivalent filtering without the
+    cross-libm ulp hazard.
+
+    Physical shape: one explode for bigram positions; bigram and
+    unigram count aggs both get map-side partial combine; the
+    positions↔counts joins are Zipf-skewed on stopword contexts —
+    the AQE skew-join case, same as unigram_prevalence.
+    """
+    toks_arr = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+
+    def _pairs(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    # let-bind the token array (HOFs re-evaluate outer subtrees per
+    # element; see word_shingles for the measured cost)
+    pairs_col = F.element_at(
+        F.transform(F.array(toks_arr), _pairs), 1
+    )
+    docs = ensure_min_partitions(documents)
+    positions = docs.select(
+        "doc_id", "lang", F.explode(pairs_col).alias("p")
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    unigrams = docs.select(F.explode(toks_arr).alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    bigrams = positions.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    scored = (
+        positions.join(bigrams, ["w1", "w2"])
+        .join(unigrams, "w1")
+        .withColumn("p", F.col("c12").cast("double") / F.col("c1"))
+    )
+    from elb_log_to_mysql_spark.functions.numeric import dsum
+
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (dsum("p") / F.count(F.lit(1))).alias("mean_condp"),
+        F.min("p").alias("min_condp"),
+    )
+
+
 def bpe_pair_counts(documents: DataFrame, k: int = 40) -> DataFrame:
     """First BPE merge iteration over the corpus: adjacent
     character-pair frequencies within whitespace words, top-k.

@@ -4729,3 +4729,46 @@ def q_corpus_pipeline(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         quotas={"src0": 12, "src1": 8, "src2": 6, "src3": 100},
     )
+
+
+@_q(
+    "bigram_condprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), positions AS (
+      SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
+      FROM toks CROSS JOIN
+           (SELECT unnest(generate_series(1, 10000)) AS i)
+      WHERE i <= len(t) - 1
+    ), unigrams AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+    ), bigrams AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM positions GROUP BY w1, w2
+    ), scored AS (
+      SELECT p.doc_id, p.lang,
+             CAST(b.c12 AS DOUBLE) / u.c1 AS p
+      FROM positions p
+      JOIN bigrams b USING (w1, w2)
+      JOIN unigrams u USING (w1)
+    )
+    SELECT doc_id, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(CAST(SUM(CAST(p AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
+             / COUNT(*) AS mean_condp,
+           MIN(p) AS min_condp
+    FROM scored GROUP BY doc_id, lang
+    """,
+)
+def q_bigram_condprob(spark, sf_dir):
+    """Second-order LM scoring: per-doc mean/min corpus bigram
+    conditional probability — individually-common words in an
+    improbable order score low (operators/textops.py:
+    bigram_condprob). Exact integer counts, one IEEE division per
+    bigram, decimal-image mean: bit-identical to the replay."""
+    return textops.bigram_condprob(_t(spark, sf_dir, "documents"))

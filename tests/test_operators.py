@@ -732,3 +732,24 @@ def test_kmeans_embeddings_invariants(spark, sf_dir):
     for r in rows:
         assert r.cluster_id == argmin(vecs[r.vec_id], cents1), r.vec_id
         assert r.dist == sqdist(vecs[r.vec_id], cents1[r.cluster_id]), r.vec_id
+
+
+def test_bigram_condprob_bruteforce(spark):
+    from elb_log_to_mysql_spark.operators import textops
+
+    rows = [
+        (1, "a b a b", "en"),
+        (2, "a b c", "en"),
+        (3, "c", "en"),         # <2 tokens: no output row
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in textops.bigram_condprob(docs).collect()}
+    # corpus: c(a)=3, c(b)=3, c(c)=2; c(a b)=3, c(b a)=1, c(b c)=1
+    assert set(out) == {1, 2}
+    # doc 1 bigrams: (a,b)=3/3, (b,a)=1/3, (a,b)=3/3
+    ps1 = [1.0, 1 / 3, 1.0]
+    assert out[1].n_bigrams == 3
+    assert out[1].min_condp == min(ps1)
+    assert abs(out[1].mean_condp - sum(ps1) / 3) < 1e-7
+    # doc 2: (a,b)=3/3, (b,c)=1/3
+    assert out[2].n_bigrams == 2 and out[2].min_condp == 1 / 3
