@@ -346,3 +346,66 @@ def cross_join_small(region: DataFrame, nation: DataFrame) -> DataFrame:
         "n_name",
         (F.col("n_regionkey") == F.col("r_regionkey")).cast("int").alias("same_region"),
     )
+
+
+def interval_join_bucketed(
+    probes: DataFrame,
+    points: DataFrame,
+    probe_ts: str = "ts",
+    point_ts: str = "ts",
+    tolerance_us: int = 60_000_000,
+) -> DataFrame:
+    """PURE theta interval join (no equi key) made scalable by bucket
+    decomposition — the third member of the temporal-join family
+    beside `asof_join` (nearest-one) and `range_join` (equi + theta
+    residual): for every probe row, COUNT the point rows of OTHER
+    users within ±tolerance.
+
+    A naive formulation is a cartesian product with a range filter —
+    the plan Spark degrades to when a join has no equality conjunct
+    (BroadcastNestedLoopJoin; see range_join's docstring note). The
+    fix is the textbook bucketization: quantize time into
+    tolerance-width buckets, fan the PROBE side out to the ≤3 buckets
+    its window can touch (sequence+explode), keep each point in its
+    single home bucket, and equi-join on bucket id with the range
+    test as a residual. Every (probe, point) pair meets EXACTLY once
+    (the point's home bucket), so no post-join dedup; the shuffle is
+    keyed on high-cardinality bucket ids; worst-case work is
+    sum-of-bucket-pair products, never |probes|×|points|. Skewed hot
+    buckets (a flash-sale minute) are ordinary join skew — AQE's
+    skew-join split applies, unlike the nested-loop plan it replaces.
+
+    Returns (event_id, n_nearby): probe id + matched-point count,
+    zero-rows kept via left join.
+    """
+    p_us = F.unix_micros(F.col(probe_ts))
+    c_us = F.unix_micros(F.col(point_ts))
+    bucket = lambda us: F.floor(us / F.lit(tolerance_us))  # noqa: E731
+    p = probes.select(
+        F.col("event_id").alias("_pid"),
+        F.col("user_id").alias("_puser"),
+        p_us.alias("_pus"),
+    ).withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                bucket(F.col("_pus") - tolerance_us),
+                bucket(F.col("_pus") + tolerance_us),
+            )
+        ),
+    )
+    c = points.select(
+        F.col("event_id").alias("_cid"),
+        F.col("user_id").alias("_cuser"),
+        c_us.alias("_cus"),
+    ).withColumn("_bkt", bucket(F.col("_cus")))
+    joined = p.join(
+        c,
+        (p["_bkt"] == c["_bkt"])
+        & (F.abs(c["_cus"] - p["_pus"]) <= tolerance_us)
+        & (c["_cuser"] != p["_puser"]),
+        "left",
+    )
+    return joined.groupBy(F.col("_pid").alias("event_id")).agg(
+        F.count("_cid").alias("n_nearby")
+    )

@@ -4772,3 +4772,34 @@ def q_bigram_condprob(spark, sf_dir):
     bigram_condprob). Exact integer counts, one IEEE division per
     bigram, decimal-image mean: bit-identical to the replay."""
     return textops.bigram_condprob(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "interval_join_bucketed",
+    r"""
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, CAST(COUNT(c.event_id) AS BIGINT) AS n_nearby
+    FROM p LEFT JOIN c
+      ON abs(c.us - p.us) <= 60000000 AND c.user_id <> p.user_id
+    GROUP BY p.event_id
+    """,
+)
+def q_interval_join_bucketed(spark, sf_dir):
+    """Pure theta interval join via bucket decomposition: for every
+    purchase, the count of OTHER users' clicks within ±60 s — the
+    no-equi-key temporal join that naively degrades to a nested-loop
+    cartesian, rebuilt as an equi-join on tolerance-width time
+    buckets (operators/relational.py:interval_join_bucketed). The
+    oracle runs the naive quadratic formulation; the operator must
+    reproduce it exactly."""
+    events = _t(spark, sf_dir, "events")
+    return relational.interval_join_bucketed(
+        events.filter(F.col("event_type") == "purchase"),
+        events.filter(F.col("event_type") == "click"),
+    )

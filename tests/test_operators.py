@@ -753,3 +753,35 @@ def test_bigram_condprob_bruteforce(spark):
     assert abs(out[1].mean_condp - sum(ps1) / 3) < 1e-7
     # doc 2: (a,b)=3/3, (b,c)=1/3
     assert out[2].n_bigrams == 2 and out[2].min_condp == 1 / 3
+
+
+def test_interval_join_bucketed_matches_bruteforce(spark, sf_dir):
+    """Bucket decomposition must reproduce the naive quadratic join
+    exactly, including zero-match probes and the cross-user filter."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    got = {
+        r.event_id: r.n_nearby
+        for r in relational.interval_join_bucketed(purchases, clicks).collect()
+    }
+    p = [(r.event_id, r.user_id, r.ts) for r in purchases.collect()]
+    c = [(r.event_id, r.user_id, r.ts) for r in clicks.collect()]
+    tol = 60_000_000
+
+    def us_delta(a, b):
+        # exact integer microseconds via timedelta fields (float
+        # .timestamp() arithmetic can flip an exact-boundary pair)
+        d = abs(a - b)
+        return (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+
+    want = {
+        pid: sum(
+            1
+            for (cid, cu, cts) in c
+            if cu != pu and us_delta(cts, pts) <= tol
+        )
+        for (pid, pu, pts) in p
+    }
+    assert got == want
+    assert any(v == 0 for v in got.values())  # zero-match probes kept
