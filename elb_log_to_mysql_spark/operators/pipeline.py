@@ -534,3 +534,65 @@ def corpus_pipeline(
     return shuffle_index(mixed, "doc_id", salt).select(
         "doc_id", "source", "mix_rank", "pos"
     )
+
+
+def curriculum_bins(
+    documents: DataFrame,
+    bins: int = 10,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-curriculum binning: per stratum, rank documents by
+    token count and cut into `bins` equal-width rank slices — the
+    shortest-first schedule curriculum training consumes, and the
+    length-grouped batching key that minimizes padding waste.
+
+    A per-stratum `ntile` window shuffles the whole stratum into one
+    task; instead the global rank decomposes over the VALUE being
+    ranked (token count is small-integer): count per
+    (stratum, n_tokens) — a narrow agg; exclusive prefix-sum of those
+    counts per stratum — a window over #distinct-lengths rows; local
+    doc_id rank within (stratum, n_tokens) — bounded by the length's
+    tie group. bin = floor(rank·bins / n_stratum), all-integer
+    arithmetic, so the slice boundaries are identical to the SQL
+    replay's ROW_NUMBER formulation by construction.
+    """
+    n_tok = F.size(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    )
+    base = ensure_min_partitions(documents).select(
+        "doc_id", F.col(strata_col).alias("_st"), n_tok.alias("n_tokens")
+    )
+    counts = base.groupBy("_st", "n_tokens").agg(F.count("*").alias("_c"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_c").over(
+                Window.partitionBy("_st")
+                .orderBy("n_tokens")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    totals = counts.groupBy("_st").agg(F.sum("_c").alias("_n"))
+    local = (
+        F.row_number().over(
+            Window.partitionBy("_st", "n_tokens").orderBy("doc_id")
+        )
+        - 1
+    )
+    return (
+        base.withColumn("_lr", local)
+        .join(F.broadcast(offsets.select("_st", "n_tokens", "_off")),
+              ["_st", "n_tokens"])
+        .join(F.broadcast(totals), "_st")
+        .select(
+            "doc_id",
+            F.col("_st").alias(strata_col),
+            "n_tokens",
+            F.floor(
+                (F.col("_off") + F.col("_lr")) * bins / F.col("_n")
+            ).cast("int").alias("bin"),
+        )
+    )

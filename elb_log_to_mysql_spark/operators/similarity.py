@@ -441,3 +441,36 @@ def embedding_stats(embeddings: DataFrame) -> DataFrame:
         F.round(F.max("norm"), 6).alias("max_norm"),
         F.round(davg("norm"), 6).alias("avg_norm"),
     )
+
+
+def embedding_quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the
+    4×-storage-reduction pass an embedding store runs before serving
+    ANN at corpus scale. Per vector: scale = 127/max|x| (one IEEE
+    division), q_i = floor(x_i·scale + 0.5) — floor(+0.5) instead of
+    round() because round() half-way semantics differ across engines
+    (Spark HALF_UP on decimals, banker's elsewhere) while floor is
+    exact in both; the multiply and add are correctly-rounded IEEE
+    doubles, so q is bit-reproducible.
+
+    Emits per vector the quantization summary (sum/min/max and the
+    saturation count |q| = 127) rather than the raw int8 array —
+    integer aggregates that pin the arithmetic end to end. Pure
+    column expressions over one scan: zero shuffles, scan-bound.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    return ensure_min_partitions(embeddings).select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min(q).alias("q_min"),
+        F.array_max(q).alias("q_max"),
+        F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_sat"),
+    )

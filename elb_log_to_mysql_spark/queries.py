@@ -4803,3 +4803,68 @@ def q_interval_join_bucketed(spark, sf_dir):
         events.filter(F.col("event_type") == "purchase"),
         events.filter(F.col("event_type") == "click"),
     )
+
+
+@_q(
+    "curriculum_bins",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR(
+             CAST((ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n_tokens, doc_id) - 1)
+                  * 10 AS DOUBLE)
+             / (COUNT(*) OVER (PARTITION BY lang))
+           ) AS INTEGER) AS bin
+    FROM toks
+    """,
+)
+def q_curriculum_bins(spark, sf_dir):
+    """Length-curriculum binning: per-lang token-count rank cut into
+    10 equal-width slices, computed WITHOUT a per-stratum global-sort
+    window (value-bucketed rank decomposition —
+    operators/pipeline.py:curriculum_bins). The oracle's ROW_NUMBER
+    formulation must match the decomposed rank bit-for-bit."""
+    from elb_log_to_mysql_spark.operators.pipeline import curriculum_bins
+
+    return curriculum_bins(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "embedding_quantize",
+    r"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, vec,
+             CASE WHEN list_max(list_transform(vec, x -> abs(x))) > 0
+                  THEN 127.0 / list_max(list_transform(vec, x -> abs(x)))
+                  ELSE 0.0 END AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, scale,
+             list_transform(vec, x -> CAST(FLOOR(x * scale + 0.5)
+                                           AS INTEGER)) AS qv
+      FROM s
+    )
+    SELECT vec_id, scale,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           list_min(qv) AS q_min,
+           list_max(qv) AS q_max,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER) AS n_sat
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (storage path for
+    corpus-scale ANN): per-vector scale + integer summary of the
+    quantized array, floor(+0.5) rounding so both engines agree
+    bit-for-bit (operators/similarity.py:embedding_quantize_int8)."""
+    return similarity.embedding_quantize_int8(_t(spark, sf_dir, "embeddings"))

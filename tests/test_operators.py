@@ -785,3 +785,25 @@ def test_interval_join_bucketed_matches_bruteforce(spark, sf_dir):
     }
     assert got == want
     assert any(v == 0 for v in got.values())  # zero-match probes kept
+
+
+def test_embedding_quantize_int8_bruteforce(spark):
+    import math
+
+    from elb_log_to_mysql_spark.operators import similarity as sim
+
+    rows = [
+        (1, [0.5, -1.0, 0.25]),
+        (2, [0.0, 0.0, 0.0]),     # zero vector: scale 0, all q 0
+        (3, [2.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in sim.embedding_quantize_int8(emb).collect()}
+    for vid, vec in rows:
+        maxabs = max(abs(x) for x in vec)
+        scale = 127.0 / maxabs if maxabs > 0 else 0.0
+        q = [math.floor(x * scale + 0.5) for x in vec]
+        r = out[vid]
+        assert r.scale == scale
+        assert (r.q_sum, r.q_min, r.q_max) == (sum(q), min(q), max(q))
+        assert r.n_sat == sum(1 for x in q if abs(x) == 127)

@@ -378,3 +378,22 @@ def test_bpe_pair_counts_bruteforce(spark, sf_dir):
                 counts[w[i:i + 2]] += 1
     want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
     assert got == want
+
+
+def test_curriculum_bins_monotone_and_balanced(spark, sf_dir):
+    """Bins are monotone in token count within a stratum, every doc
+    is binned, and slice sizes differ by at most 1 per stratum."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = pipeline.curriculum_bins(docs, bins=10).collect()
+    assert len(out) == docs.count()
+    import collections
+    by_lang = collections.defaultdict(list)
+    for r in out:
+        assert 0 <= r.bin < 10
+        by_lang[r.lang].append((r.n_tokens, r.doc_id, r.bin))
+    for lang, rows in by_lang.items():
+        rows.sort()
+        bins_in_order = [b for (_, _, b) in rows]
+        assert bins_in_order == sorted(bins_in_order), lang  # monotone
+        sizes = collections.Counter(bins_in_order)
+        assert max(sizes.values()) - min(sizes.values()) <= 1, lang
