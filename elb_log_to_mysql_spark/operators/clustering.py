@@ -30,6 +30,12 @@ Two design constraints drive the implementation:
 Initialization is the k lowest-id vectors (deterministic, no RNG).
 Empty clusters keep their previous centroid. Ties in distance break
 toward the lower cluster id.
+
+Precondition: every vector has the same dimensionality (the table
+contract for an embedding column). Centroid means divide each
+dimension's decimal sum by that dimension's row count — identical to
+cluster size under the uniform-dim contract, and exactly what the
+oracle's aligned-unnest replay computes per dimension.
 """
 
 from __future__ import annotations

@@ -79,13 +79,20 @@ def dedup_documents_exact(documents: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # shingles + MinHash
 # ---------------------------------------------------------------------------
-def _tokens(text: Column) -> Column:
-    # split then DROP empty tokens: F.trim strips only ASCII spaces,
-    # so a leading tab/newline would otherwise leave "" tokens that
-    # end up inside shingles (' g ' from '\tg\t')
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization shared by every text operator whose
+    oracle replays `list_filter(string_split_regex(lower(text),
+    '\\s+'), x -> x <> '')` — ONE definition so Spark and the SQL
+    twins cannot drift. Split then DROP empty tokens: F.trim strips
+    only ASCII spaces, so a leading tab/newline would otherwise leave
+    "" tokens that end up inside shingles (' g ' from '\tg\t')."""
     return F.filter(
         F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
     )
+
+
+# internal alias (historical name)
+_tokens = ws_tokens
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:

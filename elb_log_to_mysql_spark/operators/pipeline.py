@@ -350,6 +350,57 @@ def stratified_sample(
     return df.filter(h < thr)
 
 
+def _stratified_bucketed_rank(
+    df: DataFrame,
+    strata_col: str,
+    bucket_col: str,
+    order_cols: list[str],
+    out_col: str,
+) -> DataFrame:
+    """Exclusive 0-based per-stratum rank under ORDER BY
+    (bucket_col, *order_cols) WITHOUT a per-stratum global-sort
+    window — the shared two-pass machinery behind `mixture_sample`
+    (hash-prefix buckets) and `curriculum_bins` (value buckets),
+    generalizing `_bucketed_global_cumsum`'s scale argument to
+    stratified ranking:
+
+    1. count rows per (stratum, bucket) — one narrow agg;
+    2. exclusive prefix-sum of the per-stratum bucket totals — a
+       window over the (small) distinct-bucket set per stratum;
+    3. bucket-local row_number + broadcast bucket offset.
+
+    Precondition: bucket_col must be a PREFIX of the intended sort
+    order (hash prefix of the hash key; the ranked value itself), so
+    (bucket, order_cols) order IS the stratum order. Every heavy
+    stage is bounded by bucket size, never stratum size.
+    """
+    totals = df.groupBy(strata_col, bucket_col).agg(
+        F.count("*").alias("_bn")
+    )
+    offsets = totals.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_bn").over(
+                Window.partitionBy(strata_col)
+                .orderBy(bucket_col)
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(strata_col, bucket_col, "_offset")
+    local = (
+        F.row_number().over(
+            Window.partitionBy(strata_col, bucket_col).orderBy(*order_cols)
+        )
+        - 1
+    )
+    return (
+        df.join(F.broadcast(offsets), [strata_col, bucket_col])
+        .withColumn(out_col, (F.col("_offset") + local).cast("long"))
+        .drop("_offset")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str,
@@ -385,33 +436,13 @@ def mixture_sample(
     keyed = df.withColumn("_skey", skey).withColumn(
         "_bkt", F.substring("_skey", 1, 2)
     )
-    totals = keyed.groupBy(strata_col, "_bkt").agg(F.count("*").alias("_bn"))
-    offsets = totals.withColumn(
-        "_offset",
-        F.coalesce(
-            F.sum("_bn").over(
-                Window.partitionBy(strata_col)
-                .orderBy("_bkt")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).select(strata_col, "_bkt", "_offset")
-    local = (
-        F.row_number().over(
-            Window.partitionBy(strata_col, "_bkt").orderBy("_skey", key_col)
-        )
-        - 1
+    ranked = _stratified_bucketed_rank(
+        keyed, strata_col, "_bkt", ["_skey", key_col], "mix_rank"
     )
     quota: Column = F.lit(0)
     for stratum, n in quotas.items():
         quota = F.when(F.col(strata_col) == stratum, F.lit(n)).otherwise(quota)
-    return (
-        keyed.join(F.broadcast(offsets), [strata_col, "_bkt"])
-        .withColumn("mix_rank", (F.col("_offset") + local).cast("long"))
-        .filter(F.col("mix_rank") < quota)
-        .drop("_skey", "_bkt", "_offset")
-    )
+    return ranked.filter(F.col("mix_rank") < quota).drop("_skey", "_bkt")
 
 
 def source_overlap(
@@ -548,51 +579,26 @@ def curriculum_bins(
     length-grouped batching key that minimizes padding waste.
 
     A per-stratum `ntile` window shuffles the whole stratum into one
-    task; instead the global rank decomposes over the VALUE being
-    ranked (token count is small-integer): count per
-    (stratum, n_tokens) — a narrow agg; exclusive prefix-sum of those
-    counts per stratum — a window over #distinct-lengths rows; local
-    doc_id rank within (stratum, n_tokens) — bounded by the length's
-    tie group. bin = floor(rank·bins / n_stratum), all-integer
-    arithmetic, so the slice boundaries are identical to the SQL
-    replay's ROW_NUMBER formulation by construction.
+    task; instead the rank comes from `_stratified_bucketed_rank`
+    with the VALUE being ranked (token count, a small integer) as
+    the bucket — its tie groups are the bucket bound. bin =
+    floor(rank·bins / n_stratum), all-integer arithmetic, so the
+    slice boundaries are identical to the SQL replay's ROW_NUMBER
+    formulation by construction.
     """
-    n_tok = F.size(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    )
+    from elb_log_to_mysql_spark.operators.dedup import ws_tokens
+
+    n_tok = F.size(ws_tokens(F.col(text_col)))
     base = ensure_min_partitions(documents).select(
         "doc_id", F.col(strata_col).alias("_st"), n_tok.alias("n_tokens")
     )
-    counts = base.groupBy("_st", "n_tokens").agg(F.count("*").alias("_c"))
-    offsets = counts.withColumn(
-        "_off",
-        F.coalesce(
-            F.sum("_c").over(
-                Window.partitionBy("_st")
-                .orderBy("n_tokens")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
+    ranked = _stratified_bucketed_rank(
+        base, "_st", "n_tokens", ["doc_id"], "_rank"
     )
-    totals = counts.groupBy("_st").agg(F.sum("_c").alias("_n"))
-    local = (
-        F.row_number().over(
-            Window.partitionBy("_st", "n_tokens").orderBy("doc_id")
-        )
-        - 1
-    )
-    return (
-        base.withColumn("_lr", local)
-        .join(F.broadcast(offsets.select("_st", "n_tokens", "_off")),
-              ["_st", "n_tokens"])
-        .join(F.broadcast(totals), "_st")
-        .select(
-            "doc_id",
-            F.col("_st").alias(strata_col),
-            "n_tokens",
-            F.floor(
-                (F.col("_off") + F.col("_lr")) * bins / F.col("_n")
-            ).cast("int").alias("bin"),
-        )
+    totals = base.groupBy("_st").agg(F.count("*").alias("_n"))
+    return ranked.join(F.broadcast(totals), "_st").select(
+        "doc_id",
+        F.col("_st").alias(strata_col),
+        "n_tokens",
+        F.floor(F.col("_rank") * bins / F.col("_n")).cast("int").alias("bin"),
     )

@@ -387,7 +387,11 @@ def interval_join_bucketed(
         p_us.alias("_pus"),
     ).withColumn(
         "_bkt",
-        F.explode(
+        # explode_outer: a NULL probe timestamp yields a NULL bucket
+        # sequence — plain explode would DROP the row, breaking the
+        # "every probe kept (n_nearby=0)" contract the naive left
+        # join (and the oracle) honors
+        F.explode_outer(
             F.sequence(
                 bucket(F.col("_pus") - tolerance_us),
                 bucket(F.col("_pus") + tolerance_us),

@@ -483,11 +483,10 @@ def unigram_prevalence(documents: DataFrame) -> DataFrame:
     keys, and at corpus scale the vocab side is far too large to
     broadcast, so a shuffle join is the right plan, not a fallback.
     """
-    toks_arr = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-    )
+    from elb_log_to_mysql_spark.operators.dedup import ws_tokens
+
     toks = ensure_min_partitions(documents).select(
-        "doc_id", "lang", F.explode(toks_arr).alias("tok")
+        "doc_id", "lang", F.explode(ws_tokens(F.col("text"))).alias("tok")
     )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     # lang is functionally dependent on doc_id; grouping by both keeps
@@ -523,13 +522,15 @@ def bigram_condprob(documents: DataFrame) -> DataFrame:
     cross-libm ulp hazard.
 
     Physical shape: one explode for bigram positions; bigram and
-    unigram count aggs both get map-side partial combine; the
-    positions↔counts joins are Zipf-skewed on stopword contexts —
-    the AQE skew-join case, same as unigram_prevalence.
+    unigram count aggs both get map-side partial combine; p(w2|w1)
+    is computed ONCE on the distinct-bigram table (a small join of
+    two count aggs), so only ONE occurrence-scale join remains —
+    positions↔probs, Zipf-skewed on stopword contexts, the AQE
+    skew-join case, same as unigram_prevalence.
     """
-    toks_arr = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-    )
+    from elb_log_to_mysql_spark.operators.dedup import ws_tokens
+
+    toks_arr = ws_tokens(F.col("text"))
 
     def _pairs(t):
         return F.when(
@@ -558,11 +559,10 @@ def bigram_condprob(documents: DataFrame) -> DataFrame:
     bigrams = positions.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     )
-    scored = (
-        positions.join(bigrams, ["w1", "w2"])
-        .join(unigrams, "w1")
-        .withColumn("p", F.col("c12").cast("double") / F.col("c1"))
+    probs = bigrams.join(unigrams, "w1").select(
+        "w1", "w2", (F.col("c12").cast("double") / F.col("c1")).alias("p")
     )
+    scored = positions.join(probs, ["w1", "w2"])
     from elb_log_to_mysql_spark.functions.numeric import dsum
 
     return scored.groupBy("doc_id", "lang").agg(
@@ -586,12 +586,11 @@ def bpe_pair_counts(documents: DataFrame, k: int = 40) -> DataFrame:
     chars are filtered BEFORE the position fan-out: Spark's
     `sequence(1, 0)` steps downward and would crash substring.
     """
+    from elb_log_to_mysql_spark.operators.dedup import ws_tokens
+
     words = ensure_min_partitions(documents).select(
         F.explode(
-            F.filter(
-                F.split(F.lower(F.col("text")), r"\s+"),
-                lambda t: F.length(t) >= 2,
-            )
+            F.filter(ws_tokens(F.col("text")), lambda t: F.length(t) >= 2)
         ).alias("w")
     )
     pairs = words.select(

@@ -4554,7 +4554,7 @@ def q_unigram_prevalence(spark, sf_dir):
       FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT 8)
     ), d0 AS (
       SELECT v.vec_id, v.vec, s.cluster_id,
-             list_reduce(list_transform(generate_series(1, 64),
+             list_reduce(list_transform(generate_series(1, len(v.vec)),
                  i -> (v.vec[i] - s.c[i]) * (v.vec[i] - s.c[i])),
                  (acc, x) -> acc + x) AS dist
       FROM v CROSS JOIN seeds s
@@ -4564,10 +4564,15 @@ def q_unigram_prevalence(spark, sf_dir):
                                      ORDER BY dist, cluster_id) AS rn
         FROM d0) WHERE rn = 1
     ), m AS (
+      -- aligned unnests pair vec[i] with its position i, so the
+      -- per-(cluster, dim) group count matches Spark's posexplode
+      -- exactly (dim-agnostic: no hardcoded vector length)
       SELECT cluster_id, i,
-             CAST(CAST(SUM(CAST(vec[i] AS DECIMAL(28,8))) AS STRING)
+             CAST(CAST(SUM(CAST(x AS DECIMAL(28,8))) AS STRING)
                   AS DOUBLE) / COUNT(*) AS mi
-      FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+      FROM (SELECT cluster_id, unnest(vec) AS x,
+                   unnest(generate_series(1, len(vec))) AS i
+            FROM a0)
       GROUP BY cluster_id, i
     ), c1 AS (
       SELECT cluster_id, list(mi ORDER BY i) AS c FROM m GROUP BY cluster_id
@@ -4576,7 +4581,7 @@ def q_unigram_prevalence(spark, sf_dir):
       FROM seeds s LEFT JOIN c1 USING (cluster_id)
     ), d1 AS (
       SELECT v.vec_id, cf.cluster_id,
-             list_reduce(list_transform(generate_series(1, 64),
+             list_reduce(list_transform(generate_series(1, len(v.vec)),
                  i -> (v.vec[i] - cf.c[i]) * (v.vec[i] - cf.c[i])),
                  (acc, x) -> acc + x) AS dist
       FROM v CROSS JOIN cf
@@ -4740,10 +4745,12 @@ def q_corpus_pipeline(spark, sf_dir):
                          x -> x <> '') AS t
       FROM documents
     ), positions AS (
-      SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2
-      FROM toks CROSS JOIN
-           (SELECT unnest(generate_series(1, 10000)) AS i)
-      WHERE i <= len(t) - 1
+      -- aligned unnests zip: position i pairs t[i] with t[i+1]; no
+      -- length cap, so arbitrarily long documents replay exactly
+      SELECT doc_id, lang,
+             unnest(t[1:len(t)-1]) AS w1,
+             unnest(t[2:len(t)]) AS w2
+      FROM toks
     ), unigrams AS (
       SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
         SELECT unnest(t) AS w1 FROM toks) GROUP BY w1

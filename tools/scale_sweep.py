@@ -236,7 +236,10 @@ def main() -> None:
     from elb_log_to_mysql_spark.operators import pipeline, textops
     from elb_log_to_mysql_spark.operators.clustering import kmeans_embeddings
 
-    quotas = {"src0": 40, "src1": 15, "src2": 250}
+    # stratum size scales with the replication factor (25 docs/source
+    # at sf0.01): derive quotas so "exact count" and "whole stratum"
+    # regimes are both exercised at ANY factor
+    quotas = {"src0": 4 * factor, "src1": factor + 5, "src2": 25 * factor}
     mix, t_mix = timed(
         lambda: {
             r.source: r.n
