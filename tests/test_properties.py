@@ -224,3 +224,39 @@ def test_scd1_merge_equals_python_latest_state(spark, events, split_off):
             "insert" if u not in pre else "carry" if u not in post else "update"
         )
         assert action == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 6), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[2],
+    )
+)
+@settings(**_SETTINGS)
+def test_stratified_bucketed_rank_equals_window_rank(spark, rows):
+    """The two-pass decomposed rank must equal the one-shot
+    ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY bucket, key)
+    for ANY stratum/bucket/key distribution — including empty
+    buckets, single-row strata, and colliding bucket values — and be
+    independent of input partitioning."""
+    from elb_log_to_mysql_spark.operators.pipeline import (
+        _stratified_bucketed_rank,
+    )
+
+    df = spark.createDataFrame(rows, ["st", "bkt", "key"]).repartition(7)
+    got = {
+        (r.st, r.key): r.rank
+        for r in _stratified_bucketed_rank(
+            df, "st", "bkt", ["key"], "rank"
+        ).collect()
+    }
+    want = {}
+    for stv in {t[0] for t in rows}:
+        ordered = sorted(
+            [t for t in rows if t[0] == stv], key=lambda t: (t[1], t[2])
+        )
+        for i, t in enumerate(ordered):
+            want[(t[0], t[2])] = i
+    assert got == want
