@@ -151,3 +151,49 @@ def test_prefix_jaccard_stays_jvm_side(spark, sf_dir):
     # the extra prefix machinery (df table + rank window) must not
     # multiply shuffles: everything shares the doc_id/shingle exchanges
     assert rep["exchanges"] <= 4
+
+
+def test_interval_join_is_not_nested_loop(spark, sf_dir):
+    """The bucketized theta join must execute as a HASH join on the
+    bucket id — BroadcastNestedLoopJoin in this plan means the
+    decomposition regressed to the O(|L|·|R|) shape it exists to
+    avoid."""
+    ev = load_table(spark, sf_dir, "events")
+    df = relational.interval_join_bucketed(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    rep = plan_report(df)
+    assert rep["broadcast_joins"] + rep["sortmerge_joins"] + rep[
+        "shuffled_hash_joins"
+    ] >= 1
+    assert rep["python_evals"] == 0
+
+
+def test_mixture_sample_has_no_stratum_wide_window(spark, sf_dir):
+    """The per-stratum rank must stay decomposed: every Window in the
+    executed plan partitions by (stratum, bucket) or runs over the
+    tiny per-stratum bucket totals — a Window whose sort exceeds the
+    bucket bound (visible as a stratum-only partitioning on the FULL
+    row stream feeding the quota filter) would re-centralize web-
+    scale strata. The structural proxy pinned here: the plan contains
+    BOTH window flavors and the full-stream one includes the bucket
+    column in its partition spec."""
+    from elb_log_to_mysql_spark.operators.pipeline import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = mixture_sample(docs, "source", "doc_id", {"src0": 5, "src1": 3})
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    row_number_windows = [
+        ln for ln in plan.splitlines() if "row_number()" in ln
+    ]
+    assert row_number_windows, "rank window missing from plan"
+    # the row_number window must be keyed by the bucket, not the
+    # stratum alone
+    assert all("_bkt" in ln for ln in row_number_windows), row_number_windows
