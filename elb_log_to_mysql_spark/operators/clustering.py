@@ -136,7 +136,11 @@ def kmeans_embeddings(
                 lambda s: s._m,
             ).alias("_centroid")
         )
-        # empty clusters keep their previous centroid
+        # empty clusters keep their previous centroid; localCheckpoint
+        # truncates the lineage so iteration i's plan starts from the
+        # materialized k-row centroid table instead of replaying every
+        # earlier round (the same bound pagerank uses, graph.py:17) —
+        # without it the plan depth grows with the iteration count
         centroids = (
             centroids.alias("old")
             .join(new_centroids.alias("new"), "cluster_id", "left")
@@ -146,6 +150,7 @@ def kmeans_embeddings(
                     "_centroid"
                 ),
             )
+            .localCheckpoint()
         )
         assigned = _assign(vectors, centroids)
 
