@@ -4875,3 +4875,83 @@ def q_embedding_quantize(spark, sf_dir):
     quantized array, floor(+0.5) rounding so both engines agree
     bit-for-bit (operators/similarity.py:embedding_quantize_int8)."""
     return similarity.embedding_quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+@_q(
+    "semantic_dedup_quality",
+    r"""
+    WITH RECURSIVE edges AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    ), sym AS (
+      SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges
+    ), reach(id, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, r.label FROM reach r JOIN sym s ON r.id = s.u
+    ), cc AS (
+      SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id
+    ), assigned AS (
+      SELECT e.vec_id AS doc_id,
+             COALESCE(cc.cluster_id, e.vec_id) AS cluster_id
+      FROM embeddings e LEFT JOIN cc ON e.vec_id = cc.id
+    ), q AS (
+      SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS toks,
+             CAST(LENGTH(text) AS INT) AS n_chars_m,
+             CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                  AS INT) AS punct
+      FROM documents
+    ), score AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN punct / greatest(n_chars_m, 1) < 0.2
+                    THEN 0.3 ELSE 0.0 END
+             + CASE WHEN len(list_filter(toks, t -> list_contains(
+                   ['the','and','of','to','in','is','that','for','with','a'],
+                   t))) / greatest(len(toks), 1) > 0.05
+                    THEN 0.3 ELSE 0.0 END AS quality_score
+      FROM q
+    )
+    SELECT a.doc_id, a.cluster_id, s.quality_score,
+           ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+                              ORDER BY s.quality_score DESC, a.doc_id)
+             = 1 AS is_survivor
+    FROM assigned a JOIN score s USING (doc_id)
+    """,
+)
+def q_semantic_dedup_quality(spark, sf_dir):
+    """Quality-aware semantic dedup — the production survivor policy:
+    within each embedding-similarity cluster keep the HIGHEST-QUALITY
+    document (Gopher-score, doc_id tiebreak), not the lowest id.
+    Composes three families end to end: ANN pair generation
+    (embedding_near_dup), graph closure (dedup_clusters), and text
+    quality scoring (text_stats). The per-cluster argmax is a
+    row_number window over cluster groups — bounded by cluster size,
+    which the 0.45-threshold pair generation already bounds."""
+    from elb_log_to_mysql_spark.operators.graph import dedup_clusters
+    from elb_log_to_mysql_spark.session import carry_caches
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    pairs = similarity.embedding_near_dup(emb, threshold=0.45).select(
+        F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
+    )
+    clusters = dedup_clusters(
+        emb.select(F.col("vec_id").alias("doc_id"), "label"), pairs
+    )
+    quality = textops.text_stats(docs).select("doc_id", "quality_score")
+    assigned = clusters.join(quality, "doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    out = assigned.select(
+        "doc_id",
+        "cluster_id",
+        "quality_score",
+        (F.row_number().over(w) == 1).alias("is_survivor"),
+    )
+    return carry_caches(out, pairs)

@@ -807,3 +807,20 @@ def test_embedding_quantize_int8_bruteforce(spark):
         assert r.scale == scale
         assert (r.q_sum, r.q_min, r.q_max) == (sum(q), min(q), max(q))
         assert r.n_sat == sum(1 for x in q if abs(x) == 127)
+
+
+def test_semantic_dedup_quality_survivor_policy(spark, sf_dir):
+    """Exactly one survivor per cluster, and it attains the cluster's
+    max quality (doc_id tiebreak)."""
+    from elb_log_to_mysql_spark.queries import QUERIES
+
+    rows = QUERIES["semantic_dedup_quality"](spark, sf_dir).collect()
+    import collections
+    by_cluster = collections.defaultdict(list)
+    for r in rows:
+        by_cluster[r.cluster_id].append(r)
+    for cid, members in by_cluster.items():
+        surv = [r for r in members if r.is_survivor]
+        assert len(surv) == 1, cid
+        best = max(members, key=lambda r: (r.quality_score, -r.doc_id))
+        assert surv[0].doc_id == best.doc_id, cid
