@@ -108,6 +108,14 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    # --driver-order N: pre-flight exactly the first N entries in the
+    # order queries() yields them — what the round's driver budget
+    # will actually verify.
+    driver_budget = None
+    if "--driver-order" in argv:
+        i = argv.index("--driver-order")
+        driver_budget = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -119,6 +127,8 @@ def main() -> int:
     spark = build_session(master="local[8]")
     con = duckdb_con(sf_dir)
     qs, oracles = e.queries(), e.oracle_sql()
+    if driver_budget is not None:
+        qs = dict(list(qs.items())[:driver_budget])
 
     failures = 0
     records: dict[str, dict] = {}
