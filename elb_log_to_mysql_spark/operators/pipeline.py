@@ -602,3 +602,68 @@ def curriculum_bins(
         "n_tokens",
         F.floor(F.col("_rank") * bins / F.col("_n")).cast("int").alias("bin"),
     )
+
+
+def curation_audit(
+    documents: DataFrame,
+    quotas: dict[str, int],
+    bench_mod: int = 97,
+    ngram: int = 5,
+    salt: str = "seed42",
+) -> DataFrame:
+    """Per-document LINEAGE for the curation build — the audit twin
+    of `corpus_pipeline`: one row for EVERY input document with the
+    verdict of each stage, so "why did my document disappear?" is a
+    filter, not an investigation. Flags (each defined independently,
+    so a document failing two stages shows both):
+
+    - quality_keep: passed the Gopher gate;
+    - dedup_survivor: min-id representative of its content
+      fingerprint among quality-kept docs (false when not kept);
+    - is_bench / contaminated: benchmark membership / shares an
+      n-gram with the benchmark set;
+    - selected: made the final quota'd mix (exactly
+      `corpus_pipeline`'s output set).
+
+    Same shuffles as the stages themselves; the flags join back as
+    left-semi markers on doc_id (ids-only broadcasts at eval-suite
+    and survivor-set scale)."""
+    from elb_log_to_mysql_spark.operators.dedup import (
+        content_fingerprint,
+        exact_dedup,
+    )
+    from elb_log_to_mysql_spark.operators.textops import quality_filter
+
+    kept_ids = quality_filter(documents).filter("keep").select("doc_id")
+    kept = documents.join(kept_ids, "doc_id", "left_semi")
+    surv_ids = exact_dedup(
+        kept.withColumn("_fp", content_fingerprint("text")),
+        ["_fp"],
+        ["doc_id"],
+    ).select("doc_id")
+    clean_ids = decontaminate(
+        documents, bench_mod=bench_mod, ngram=ngram
+    ).select("doc_id")
+    selected_ids = corpus_pipeline(
+        documents, quotas, bench_mod=bench_mod, ngram=ngram, salt=salt
+    ).select("doc_id")
+
+    def flag(ids: DataFrame, name: str) -> DataFrame:
+        return ids.withColumn(name, F.lit(True))
+
+    base = documents.select("doc_id", "source")
+    out = (
+        base.join(F.broadcast(flag(kept_ids, "quality_keep")), "doc_id", "left")
+        .join(F.broadcast(flag(surv_ids, "dedup_survivor")), "doc_id", "left")
+        .join(F.broadcast(flag(clean_ids, "decontaminated")), "doc_id", "left")
+        .join(F.broadcast(flag(selected_ids, "selected")), "doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
+        F.coalesce("dedup_survivor", F.lit(False)).alias("dedup_survivor"),
+        (F.col("doc_id") % bench_mod == 0).alias("is_bench"),
+        F.coalesce("decontaminated", F.lit(False)).alias("decontaminated"),
+        F.coalesce("selected", F.lit(False)).alias("selected"),
+    )

@@ -4955,3 +4955,112 @@ def q_semantic_dedup_quality(spark, sf_dir):
         (F.row_number().over(w) == 1).alias("is_survivor"),
     )
     return carry_caches(out, pairs)
+
+
+@_q(
+    "curation_audit",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS ellipses
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+               / greatest(len(t), 1) AS mean_word_len,
+             len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               / greatest(len(t), 1) AS alpha_word_frac,
+             (hashes + ellipses) / greatest(len(t), 1) AS symbol_word_ratio,
+             len(list_intersect(list_distinct(t),
+                 ['the','and','of','to','in','is','that','for','with','a']))
+               AS stopword_hits
+      FROM toks
+    ), g2 AS (
+      SELECT doc_id, unnest(list_transform(range(0, greatest(len(t)-1, 0)),
+             i -> concat_ws(' ', t[i+1], t[i+2]))) AS g FROM toks
+    ), c2 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2
+    ), m2 AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS tot FROM c2 GROUP BY 1
+    ), g3 AS (
+      SELECT doc_id, unnest(list_transform(range(0, greatest(len(t)-2, 0)),
+             i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS g FROM toks
+    ), c3 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2
+    ), m3 AS (
+      SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c,
+             SUM(c) AS tot FROM c3 GROUP BY 1
+    ), keepq AS (
+      SELECT base.doc_id
+      FROM base
+      LEFT JOIN m2 ON base.doc_id = m2.doc_id
+      LEFT JOIN m3 ON base.doc_id = m3.doc_id
+      WHERE n_words >= 5 AND n_words <= 5000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND alpha_word_frac >= 0.8
+        AND symbol_word_ratio <= 0.1
+        AND stopword_hits >= 2
+        AND COALESCE(CAST(m2.top_c AS DOUBLE) / m2.tot, 0.0) <= 0.20
+        AND COALESCE(CAST(m3.dup_c AS DOUBLE) / m3.tot, 0.0) <= 0.30
+    ), surv AS (
+      SELECT MIN(d.doc_id) AS doc_id
+      FROM documents d JOIN keepq USING (doc_id)
+      GROUP BY md5(lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')))
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 4, 0)),
+               i -> array_to_string(t[i:i+4], ' ')))) AS gram
+      FROM toks
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE doc_id % 97 <> 0
+        AND gram IN (SELECT gram FROM grams WHERE doc_id % 97 = 0)
+    ), decon AS (
+      SELECT doc_id FROM documents
+      WHERE doc_id % 97 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), clean AS (
+      SELECT s.doc_id FROM surv s JOIN decon USING (doc_id)
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR) || '|seed42'), d.doc_id
+             ) - 1 AS mix_rank
+      FROM documents d JOIN clean USING (doc_id)
+    ), mixed AS (
+      SELECT doc_id FROM ranked
+      WHERE mix_rank < CASE source
+                         WHEN 'src0' THEN 12
+                         WHEN 'src1' THEN 8
+                         WHEN 'src2' THEN 6
+                         WHEN 'src3' THEN 100
+                         ELSE 0 END
+    )
+    SELECT d.doc_id, d.source,
+           d.doc_id IN (SELECT doc_id FROM keepq) AS quality_keep,
+           d.doc_id IN (SELECT doc_id FROM surv) AS dedup_survivor,
+           d.doc_id % 97 = 0 AS is_bench,
+           d.doc_id IN (SELECT doc_id FROM decon) AS decontaminated,
+           d.doc_id IN (SELECT doc_id FROM mixed) AS selected
+    FROM documents d
+    """,
+)
+def q_curation_audit(spark, sf_dir):
+    """Per-document curation LINEAGE: every input doc with each
+    stage's verdict (quality gate, dedup survivorship, benchmark
+    membership/contamination, final selection) — the audit table that
+    turns "why did my document disappear?" into a filter
+    (operators/pipeline.py:curation_audit). Shares corpus_pipeline's
+    quota config; the oracle replays every stage and materializes
+    the flags for ALL documents."""
+    from elb_log_to_mysql_spark.operators.pipeline import curation_audit
+
+    return curation_audit(
+        _t(spark, sf_dir, "documents"),
+        quotas={"src0": 12, "src1": 8, "src2": 6, "src3": 100},
+    )

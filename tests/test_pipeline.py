@@ -397,3 +397,26 @@ def test_curriculum_bins_monotone_and_balanced(spark, sf_dir):
         assert bins_in_order == sorted(bins_in_order), lang  # monotone
         sizes = collections.Counter(bins_in_order)
         assert max(sizes.values()) - min(sizes.values()) <= 1, lang
+
+
+def test_curation_audit_consistent_with_pipeline(spark, sf_dir):
+    """The audit's `selected` flag must equal corpus_pipeline's
+    output set, every doc appears exactly once, and the stage
+    implications hold (selected => survivor & decontaminated &
+    quality_keep; survivor => quality_keep; bench => !decontaminated)."""
+    docs = load_table(spark, sf_dir, "documents")
+    quotas = {"src0": 4, "src1": 3, "src2": 100}
+    audit = pipeline.curation_audit(docs, quotas=quotas).collect()
+    assert len(audit) == docs.count()
+    selected = {r.doc_id for r in audit if r.selected}
+    direct = {
+        r.doc_id for r in pipeline.corpus_pipeline(docs, quotas=quotas).collect()
+    }
+    assert selected == direct
+    for r in audit:
+        if r.selected:
+            assert r.dedup_survivor and r.decontaminated and r.quality_keep
+        if r.dedup_survivor:
+            assert r.quality_keep
+        if r.is_bench:
+            assert not r.decontaminated
