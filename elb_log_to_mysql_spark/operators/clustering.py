@@ -97,9 +97,16 @@ def kmeans_embeddings(
     aggregation and the per-vector argmin — both keyed on
     high-cardinality columns, no skew hazard.
     """
-    vectors = ensure_min_partitions(embeddings).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_vec"),
+    # NULL vectors are excluded EXPLICITLY: a null distance would sort
+    # NULLS FIRST in Spark's argmin window but NULLS LAST in a SQL
+    # replay — filtering in both engines is the only portable contract
+    vectors = (
+        ensure_min_partitions(embeddings)
+        .filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("_vec"),
+        )
     )
 
     # init: the k lowest-id vectors, ranked 0..k-1 by id

@@ -4546,7 +4546,7 @@ def q_unigram_prevalence(spark, sf_dir):
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), seeds AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
                AS cluster_id,

@@ -260,3 +260,53 @@ def test_stratified_bucketed_rank_equals_window_rank(spark, rows):
         for i, t in enumerate(ordered):
             want[(t[0], t[2])] = i
     assert got == want
+
+
+@given(
+    probes=st.lists(
+        st.tuples(st.integers(0, 3), st.one_of(st.none(), st.integers(0, 500))),
+        min_size=1, max_size=15,
+    ),
+    points=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=0, max_size=25,
+    ),
+    tol=st.sampled_from([7, 60, 200]),
+)
+@settings(**_SETTINGS)
+def test_interval_join_bucketed_matches_naive(spark, probes, points, tol):
+    """Bucket decomposition == the naive quadratic join for random
+    users/offsets/tolerances, including NULL probe timestamps (kept
+    with n_nearby = 0) and boundary-exact deltas."""
+    import datetime as dt
+
+    from elb_log_to_mysql_spark.operators.relational import (
+        interval_join_bucketed,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    pdf = spark.createDataFrame(
+        [(i, u, base + s * sec if s is not None else None)
+         for i, (u, s) in enumerate(probes)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    cdf = spark.createDataFrame(
+        [(1000 + i, u, base + s * sec) for i, (u, s) in enumerate(points)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.event_id: r.n_nearby
+        for r in interval_join_bucketed(
+            pdf, cdf, tolerance_us=tol * 1_000_000
+        ).collect()
+    }
+    want = {
+        i: (
+            0 if s is None else sum(
+                1 for (cu, cs) in points if cu != u and abs(cs - s) <= tol
+            )
+        )
+        for i, (u, s) in enumerate(probes)
+    }
+    assert got == want
