@@ -620,14 +620,19 @@ def curation_audit(
     - quality_keep: passed the Gopher gate;
     - dedup_survivor: min-id representative of its content
       fingerprint among quality-kept docs (false when not kept);
-    - is_bench / contaminated: benchmark membership / shares an
-      n-gram with the benchmark set;
+    - is_bench: benchmark membership; decontaminated: survived
+      benchmark decontamination (false for bench docs AND for docs
+      sharing an n-gram with the benchmark set);
     - selected: made the final quota'd mix (exactly
-      `corpus_pipeline`'s output set).
+      `corpus_pipeline`'s output set — pinned equal by test).
 
-    Same shuffles as the stages themselves; the flags join back as
-    left-semi markers on doc_id (ids-only broadcasts at eval-suite
-    and survivor-set scale)."""
+    Each stage runs ONCE: `selected` is derived from the already-
+    computed survivor∩clean set via the same mixture_sample config
+    (identical selection by construction — corpus_pipeline only adds
+    the training-order rank on top), not by re-running the pipeline.
+    The flag id-sets are corpus-scale, so they join WITHOUT broadcast
+    hints — AQE picks the strategy; forcing a broadcast here would
+    pin a corpus-sized set on the driver."""
     from elb_log_to_mysql_spark.operators.dedup import (
         content_fingerprint,
         exact_dedup,
@@ -644,8 +649,15 @@ def curation_audit(
     clean_ids = decontaminate(
         documents, bench_mod=bench_mod, ngram=ngram
     ).select("doc_id")
-    selected_ids = corpus_pipeline(
-        documents, quotas, bench_mod=bench_mod, ngram=ngram, salt=salt
+    clean_surv = surv_ids.join(clean_ids, "doc_id", "left_semi")
+    selected_ids = mixture_sample(
+        documents.join(clean_surv, "doc_id", "left_semi").select(
+            "doc_id", "source"
+        ),
+        "source",
+        "doc_id",
+        quotas,
+        salt,
     ).select("doc_id")
 
     def flag(ids: DataFrame, name: str) -> DataFrame:
@@ -653,10 +665,10 @@ def curation_audit(
 
     base = documents.select("doc_id", "source")
     out = (
-        base.join(F.broadcast(flag(kept_ids, "quality_keep")), "doc_id", "left")
-        .join(F.broadcast(flag(surv_ids, "dedup_survivor")), "doc_id", "left")
-        .join(F.broadcast(flag(clean_ids, "decontaminated")), "doc_id", "left")
-        .join(F.broadcast(flag(selected_ids, "selected")), "doc_id", "left")
+        base.join(flag(kept_ids, "quality_keep"), "doc_id", "left")
+        .join(flag(surv_ids, "dedup_survivor"), "doc_id", "left")
+        .join(flag(clean_ids, "decontaminated"), "doc_id", "left")
+        .join(flag(selected_ids, "selected"), "doc_id", "left")
     )
     return out.select(
         "doc_id",

@@ -3133,6 +3133,7 @@ def q_pii_scrub(spark, sf_dir):
     )
     SELECT doc_id, lang, n_chars FROM toks
     WHERE doc_id % 97 <> 0
+      AND t IS NOT NULL
       AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     """,
 )
@@ -4939,7 +4940,7 @@ def q_semantic_dedup_quality(spark, sf_dir):
         F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
     )
     clusters = dedup_clusters(
-        emb.select(F.col("vec_id").alias("doc_id"), "label"), pairs
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
     )
     quality = textops.text_stats(docs).select("doc_id", "quality_score")
     assigned = clusters.join(quality, "doc_id")
@@ -5020,8 +5021,11 @@ def q_semantic_dedup_quality(spark, sf_dir):
       WHERE doc_id % 97 <> 0
         AND gram IN (SELECT gram FROM grams WHERE doc_id % 97 = 0)
     ), decon AS (
+      -- text IS NOT NULL mirrors the operator: arrays_overlap(NULL)
+      -- filter semantics DROP a null-text doc on the Spark side
       SELECT doc_id FROM documents
       WHERE doc_id % 97 <> 0
+        AND text IS NOT NULL
         AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     ), clean AS (
       SELECT s.doc_id FROM surv s JOIN decon USING (doc_id)

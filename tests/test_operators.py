@@ -824,3 +824,22 @@ def test_semantic_dedup_quality_survivor_policy(spark, sf_dir):
         assert len(surv) == 1, cid
         best = max(members, key=lambda r: (r.quality_score, -r.doc_id))
         assert surv[0].doc_id == best.doc_id, cid
+
+
+def test_kmeans_embeddings_drops_null_vectors(spark):
+    """The portable-NULL contract: null vectors are excluded in BOTH
+    engines (a null distance would sort NULLS FIRST in Spark's argmin
+    but NULLS LAST in SQL — filtering is the only portable rule)."""
+    from elb_log_to_mysql_spark.operators.clustering import kmeans_embeddings
+
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [1.0, 1.0]),
+        (3, None),
+        (4, [0.1, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_embeddings(emb, k=2, iterations=2).collect()
+    assert {r.vec_id for r in out} == {1, 2, 4}  # null row dropped
+    by_id = {r.vec_id: r.cluster_id for r in out}
+    assert by_id[1] == 0 and by_id[2] == 1 and by_id[4] == 0

@@ -114,7 +114,11 @@ def main() -> int:
     driver_budget = None
     if "--driver-order" in argv:
         i = argv.index("--driver-order")
-        driver_budget = int(argv[i + 1])
+        try:
+            driver_budget = int(argv[i + 1])
+        except (IndexError, ValueError):
+            print("usage: --driver-order N  (N = integer budget)")
+            return 2
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
