@@ -4091,7 +4091,7 @@ def q_semantic_dedup(spark, sf_dir):
         F.col("id_a").alias("doc_id_a"), F.col("id_b").alias("doc_id_b")
     )
     clusters = dedup_clusters(
-        emb.select(F.col("vec_id").alias("doc_id"), "label"),
+        emb.select(F.col("vec_id").alias("doc_id")),
         pairs,
     )
     return (
