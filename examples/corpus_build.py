@@ -1,0 +1,92 @@
+"""Runnable front door for the corpus-curation pipeline.
+
+`main.py` is the reference-parity ETL entrypoint (ELB logs → MySQL);
+this is its twin for the LLM-corpus surface: point it at a documents
+parquet (schema: doc_id BIGINT, text STRING, source STRING, ...) and
+it runs the full five-stage build — Gopher quality gate → exact
+fingerprint dedup → benchmark decontamination → exact-quota mixture →
+deterministic global training order — and writes the selected corpus
+(with `mix_rank` and `pos`) plus the per-document `curation_audit`
+lineage table.
+
+The whole build is a pure function of (input, quotas, salt): rerun it
+anywhere, at any parallelism, and byte-identical selections come
+back, so a cluster loss mid-build costs a rerun, never a divergence.
+
+Usage:
+    python examples/corpus_build.py \
+        --input  /root/testdata/sf0.01/documents.parquet \
+        --output /tmp/corpus_build \
+        --quota  src0=12 --quota src1=8 --quota src3=100
+
+Writes <output>/selection.parquet and <output>/audit.parquet.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from elb_log_to_mysql_spark.operators.pipeline import (  # noqa: E402
+    corpus_pipeline,
+    curation_audit,
+)
+from elb_log_to_mysql_spark.session import build_session  # noqa: E402
+from elb_log_to_mysql_spark.sources.tables import load_table  # noqa: E402
+
+
+def parse_quota(kv: str) -> tuple[str, int]:
+    name, _, n = kv.partition("=")
+    if not n.isdigit():
+        raise argparse.ArgumentTypeError(f"--quota wants name=N, got {kv!r}")
+    return name, int(n)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument(
+        "--quota", action="append", type=parse_quota, required=True,
+        metavar="SOURCE=N", help="exact per-source doc quota (repeatable)",
+    )
+    ap.add_argument("--bench-mod", type=int, default=97)
+    ap.add_argument("--ngram", type=int, default=5)
+    ap.add_argument("--salt", default="seed42")
+    args = ap.parse_args(argv)
+    quotas = dict(args.quota)
+
+    spark = build_session(app_name="corpus-build")
+    spark.sparkContext.setLogLevel("WARN")
+    # the shared loader handles nanosecond-timestamp parquet and layout
+    # quirks; fall back to a bare read for arbitrary user parquet
+    try:
+        sf_dir, name = os.path.split(args.input)
+        docs = load_table(spark, sf_dir, name.removesuffix(".parquet"))
+    except Exception:  # noqa: BLE001
+        docs = spark.read.parquet(args.input)
+
+    selection = corpus_pipeline(
+        docs, quotas, bench_mod=args.bench_mod, ngram=args.ngram,
+        salt=args.salt,
+    )
+    audit = curation_audit(
+        docs, quotas, bench_mod=args.bench_mod, ngram=args.ngram,
+        salt=args.salt,
+    )
+    sel_path = os.path.join(args.output, "selection.parquet")
+    audit_path = os.path.join(args.output, "audit.parquet")
+    selection.write.mode("overwrite").parquet(sel_path)
+    audit.write.mode("overwrite").parquet(audit_path)
+    n_sel = spark.read.parquet(sel_path).count()
+    n_all = spark.read.parquet(audit_path).count()
+    print(f"selected {n_sel} of {n_all} docs -> {sel_path}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -420,3 +420,28 @@ def test_curation_audit_consistent_with_pipeline(spark, sf_dir):
             assert r.quality_keep
         if r.is_bench:
             assert not r.decontaminated
+
+
+def test_corpus_build_example_end_to_end(spark, sf_dir, tmp_path):
+    """The runnable front door writes both artifacts and its selection
+    equals calling corpus_pipeline directly."""
+    import subprocess
+    import sys as _sys
+
+    out = str(tmp_path / "build")
+    proc = subprocess.run(
+        [_sys.executable, "examples/corpus_build.py",
+         "--input", f"{sf_dir}/documents.parquet", "--output", out,
+         "--quota", "src0=4", "--quota", "src1=3"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    sel = spark.read.parquet(f"{out}/selection.parquet")
+    audit = spark.read.parquet(f"{out}/audit.parquet")
+    direct = pipeline.corpus_pipeline(
+        load_table(spark, sf_dir, "documents"), {"src0": 4, "src1": 3}
+    )
+    assert {r.doc_id for r in sel.collect()} == {
+        r.doc_id for r in direct.collect()
+    }
+    assert audit.count() == load_table(spark, sf_dir, "documents").count()
