@@ -843,3 +843,22 @@ def test_kmeans_embeddings_drops_null_vectors(spark):
     assert {r.vec_id for r in out} == {1, 2, 4}  # null row dropped
     by_id = {r.vec_id: r.cluster_id for r in out}
     assert by_id[1] == 0 and by_id[2] == 1 and by_id[4] == 0
+
+
+def test_unigram_prevalence_under_extreme_skew(spark):
+    """The token↔vocab join is Zipf-skewed by design; an artificial
+    worst case (one token = half of ALL occurrences, one doc holding
+    80% of rows) must still produce exact counts."""
+    from elb_log_to_mysql_spark.operators import textops
+
+    hot = "the " * 400          # one hot token, 400 occurrences in doc 1
+    rows = [(1, hot + "alpha beta", "en")] + [
+        (i, f"the tok{i} gamma", "en") for i in range(2, 52)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in textops.unigram_prevalence(docs).collect()}
+    c_the = 400 + 50
+    assert out[1].n_tokens == 402
+    assert out[1].sum_freq == 400 * c_the + 1 + 1
+    assert out[2].sum_freq == c_the + 1 + 50  # the + tok2 + gamma(50 docs)
+    assert out[2].min_freq == 1
