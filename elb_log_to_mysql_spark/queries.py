@@ -43,6 +43,9 @@ ORACLE_SQL: dict[str, str] = {}
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
+        import functools
+
+        @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             tune_session(spark)
             return fn(spark, sf_dir)
@@ -89,6 +92,7 @@ def _davg(expr: str) -> str:
     """,
 )
 def q_filter_project(spark, sf_dir):
+    """Scan–filter–project with pushdown: date-range filter reaches the parquet reader, projection prunes the read schema."""
     return relational.filter_project(_t(spark, sf_dir, "lineitem"))
 
 
@@ -102,6 +106,7 @@ def q_filter_project(spark, sf_dir):
     """,
 )
 def q_inner_join(spark, sf_dir):
+    """Plain equi inner join orders↔customer projected to the join columns."""
     return relational.inner_join(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
     )
@@ -122,6 +127,7 @@ def q_inner_join(spark, sf_dir):
     """,
 )
 def q_left_join(spark, sf_dir):
+    """Left outer join keeping orderless customers with null order columns."""
     return relational.left_join(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
@@ -137,6 +143,7 @@ def q_left_join(spark, sf_dir):
     """,
 )
 def q_semi_join(spark, sf_dir):
+    """Customers WITH at least one order (left semi join — the relational EXISTS)."""
     return relational.semi_join(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
@@ -152,6 +159,7 @@ def q_semi_join(spark, sf_dir):
     """,
 )
 def q_anti_join(spark, sf_dir):
+    """Customers with NO orders (left anti join — the relational NOT EXISTS)."""
     return relational.anti_join(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
@@ -169,6 +177,7 @@ def q_anti_join(spark, sf_dir):
     """,
 )
 def q_broadcast_join(spark, sf_dir):
+    """Fact–dim join with the dim side explicitly broadcast: zero fact shuffle (operators/relational.py)."""
     return relational.broadcast_dim_join(
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "nation"),
@@ -189,6 +198,7 @@ def q_broadcast_join(spark, sf_dir):
     """,
 )
 def q_range_join(spark, sf_dir):
+    """Equi + range (theta-residual) join: late shipments per month — the equi key keeps it a hash join (operators/relational.py:range_join)."""
     return relational.range_join(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     )
@@ -212,6 +222,7 @@ def q_range_join(spark, sf_dir):
     """,
 )
 def q_hash_agg(spark, sf_dir):
+    """TPC-H Q1 pricing summary — the canonical wide hash aggregate with map-side partial combine and decimal-exact sums (operators/relational.py:hash_agg_q1)."""
     # spread: wide decimal aggregate over the bare fact scan — the
     # measured winner case for the narrow-layout repartition (~35%).
     return relational.hash_agg_q1(_t(spark, sf_dir, "lineitem", spread=True))
@@ -233,6 +244,7 @@ ORACLE_SQL["tpch_q1"] = ORACLE_SQL["hash_agg"]
     """,
 )
 def q_distinct_agg(spark, sf_dir):
+    """COUNT(DISTINCT) per group — Spark's Expand-based exact distinct aggregation."""
     return relational.distinct_agg(_t(spark, sf_dir, "lineitem"))
 
 
@@ -268,6 +280,7 @@ def q_approx_distinct(spark, sf_dir):
     """,
 )
 def q_rollup_agg(spark, sf_dir):
+    """ROLLUP over (returnflag, linestatus): hierarchy subtotals + grand total in one pass."""
     return relational.rollup_agg(_t(spark, sf_dir, "lineitem"))
 
 
@@ -284,6 +297,7 @@ def q_rollup_agg(spark, sf_dir):
     """,
 )
 def q_cube_agg(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations, decimal-exact sums."""
     return relational.cube_agg(_t(spark, sf_dir, "orders"))
 
 
@@ -301,6 +315,7 @@ def q_cube_agg(spark, sf_dir):
     """,
 )
 def q_window_rank(spark, sf_dir):
+    """Ranking windows: row_number/rank/dense_rank with deterministic orders per group."""
     return windows.window_rank(_t(spark, sf_dir, "customer"))
 
 
@@ -323,6 +338,7 @@ def q_window_rank(spark, sf_dir):
     """,
 )
 def q_window_analytic(spark, sf_dir):
+    """Analytic window battery: lag/lead/running sums over per-customer order sequences."""
     return windows.window_analytic(_t(spark, sf_dir, "orders"))
 
 
@@ -374,6 +390,7 @@ def q_scalar_subquery(spark, sf_dir):
     """,
 )
 def q_window_range(spark, sf_dir):
+    """RANGE-frame windows: value-based frames (preceding amounts, unbounded) distinct from row frames."""
     return windows.window_range_trailing(_t(spark, sf_dir, "orders"))
 
 
@@ -427,6 +444,7 @@ def q_group_map_profile_pandas(spark, sf_dir):
     """,
 )
 def q_topk(spark, sf_dir):
+    """Global deterministic top-k by revenue with full tiebreak (TakeOrdered, no global sort)."""
     return relational.topk(_t(spark, sf_dir, "orders"))
 
 
@@ -444,6 +462,7 @@ def q_topk(spark, sf_dir):
     """,
 )
 def q_topk_per_group(spark, sf_dir):
+    """Per-group top-k via rank window with unique tiebreak (WindowGroupLimit pushdown)."""
     return windows.topk_per_group(_t(spark, sf_dir, "lineitem"))
 
 
@@ -464,6 +483,7 @@ def q_topk_per_group(spark, sf_dir):
     """,
 )
 def q_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT battery over customer key sets with deterministic tagging."""
     return relational.set_ops(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
@@ -490,6 +510,7 @@ def q_set_ops(spark, sf_dir):
     """,
 )
 def q_scalar_funcs(spark, sf_dir):
+    """Scalar expression battery: string/math/conditional functions evaluated per row inside codegen."""
     return relational.scalar_funcs(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
@@ -516,6 +537,7 @@ def q_scalar_funcs(spark, sf_dir):
     """,
 )
 def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     return advanced.tpch_q3(
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "orders"),
@@ -542,6 +564,7 @@ def q_tpch_q3(spark, sf_dir):
     """,
 )
 def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     return advanced.tpch_q5(
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "orders"),
@@ -565,6 +588,7 @@ def q_tpch_q5(spark, sf_dir):
     """,
 )
 def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     return tpch.tpch_q4(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
 
 
@@ -581,6 +605,7 @@ def q_tpch_q4(spark, sf_dir):
     """,
 )
 def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     return tpch.tpch_q6(_t(spark, sf_dir, "lineitem"))
 
 
@@ -602,6 +627,7 @@ def q_tpch_q6(spark, sf_dir):
     """,
 )
 def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     return tpch.tpch_q10(
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "orders"),
@@ -625,6 +651,7 @@ def q_tpch_q10(spark, sf_dir):
     """,
 )
 def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     return tpch.tpch_q13(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
@@ -649,6 +676,7 @@ def q_tpch_q13(spark, sf_dir):
     """,
 )
 def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     return tpch.tpch_q18(
         _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "orders"),
@@ -671,6 +699,7 @@ def q_tpch_q18(spark, sf_dir):
     """,
 )
 def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     return tpch.tpch_q19(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
 
 
@@ -688,6 +717,7 @@ def q_tpch_q19(spark, sf_dir):
     """,
 )
 def q_full_outer_join(spark, sf_dir):
+    """Per-nation customer and supplier counts stitched with a FULL OUTER join (both-side nulls coalesced)."""
     return relational.full_outer_join(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
     )
@@ -702,6 +732,7 @@ def q_full_outer_join(spark, sf_dir):
     """,
 )
 def q_cross_join(spark, sf_dir):
+    """Explicit cartesian of two SMALL inputs with a same-region flag (operators/relational.py:cross_join_small)."""
     return relational.cross_join_small(
         _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation")
     )
@@ -929,6 +960,7 @@ def q_skew_salted_agg(spark, sf_dir):
     """,
 )
 def q_pivot_agg(spark, sf_dir):
+    """Pivot on order priority: one row per month, one column per priority, decimal-exact sums."""
     return advanced.pivot_agg(_t(spark, sf_dir, "orders"))
 
 
@@ -955,6 +987,7 @@ def q_pivot_agg(spark, sf_dir):
     """,
 )
 def q_stats_agg(spark, sf_dir):
+    """Moment statistics per group: stddev/variance/skewness/kurtosis from decimal-exact power sums."""
     # spread: moment computations over the bare fact scan (2.1 s ->
     # 0.87 s at sf0.1 on the single-row-group layout).
     return advanced.stats_agg(_t(spark, sf_dir, "lineitem", spread=True))
@@ -971,6 +1004,7 @@ def q_stats_agg(spark, sf_dir):
     """,
 )
 def q_json_funcs(spark, sf_dir):
+    """JSON function battery over the events props column: get_json_object, from_json struct access, schema_of_json semantics."""
     return advanced.json_funcs(_t(spark, sf_dir, "events"))
 
 
@@ -990,6 +1024,7 @@ def q_json_funcs(spark, sf_dir):
     """,
 )
 def q_date_funcs(spark, sf_dir):
+    """Date/time function battery: trunc, extract, datediff, add_months, last_day over order dates."""
     return advanced.date_funcs(_t(spark, sf_dir, "orders"))
 
 
@@ -1010,6 +1045,7 @@ def q_date_funcs(spark, sf_dir):
     """,
 )
 def q_string_funcs(spark, sf_dir):
+    """String function battery: split/substring/regexp_extract/levenshtein/soundex over part names."""
     return advanced.string_funcs(_t(spark, sf_dir, "part"))
 
 
@@ -1026,6 +1062,7 @@ def q_string_funcs(spark, sf_dir):
     """,
 )
 def q_percentile_agg(spark, sf_dir):
+    """Exact percentiles (median/p90) per group via the sort-based percentile aggregate."""
     return advanced.percentile_agg(_t(spark, sf_dir, "lineitem"))
 
 
@@ -1059,6 +1096,7 @@ def q_percentile_approx(spark, sf_dir):
     """,
 )
 def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS aggregation: chosen subtotal combinations with grouping-id disambiguation."""
     # spread: the grouping-set Expand multiplies the scan output, so
     # parallelizing the map side pays (1.12 s -> 0.87 s at sf0.1).
     return advanced.grouping_sets_agg(
@@ -1078,6 +1116,7 @@ def q_grouping_sets(spark, sf_dir):
     """,
 )
 def q_collect_sorted(spark, sf_dir):
+    """Per-group ordered collection (sort_array over collect_list) — deterministic array emission."""
     return advanced.collect_sorted(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
     )
@@ -1224,6 +1263,7 @@ def q_deterministic_sample(spark, sf_dir):
     """,
 )
 def q_exact_dedup(spark, sf_dir):
+    """Deterministic keep-one-per-key dedup on events: the row_number formulation pins the survivor under any partitioning (operators/dedup.py:exact_dedup)."""
     ev = _t(spark, sf_dir, "events")
     out = dedup.exact_dedup(ev, ["user_id", "event_type"], ["ts", "event_id"])
     return out.select(
@@ -1246,6 +1286,7 @@ def q_exact_dedup(spark, sf_dir):
     """,
 )
 def q_dedup_docs_exact(spark, sf_dir):
+    """Exact content dedup over documents: one min-id survivor per canonical md5 fingerprint with duplicate counts (operators/dedup.py:dedup_documents_exact)."""
     return dedup.dedup_documents_exact(_t(spark, sf_dir, "documents"))
 
 
@@ -1358,6 +1399,7 @@ def q_incremental_dedup(spark, sf_dir):
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs >= 0.5 via inverted-index shared-shingle join — the exact verification twin of near_dedup (operators/dedup.py:ngram_jaccard_pairs)."""
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
@@ -1549,6 +1591,7 @@ def q_simhash_pairs(spark, sf_dir):
     """,
 )
 def q_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast query block against the corpus, exact ranking — the ANN baseline (operators/similarity.py:similarity_topk_bruteforce)."""
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.similarity_topk_bruteforce(
         emb, emb.filter(F.col("vec_id") < 20), k=10
@@ -1739,6 +1782,7 @@ def q_embedding_stats(spark, sf_dir):
     """,
 )
 def q_text_stats(spark, sf_dir):
+    """Per-document quality metrics (token counts, punctuation/stopword ratios) + the composite cheap-filter score (operators/textops.py:text_stats)."""
     return textops.text_stats(_t(spark, sf_dir, "documents"))
 
 
@@ -1761,6 +1805,7 @@ def q_text_stats(spark, sf_dir):
     """,
 )
 def q_token_count(spark, sf_dir):
+    """Whitespace and BPE-ish token counts per doc rolled up per language — the corpus token-budget pass (operators/textops.py:token_count)."""
     return textops.token_count(_t(spark, sf_dir, "documents"))
 
 
@@ -1794,6 +1839,7 @@ def q_token_count(spark, sf_dir):
     """,
 )
 def q_lang_id(spark, sf_dir):
+    """N-gram/stopword-heuristic language identification per document (operators/textops.py:lang_id)."""
     return textops.lang_id(_t(spark, sf_dir, "documents"))
 
 
@@ -1806,6 +1852,7 @@ def q_lang_id(spark, sf_dir):
     """,
 )
 def q_doc_fingerprint(spark, sf_dir):
+    """Per-document canonical content fingerprints: whitespace-collapsed lowercase md5 + rolling-hash sketch (operators/textops.py:doc_fingerprint)."""
     return textops.doc_fingerprint(_t(spark, sf_dir, "documents")).select(
         "doc_id", "md5_fp"
     )
@@ -1828,6 +1875,7 @@ def q_doc_fingerprint(spark, sf_dir):
     """,
 )
 def q_tfidf(spark, sf_dir):
+    """Corpus TF-IDF per (doc, term) with document-frequency pruning — expression-only, no MLlib fit (operators/textops.py:tfidf)."""
     return textops.tfidf(_t(spark, sf_dir, "documents"))
 
 
@@ -1996,6 +2044,7 @@ def q_corpus_ngrams(spark, sf_dir):
     """,
 )
 def q_sessionize(spark, sf_dir):
+    """Batch gap-and-island sessionization: 30-minute inactivity splits per-user sessions with per-session aggregates (operators/sessionize.py)."""
     return sessionize.sessionize(_t(spark, sf_dir, "events"))
 
 
@@ -2011,6 +2060,7 @@ def q_sessionize(spark, sf_dir):
     """,
 )
 def q_stream_tumbling(spark, sf_dir):
+    """Tumbling window counts as real Structured Streaming over the events table, AvailableNow, stream == batch (streaming/windows.py:tumbling_counts)."""
     # Execute genuinely under Structured Streaming (AvailableNow) —
     # identical plan to a continuous deployment; see streaming/windows.py.
     raw_schema = raw_parquet_schema(spark, os.path.join(sf_dir, "events.parquet"))
@@ -2091,6 +2141,7 @@ def q_stream_static_join(spark, sf_dir):
     """,
 )
 def q_stream_sliding(spark, sf_dir):
+    """Sliding (hopping) window counts as real Structured Streaming, AvailableNow, watermark-bounded state (streaming/windows.py:sliding_counts)."""
     from elb_log_to_mysql_spark.streaming.windows import sliding_counts
 
     raw_schema = raw_parquet_schema(spark, os.path.join(sf_dir, "events.parquet"))
@@ -2130,6 +2181,7 @@ def q_stream_sliding(spark, sf_dir):
     """,
 )
 def q_session_window(spark, sf_dir):
+    """Streaming session windows (dynamic gap close) over event times, run AvailableNow and finalized by watermark (streaming/windows.py:session_window_agg)."""
     # Spark's native merging session-window operator, cross-checked
     # against the independent gap-and-island SQL formulation.
     from elb_log_to_mysql_spark.streaming.windows import session_window_agg
@@ -2354,6 +2406,7 @@ def q_stream_dedup(spark, sf_dir):
     """,
 )
 def q_multimodal_meta(spark, sf_dir):
+    """Typed metadata projection over synthetic binary media payloads: format tag, declared dims, byte length — no decode (operators/multimodal.py)."""
     return multimodal.binary_metadata(_t(spark, sf_dir, "documents")).select(
         "doc_id", "byte_len", "sha", "sniffed_format"
     )
@@ -2813,6 +2866,7 @@ def q_elb_parse(spark, sf_dir):
     """,
 )
 def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem", "nation", "region"])
     return tpch.tpch_q2(t["part"], t["supplier"], t["lineitem"], t["nation"], t["region"])
 
@@ -2838,6 +2892,7 @@ def q_tpch_q2(spark, sf_dir):
     """,
 )
 def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     t = load_tables(
         spark, sf_dir,
         ["part", "supplier", "lineitem", "orders", "customer", "nation", "region"],
@@ -2863,6 +2918,7 @@ def q_tpch_q8(spark, sf_dir):
     """,
 )
 def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     t = load_tables(
         spark, sf_dir, ["part", "supplier", "lineitem", "orders", "nation"]
     )
@@ -2892,6 +2948,7 @@ def q_tpch_q9(spark, sf_dir):
     """,
 )
 def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     t = load_tables(spark, sf_dir, ["lineitem", "supplier", "nation", "region"])
     return tpch.tpch_q11(t["lineitem"], t["supplier"], t["nation"], t["region"])
 
@@ -2910,6 +2967,7 @@ def q_tpch_q11(spark, sf_dir):
     """,
 )
 def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     return tpch.tpch_q12(_t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
 
 
@@ -2924,6 +2982,7 @@ def q_tpch_q12(spark, sf_dir):
     """,
 )
 def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     return tpch.tpch_q14(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"))
 
 
@@ -2945,6 +3004,7 @@ def q_tpch_q14(spark, sf_dir):
     """,
 )
 def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     return tpch.tpch_q15(_t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier"))
 
 
@@ -2962,6 +3022,7 @@ def q_tpch_q15(spark, sf_dir):
     """,
 )
 def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem"])
     return tpch.tpch_q16(t["part"], t["supplier"], t["lineitem"])
 
@@ -2994,6 +3055,7 @@ def q_tpch_q16(spark, sf_dir):
     """,
 )
 def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     t = load_tables(spark, sf_dir, ["part", "supplier", "lineitem", "nation", "region"])
     return tpch.tpch_q20(
         t["part"], t["supplier"], t["lineitem"], t["nation"], t["region"]
@@ -3030,6 +3092,7 @@ def q_tpch_q20(spark, sf_dir):
     """,
 )
 def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     t = load_tables(spark, sf_dir, ["supplier", "lineitem", "orders", "nation"])
     return tpch.tpch_q21(t["supplier"], t["lineitem"], t["orders"], t["nation"])
 
@@ -3053,6 +3116,7 @@ def q_tpch_q21(spark, sf_dir):
     """,
 )
 def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 adapted to the test schema (operators/tpch.py; decimal-exact aggregates, broadcast dims)."""
     t = load_tables(spark, sf_dir, ["customer", "orders", "nation"])
     return tpch.tpch_q22(t["customer"], t["orders"], t["nation"])
 
