@@ -862,3 +862,61 @@ def test_unigram_prevalence_under_extreme_skew(spark):
     assert out[1].sum_freq == 400 * c_the + 1 + 1
     assert out[2].sum_freq == c_the + 1 + 50  # the + tok2 + gamma(50 docs)
     assert out[2].min_freq == 1
+
+
+def test_kmeans_three_rounds_matches_python_replay(spark, sf_dir):
+    """The Lloyd loop generalizes past the oracle's 2-round pin: a
+    full 3-round python replay (same decimal centroid contract, same
+    fold order) must match assignments AND distances bit-for-bit."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from elb_log_to_mysql_spark.operators.clustering import kmeans_embeddings
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r.vec_id: (r.cluster_id, r.dist)
+        for r in kmeans_embeddings(emb, k=4, iterations=3).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+
+    def d8(x):
+        return Decimal(repr(x)).quantize(
+            Decimal("1.00000000"), rounding=ROUND_HALF_UP
+        )
+
+    def sqdist(v, c):
+        acc = 0.0
+        for a, b in zip(v, c):
+            acc = acc + (a - b) * (a - b)
+        return acc
+
+    def argmin(v, cents):
+        return min(cents, key=lambda c: (sqdist(v, cents[c]), c))
+
+    cents = {j: vecs[i] for j, i in enumerate(sorted(vecs)[:4])}
+    assign = {vid: argmin(v, cents) for vid, v in vecs.items()}
+    for _ in range(2):  # two centroid updates = three assignment rounds
+        import collections
+        members = collections.defaultdict(list)
+        for vid, c in assign.items():
+            members[c].append(vid)
+        new_cents = {
+            c: [
+                float(sum(d8(vecs[i][p]) for i in ids)) / len(ids)
+                for p in range(len(vecs[ids[0]]))
+            ]
+            for c, ids in members.items()
+        }
+        for c in cents:
+            new_cents.setdefault(c, cents[c])
+        cents = new_cents
+        assign = {vid: argmin(v, cents) for vid, v in vecs.items()}
+    want = {
+        vid: (assign[vid], sqdist(vecs[vid], cents[assign[vid]]))
+        for vid in vecs
+    }
+    assert got == want
