@@ -82,11 +82,14 @@ def dedup_clusters(
     """Assign every document a duplicate-cluster id: min doc id of its
     near-dup component, or its own id if it has no near-dups. The
     canonical keep-one-per-cluster policy is then `cluster_id = id`.
-    The component table is at most |docs in any pair| rows — tiny
-    relative to the corpus — so it broadcasts into the left join."""
+    The component table has one row per doc appearing in any pair —
+    usually small, but O(corpus) on a clone-dense crawl, so the join
+    is NOT broadcast-hinted: AQE broadcasts it when it is actually
+    small and falls back to a shuffle join when it is not (a forced
+    hint would pin a corpus-scale table on the driver)."""
     cc = connected_components(pairs, pair_a, pair_b)
     return documents.join(
-        F.broadcast(cc.withColumnRenamed("id", id_col)), id_col, "left"
+        cc.withColumnRenamed("id", id_col), id_col, "left"
     ).select(
         id_col,
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
