@@ -116,7 +116,10 @@ def decontaminate(
         .select(id_col)
         .distinct()
     )
-    return train.join(F.broadcast(contaminated), id_col, "left_anti")
+    # contaminated ids are usually few but O(corpus) in the worst case
+    # (a benchmark gram that is a common phrase) — no broadcast hint;
+    # AQE broadcasts the set only when it is actually small
+    return train.join(contaminated, id_col, "left_anti")
 
 
 def _bloom_words(grams: DataFrame, num_bits: int, num_hashes: int) -> list[int]:
@@ -221,9 +224,8 @@ def decontaminate_bloom(
         .select(id_col)
         .distinct()
     )
-    verified_clean = candidates.join(
-        F.broadcast(contaminated), id_col, "left_anti"
-    )
+    # same worst-case-O(corpus) reasoning as `decontaminate`: no hint
+    verified_clean = candidates.join(contaminated, id_col, "left_anti")
     return clean_fast.unionByName(verified_clean)
 
 
