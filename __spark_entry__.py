@@ -123,6 +123,15 @@ _R4_CHECKED = [
 # error-bound oracle (added r2; its only driver check was r1, pre-oracle).
 _NEVER_ORACLE_GREEN = ["percentile_approx"]
 
+# ROUND-6 NOTE: the round-5 driver verifies entries in the order this
+# module yields them, so _R5_CHECKED = the keys of CORRECTNESS_r05.json
+# (equivalently the first N of round-5's _driver_order, N = the
+# driver's budget). Round 5 pre-flighted the first 50 locally
+# (tools/compare_oracle.py --driver-order 50): all green. When
+# refreshing for round 6, fold those into a checked tier and put the
+# 40-odd entries WITHOUT any driver row first (mostly round-5
+# additions past the budget cutoff).
+
 
 def _driver_order(names) -> list[str]:
     checked = set(_R1_CHECKED) | set(_R3_CHECKED) | set(_R3_FAILED)
