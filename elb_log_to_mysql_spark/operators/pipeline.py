@@ -681,3 +681,42 @@ def curation_audit(
         F.coalesce("decontaminated", F.lit(False)).alias("decontaminated"),
         F.coalesce("selected", F.lit(False)).alias("selected"),
     )
+
+
+def dataset_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-level diff of two corpus snapshots: per id, whether it
+    was `added`, `removed`, `changed` (same id, different canonical
+    content fingerprint), or `unchanged` — the review gate a corpus
+    iteration runs before promoting a new build ("this crawl refresh
+    touched 3% of documents, show me which").
+
+    Distinct from the SCD operators: those track KEYED state over an
+    event stream; this compares two materialized versions by content
+    hash. One full-outer join on the id, fingerprints compared
+    in-plan — no driver materialization, shuffle keyed on the
+    high-cardinality id. The fingerprint is `content_fingerprint`
+    (whitespace/case-canonical md5), so formatting-only edits don't
+    count as changes — the same canonicalization the dedup family
+    keys on, ONE definition across the engine.
+    """
+    from elb_log_to_mysql_spark.operators.dedup import content_fingerprint
+
+    o = old.select(
+        F.col(id_col), content_fingerprint(text_col).alias("_fp_old")
+    )
+    n = new.select(
+        F.col(id_col), content_fingerprint(text_col).alias("_fp_new")
+    )
+    return o.join(n, id_col, "full_outer").select(
+        id_col,
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -5132,3 +5132,43 @@ def q_curation_audit(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         quotas={"src0": 12, "src1": 8, "src2": 6, "src3": 100},
     )
+
+
+@_q(
+    "dataset_diff",
+    r"""
+    WITH old AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 10 <> 9
+    ), new AS (
+      SELECT doc_id,
+             md5(lower(regexp_replace(trim(
+               CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END
+             ), '\s+', ' ', 'g'))) AS fp
+      FROM documents WHERE doc_id % 10 <> 8
+    )
+    SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.fp IS NULL THEN 'added'
+                WHEN new.fp IS NULL THEN 'removed'
+                WHEN old.fp <> new.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+)
+def q_dataset_diff(spark, sf_dir):
+    """Corpus snapshot diff: synthetic v2 (docs % 10 == 8 removed,
+    % 10 == 9 added, % 7 == 0 edited) diffed against v1 by canonical
+    content fingerprint — added/removed/changed/unchanged per id
+    (operators/pipeline.py:dataset_diff)."""
+    from elb_log_to_mysql_spark.operators.pipeline import dataset_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 9)
+    new = docs.filter(F.col("doc_id") % 10 != 8).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return dataset_diff(old, new)

@@ -445,3 +445,17 @@ def test_corpus_build_example_end_to_end(spark, sf_dir, tmp_path):
         r.doc_id for r in direct.collect()
     }
     assert audit.count() == load_table(spark, sf_dir, "documents").count()
+
+
+def test_dataset_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "delta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(1, "  ALPHA   beta "),   # canonicalizes equal: unchanged
+         (2, "gamma prime"),        # changed
+         (4, "new doc")],           # added; 3 removed
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.status for r in pipeline.dataset_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
