@@ -60,17 +60,50 @@ def _sq_dist(vec, centroid):
 
 
 def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k centroid arrays,
-    fan out k distance rows per vector, keep the argmin (ties to the
-    lower cluster id). The corpus side never shuffles."""
-    scored = vectors.join(F.broadcast(centroids)).withColumn(
-        "_dist", _sq_dist(F.col("_vec"), F.col("_centroid"))
+    """Nearest-centroid assignment, zero shuffle on the corpus side.
+
+    The k centroid arrays are collapsed into ONE row holding a
+    cluster-id-ordered ``array<struct<cluster_id,_centroid>>`` (k×dim
+    doubles — tiny even at sharding-scale k), that single row is
+    broadcast-joined to the corpus, and the argmin is computed IN-ROW
+    with a higher-order fold. Unlike the previous shape (fan out k
+    distance rows per vector + ``row_number`` argmin window), there
+    is no k× row blow-up and no exchange between the vector scan and
+    the assignment — cost is linear in corpus rows with a k×dim
+    per-row compute term, so semantic sharding at k in the thousands
+    costs CPU, not shuffle.
+
+    Bit-parity with the windowed form: each per-centroid distance is
+    the same left-to-right IEEE fold (`_sq_dist`), the struct array
+    is sorted by cluster_id, and the fold replaces only on a STRICT
+    ``<`` — so ties keep the earliest (lowest cluster_id), exactly
+    the ``orderBy(_dist, cluster_id)`` tie rule the oracle replays.
+    """
+    cents = centroids.agg(
+        F.array_sort(F.collect_list(F.struct("cluster_id", "_centroid"))).alias(
+            "_cents"
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy("_dist", "cluster_id")
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_centroid")
+    scored = F.transform(
+        F.col("_cents"),
+        lambda s: F.struct(
+            s.cluster_id.alias("cluster_id"),
+            _sq_dist(F.col("_vec"), s._centroid).alias("_dist"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-1).alias("cluster_id"),
+            F.lit(float("inf")).alias("_dist"),
+        ),
+        lambda acc, x: F.when(x._dist < acc._dist, x).otherwise(acc),
+    )
+    return vectors.join(F.broadcast(cents)).select(
+        "vec_id",
+        "_vec",
+        best.cluster_id.alias("cluster_id"),
+        best._dist.alias("_dist"),
     )
 
 
@@ -91,11 +124,13 @@ def kmeans_embeddings(
     Plan shape per iteration: one narrow posexplode→agg for the
     decimal centroid sums (map-side partial combine carries k×dim
     groups), one ≤k-row window to rebuild centroid arrays, one
-    broadcast join + per-vector top-1 window for reassignment. The
-    driver never sees a vector; iteration state is the k×dim centroid
-    table. At 1000 executors the only shuffles are the k×dim
-    aggregation and the per-vector argmin — both keyed on
-    high-cardinality columns, no skew hazard.
+    single-row broadcast join + in-row higher-order argmin for
+    reassignment (see `_assign` — no exchange and no k× fan-out on
+    the corpus side). The driver never sees a vector; iteration state
+    is the k×dim centroid table. At 1000 executors the only shuffle
+    is the k×dim centroid aggregation — keyed on (cluster, dim), no
+    skew hazard — and assignment cost stays linear in corpus rows as
+    k grows to sharding scale.
     """
     # NULL vectors are excluded EXPLICITLY: a null distance would sort
     # NULLS FIRST in Spark's argmin window but NULLS LAST in a SQL

@@ -354,6 +354,10 @@ def interval_join_bucketed(
     probe_ts: str = "ts",
     point_ts: str = "ts",
     tolerance_us: int = 60_000_000,
+    probe_id: str = "event_id",
+    point_id: str = "event_id",
+    probe_user: str = "user_id",
+    point_user: str = "user_id",
 ) -> DataFrame:
     """PURE theta interval join (no equi key) made scalable by bucket
     decomposition — the third member of the temporal-join family
@@ -376,14 +380,26 @@ def interval_join_bucketed(
     skew-join split applies, unlike the nested-loop plan it replaces.
 
     Returns (event_id, n_nearby): probe id + matched-point count,
-    zero-rows kept via left join.
+    zero-rows kept via left join. The id/user column names are
+    parameterized per side (probe_id/point_id, probe_user/point_user)
+    so the ts parameters are no longer misleading about what schema
+    the operator accepts; the output id column keeps the fixed name
+    ``event_id``.
     """
     p_us = F.unix_micros(F.col(probe_ts))
     c_us = F.unix_micros(F.col(point_ts))
-    bucket = lambda us: F.floor(us / F.lit(tolerance_us))  # noqa: E731
+    # exact integer floor division on longs: (us - pmod(us, tol)) is a
+    # multiple of tol, so the one double division is exact (quotient
+    # and both operands well under 2^53) — bucket assignment never
+    # rests on double-rounding monotonicity. pmod's non-negative
+    # remainder gives true floor semantics for pre-epoch timestamps.
+    tol = F.lit(tolerance_us)
+    bucket = lambda us: (  # noqa: E731
+        (us - F.pmod(us, tol)) / tol
+    ).cast("long")
     p = probes.select(
-        F.col("event_id").alias("_pid"),
-        F.col("user_id").alias("_puser"),
+        F.col(probe_id).alias("_pid"),
+        F.col(probe_user).alias("_puser"),
         p_us.alias("_pus"),
     ).withColumn(
         "_bkt",
@@ -399,8 +415,8 @@ def interval_join_bucketed(
         ),
     )
     c = points.select(
-        F.col("event_id").alias("_cid"),
-        F.col("user_id").alias("_cuser"),
+        F.col(point_id).alias("_cid"),
+        F.col(point_user).alias("_cuser"),
         c_us.alias("_cus"),
     ).withColumn("_bkt", bucket(F.col("_cus")))
     joined = p.join(

@@ -461,11 +461,17 @@ def embedding_quantize_int8(
     saturation count |q| = 127) rather than the raw int8 array —
     integer aggregates that pin the arithmetic end to end. Pure
     column expressions over one scan: zero shuffles, scan-bound.
+
+    NULL vectors are excluded EXPLICITLY (same portable-NULL contract
+    as kmeans_embeddings): Spark's legacy sizeOfNull would turn the
+    n_sat aggregate into -1 on a NULL array while a SQL replay yields
+    NULL — filtering in both engines is the only portable rule.
     """
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     maxabs = F.array_max(F.transform(v, F.abs))
     scale = F.when(maxabs > 0, F.lit(127.0) / maxabs).otherwise(F.lit(0.0))
     q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("int"))
+    embeddings = embeddings.filter(F.col(vec_col).isNotNull())
     return ensure_min_partitions(embeddings).select(
         F.col(id_col),
         scale.alias("scale"),

@@ -4913,7 +4913,7 @@ def q_curriculum_bins(spark, sf_dir):
     WITH v AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), s AS (
       SELECT vec_id, vec,
              CASE WHEN list_max(list_transform(vec, x -> abs(x))) > 0
