@@ -2834,6 +2834,104 @@ def q_elb_parse(spark, sf_dir):
 
 
 # ===========================================================================
+# Reference-surface P12 parity: the exact uap-core resolution path
+# (pandas UDF over the vendored database) checked cross-engine
+# against a DuckDB CASE ladder COMPILED FROM THE SAME YAML — three
+# independent evaluations of data/ua_regexes.yaml must agree per UA.
+# ===========================================================================
+
+_UA_SAMPLE: list[str] = [
+    # one representative per family the database names, plus the
+    # precedence traps (bot UAs embedding Chrome, rebadged Chromiums,
+    # Chrome-before-Safari) and the blank/long-tail sentinels
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; Pixel 7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/119.0.6045.169 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/118.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Ubuntu; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chromium/112.0.5615.49 Chrome/112.0.5615.49 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+    "Mozilla/5.0 (Linux; Android 10; HD1913) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Mobile Safari/537.36 EdgA/119.0.2151.78",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.0.0",
+    "Opera/9.80 (J2ME/MIDP; Opera Mini/9.80 (S60; SymbOS; Opera Mobi/23.348; U; en) Presto/2.5.25 Version/10.54",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/118.0.0.0 YaBrowser/23.11.0.0 Safari/537.36",
+    "Mozilla/5.0 (Linux; U; Android 12; en-US; CPH2185) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/100.0.4896.58 UCBrowser/13.4.0.1306 Mobile Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 13; SAMSUNG SM-S918B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:120.0) Gecko/20100101 Firefox/120.0",
+    "Mozilla/5.0 (Android 13; Mobile; rv:120.0) Gecko/120.0 Firefox/120.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/119.0 Mobile/15E148 Safari/605.1.15",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1.1 Mobile/15E148 Safari/604.1",
+    "Mozilla/5.0 (Linux; U; Android 4.4.2; en-us; SM-T530NU Build/KOT49H) AppleWebKit/534.30 (KHTML, like Gecko) Version/4.0 Safari/534.30",
+    "Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko",
+    "Mozilla/5.0 (Linux; Android 6.0.1; Nexus 5X Build/MMB29P) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.6045.163 Mobile Safari/537.36 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",
+    "Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm) Chrome/116.0.1938.76 Safari/537.36",
+    "Mozilla/5.0 (compatible; YandexBot/3.0; +http://yandex.com/bots)",
+    "Mozilla/5.0 (compatible; Yahoo! Slurp; http://help.yahoo.com/help/us/ysearch/slurp)",
+    "curl/8.4.0",
+    "python-requests/2.31.0",
+    "Go-http-client/2.0",
+    "Apache-HttpClient/4.5.13 (Java/11.0.19)",
+    "Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/117.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; FreeBSD amd64; rv:109.0) Gecko/20100101 Firefox/115.0",
+    "SomeObscureAgent/0.1 (long tail)",
+    "-",
+    "",
+]
+
+
+def _ua_classify_oracle() -> str:
+    from elb_log_to_mysql_spark.functions import uap
+
+    vals = ",\n      ".join(
+        f"({i}, {uap._sql_quote(ua)})" for i, ua in enumerate(_UA_SAMPLE)
+    )
+    bcase = uap.duckdb_case_sql("ua", uap.browser_parsers())
+    ocase = uap.duckdb_case_sql("ua", uap.os_parsers())
+    return f"""
+    WITH u(ua_id, ua) AS (VALUES
+      {vals}
+    )
+    SELECT ua_id,
+           {bcase} AS browser,
+           {ocase} AS os,
+           TRUE AS ladder_agrees
+    FROM u
+    """
+
+
+@_q("ua_classify", _ua_classify_oracle())
+def q_ua_classify(spark, sf_dir):
+    """P12 exact-parity path, driver-checked: the browser/os columns
+    come from the pandas-UDF uap-core evaluator (functions/ua.py:
+    ua_families_udf — `user_agents` where installed, else the vendored
+    database with the same algorithm), the oracle recomputes them via
+    a DuckDB CASE ladder generated from the SAME yaml, and
+    `ladder_agrees` pins the JVM rlike when-ladder against the UDF
+    in-plan (the oracle expects TRUE on every row). One driver row
+    therefore certifies evaluator ≡ JVM ladder ≡ DuckDB CASE over a
+    family-complete UA sample including the precedence traps."""
+    from elb_log_to_mysql_spark.functions.ua import (
+        ua_browser_family_expr,
+        ua_families_udf,
+        ua_os_family_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ua) for i, ua in enumerate(_UA_SAMPLE)], "ua_id int, ua string"
+    )
+    fam = ua_families_udf()(F.col("ua"))
+    return df.select(
+        "ua_id",
+        fam.browser.alias("browser"),
+        fam.os.alias("os"),
+        (
+            (ua_browser_family_expr("ua") == fam.browser)
+            & (ua_os_family_expr("ua") == fam.os)
+        ).alias("ladder_agrees"),
+    )
+
+
+# ===========================================================================
 # TPC-H battery: remaining canonical shapes (Q2/Q8/Q9/Q11/Q12/Q14/Q15/
 # Q16/Q20/Q21/Q22), adapted to the test schema (operators/tpch.py)
 # ===========================================================================
