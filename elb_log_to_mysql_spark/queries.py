@@ -2671,6 +2671,52 @@ def q_multimodal_resize_real(spark, sf_dir):
 
 
 @_q(
+    "partition_pruning",
+    f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {DSUM_SQL.format(expr="value")} AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY event_type
+    """,
+)
+def q_partition_pruning(spark, sf_dir):
+    """Hive-partitioned-layout pruning e2e (SURVEY §4.2's mapping of
+    the reference's S3 prefix filter, etl:55-56, to partition
+    elimination): events are written as an `event_date=.../` hive
+    layout (sinks/layout.py:write_partitioned_idempotent — the same
+    dynamic-overwrite sink the idempotent-ingest test exercises),
+    read back through the partition-discovering reader, and filtered
+    to ONE day before aggregating. The oracle recomputes the same
+    day's rollup from the original unpartitioned parquet, so value
+    equality proves the layout round trip; the companion plan test
+    (tests/test_plans.py:test_hive_partition_pruning) proves the scan
+    touched only the one matching partition directory — at 100 TB the
+    difference between reading a day and reading a month. The
+    rewrite-per-call keeps the copy in lockstep with regenerated
+    testdata."""
+    from elb_log_to_mysql_spark.sinks.layout import write_partitioned_idempotent
+
+    events = _t(spark, sf_dir, "events")
+    out_dir = os.path.join(
+        "/tmp/spark-graft-hive",
+        os.path.basename(os.path.normpath(sf_dir)),
+        "events",
+    )
+    write_partitioned_idempotent(
+        events.withColumn("event_date", F.to_date("ts")), out_dir, ["event_date"]
+    )
+    df = spark.read.parquet(out_dir).filter(
+        F.col("event_date") == F.lit("2024-01-15").cast("date")
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )
+
+
+@_q(
     "orc_source_agg",
     f"""
     SELECT o_orderstatus,

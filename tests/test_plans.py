@@ -197,3 +197,44 @@ def test_mixture_sample_has_no_stratum_wide_window(spark, sf_dir):
     # the row_number window must be keyed by the bucket, not the
     # stratum alone
     assert all("_bkt" in ln for ln in row_number_windows), row_number_windows
+
+
+def test_hive_partition_pruning(spark, sf_dir, tmp_path):
+    """Partition elimination on a hive `event_date=.../` layout — the
+    at-scale analog of the reference's S3 prefix filter (etl:55-56,
+    SURVEY §4.2): an equality filter on the partition column must
+    reach the scan as a PartitionFilter and the scan must read ONLY
+    the matching partition's files, not the whole table."""
+    from elb_log_to_mysql_spark.sinks.layout import write_partitioned_idempotent
+
+    out = str(tmp_path / "events_hive")
+    events = load_table(spark, sf_dir, "events")
+    write_partitioned_idempotent(
+        events.withColumn("event_date", F.to_date("ts")), out, ["event_date"]
+    )
+    full = spark.read.parquet(out)
+    n_dates = full.select("event_date").distinct().count()
+    assert n_dates > 1  # the layout actually fans out into partitions
+
+    def scan_metrics(d):
+        """numPartitions/numFiles the executed FileSourceScan touched."""
+        d.collect()
+        leaf = d._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        m = leaf.metrics()
+        return (
+            m.apply("numPartitions").value(),
+            m.apply("numFiles").value(),
+        )
+
+    df = full.filter(F.col("event_date") == F.lit("2024-01-15").cast("date"))
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    # runtime proof via the scan's own metrics: the pruned query read
+    # exactly ONE partition directory; the unfiltered scan reads all
+    pruned_parts, pruned_files = scan_metrics(df)
+    all_parts, all_files = scan_metrics(full)
+    assert pruned_parts == 1 and all_parts == n_dates
+    assert pruned_files < all_files
