@@ -197,6 +197,25 @@ def main() -> None:
         ),
     }
     sim.unpersist()
+
+    # Density-scaled-cap row (round-6 policy, SCALE.md): recall loss
+    # under clone densification is bucket-cap starvation, so the cap
+    # must scale with clone multiplicity — max_bucket ≈ 50×factor.
+    # Recording both rows separates cap starvation (recoverable)
+    # from the radius-bound recall plateau (density-invariant).
+    scaled_cap = max(300, 50 * factor)
+    sim2 = dedup.simhash_near_pairs(
+        docs, max_hamming=6, max_bucket=scaled_cap
+    ).persist()
+    n_sim2, t_sim2 = timed(sim2.count)
+    sim2_hit = ex09.join(sim2, ["doc_id_a", "doc_id_b"], "left_semi").count()
+    report["simhash_scaled_cap"] = {
+        "max_bucket": scaled_cap,
+        "found": n_sim2,
+        "sec": t_sim2,
+        "recall": round(sim2_hit / n_ex09, 4) if n_ex09 else 1.0,
+    }
+    sim2.unpersist()
     ex06.unpersist()
     ex09.unpersist()
 
