@@ -647,3 +647,142 @@ def fuzzy_name_pairs(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def _bpe_apply_merge(sym: Column, pa: Column, pb: Column, merged: Column) -> Column:
+    """Left-to-right NON-OVERLAPPING application of one BPE merge to a
+    symbol array, as an in-row fold: append each symbol unless the
+    accumulator's last element is `pa` and the incoming one is `pb`,
+    in which case both collapse into `merged`. Because `merged` =
+    pa||pb with pb non-empty, merged != pa, so a just-merged symbol
+    can never immediately re-merge — exactly the non-overlap rule
+    tokenizer training uses ("aaaa" under (a,a) -> [aa, aa], not
+    [aa, aaa])."""
+    empty = F.slice(sym, F.lit(1), F.lit(0))  # [] with the right type
+    return F.aggregate(
+        sym,
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, F.lit(-1)) == pa)
+            & (x == pb),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_merge_loop(
+    documents: DataFrame, n_merges: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer training's OUTER loop (Sennrich et al. 2016), not just
+    its first count pass (`bpe_pair_counts`): iteratively count
+    adjacent symbol pairs, merge the global argmax, re-segment, and
+    repeat — each merge CHANGES the next iteration's counts, which is
+    what makes this an iterative distributed algorithm rather than a
+    one-shot aggregate.
+
+    Scale shape: training runs on the DISTINCT-WORD frequency table
+    (one corpus shuffle up front; classic BPE trains on word counts,
+    not the raw corpus), so the loop's per-iteration cost is
+    independent of corpus size — at 100 TB the word table is millions
+    of rows, not billions. Each iteration is: one pair-count agg over
+    the word table (map-side combined, pair-key cardinality bounded
+    by the live symbol alphabet), a 1-row deterministic argmax
+    (count desc, then pair lexicographic), broadcast of that single
+    row, and an in-row fold applying the merge (`_bpe_apply_merge`) —
+    the same zero-shuffle broadcast-argmin pattern as k-means
+    assignment (clustering.py). localCheckpoint bounds plan depth per
+    round (pagerank/k-means's bound).
+
+    The symbol alphabet is restricted to `[a-z0-9]+` words of length
+    >= 2 (punctuation-bearing tokens are excluded from BPE training,
+    as real pre-tokenizers do) — this also guarantees symbols never
+    contain spaces, which the oracle's independent space-wrapped
+    string-replace replay of the merge step relies on. Pair counts
+    count OVERLAPPING adjacent occurrences ("aaa" contributes (a,a)
+    twice), merge application is non-overlapping left-to-right — both
+    standard.
+
+    Returns one row per merge step: (step, pair_a, pair_b, merged,
+    n_occurrences) — the ordered merge list IS the trained tokenizer.
+    Deterministic: integer counts, total tiebreak.
+    """
+    from elb_log_to_mysql_spark.operators.dedup import ws_tokens
+
+    w = F.col("w")
+    words = (
+        ensure_min_partitions(documents)
+        .select(
+            F.explode(
+                F.filter(
+                    ws_tokens(F.col(text_col)),
+                    lambda t: (F.length(t) >= 2) & t.rlike("^[a-z0-9]+$"),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: w.substr(i, F.lit(1)),
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+
+    merge_rows = []
+    for step in range(1, n_merges + 1):
+        s = F.col("s")
+        zipped = F.arrays_zip(
+            F.slice(s, F.lit(1), F.size(s) - 1).alias("a"),
+            F.slice(s, F.lit(2), F.size(s) - 1).alias("b"),
+        )
+        counts = (
+            words.select(F.explode(zipped).alias("p"), "freq")
+            .groupBy(
+                F.col("p.a").alias("pair_a"), F.col("p.b").alias("pair_b")
+            )
+            .agg(F.sum("freq").alias("n_occurrences"))
+        )
+        best = (
+            counts.orderBy(
+                F.col("n_occurrences").desc(), "pair_a", "pair_b"
+            )
+            .limit(1)
+            .select(
+                F.lit(step).alias("step"),
+                "pair_a",
+                "pair_b",
+                F.concat("pair_a", "pair_b").alias("merged"),
+                "n_occurrences",
+            )
+            .localCheckpoint()
+        )
+        if not best.head(1):
+            # alphabet exhausted (every word is one symbol): no pairs
+            # left to merge. The oracle's unrolled CTEs yield empty
+            # b_i rows from here on, so stopping matches it exactly.
+            break
+        merge_rows.append(best)
+        words = (
+            words.join(
+                F.broadcast(best.select("pair_a", "pair_b", "merged"))
+            )
+            .select(
+                _bpe_apply_merge(
+                    F.col("s"),
+                    F.col("pair_a"),
+                    F.col("pair_b"),
+                    F.col("merged"),
+                ).alias("s"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+
+    out = merge_rows[0]
+    for more in merge_rows[1:]:
+        out = out.union(more)
+    return out

@@ -4840,6 +4840,77 @@ def q_bpe_pair_counts(spark, sf_dir):
     return textops.bpe_pair_counts(_t(spark, sf_dir, "documents"), k=40)
 
 
+def _bpe_loop_oracle(n_merges: int = 3) -> str:
+    """Unrolled-CTE replay of the BPE training loop. The merge-apply
+    step is deliberately a DIFFERENT formulation from the Spark fold:
+    each word's symbol string is space-wrapped (' a  b  c ') so plain
+    left-to-right non-overlapping replace of ' pa  pb ' -> ' merged '
+    is exactly the fold's non-overlap rule — two independent
+    implementations that must agree bit-for-bit (symbols are
+    [a-z0-9]+ so they never contain the space delimiter)."""
+    ctes = [
+        r"""toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> len(x) >= 2 AND regexp_matches(x, '^[a-z0-9]+$'))) AS w
+      FROM documents
+    )""",
+        """w0 AS (
+      SELECT array_to_string(string_split(w, ''), ' ') AS s,
+             COUNT(*) AS freq
+      FROM toks GROUP BY w
+    )""",
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(f"""c{i} AS (
+      SELECT a AS pair_a, b AS pair_b,
+             CAST(SUM(freq) AS BIGINT) AS n_occurrences
+      FROM (
+        SELECT freq, unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+        FROM (SELECT freq, string_split(s, ' ') AS t FROM w{p})
+      ) GROUP BY 1, 2
+    )""")
+        ctes.append(f"""b{i} AS (
+      SELECT CAST({i} AS INTEGER) AS step, pair_a, pair_b,
+             pair_a || pair_b AS merged, n_occurrences
+      FROM c{i} ORDER BY n_occurrences DESC, pair_a, pair_b LIMIT 1
+    )""")
+        ctes.append(f"""w{i} AS (
+      SELECT replace(substr(r, 2, len(r) - 2), '  ', ' ') AS s, freq
+      FROM (
+        SELECT replace(' ' || replace(w.s, ' ', '  ') || ' ',
+                       ' ' || b.pair_a || '  ' || b.pair_b || ' ',
+                       ' ' || b.merged || ' ') AS r,
+               w.freq
+        FROM w{p} w, b{i} b
+      )
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT step, pair_a, pair_b, merged, n_occurrences FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    {union}
+    """
+
+
+@_q("bpe_merge_loop", _bpe_loop_oracle(3))
+def q_bpe_merge_loop(spark, sf_dir):
+    """Tokenizer training's OUTER loop — three full BPE iterations
+    where each merge changes the next iteration's pair counts
+    (operators/textops.py:bpe_merge_loop): count pairs on the
+    distinct-word frequency table, broadcast the 1-row argmax, apply
+    it with an in-row non-overlapping fold, repeat. The oracle
+    replays the loop with an INDEPENDENT merge-apply formulation
+    (space-wrapped string replace), so a drift in either the
+    overlap rule, the argmax tiebreak, or the re-segmentation
+    hash-mismatches. Output = the ordered merge list, i.e. the
+    trained tokenizer artifact."""
+    return textops.bpe_merge_loop(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
 @_q(
     "corpus_pipeline",
     r"""

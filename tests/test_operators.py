@@ -954,3 +954,40 @@ def test_kmeans_three_rounds_matches_python_replay(spark, sf_dir):
         for vid in vecs
     }
     assert got == want
+
+
+def test_bpe_merge_loop_semantics(spark):
+    """Pin the loop's three contracts on a handcrafted corpus:
+    overlapping pair COUNTING, non-overlapping left-to-right merge
+    APPLICATION, and the (count desc, pair asc) argmax tiebreak —
+    with each merge visibly changing the next iteration's counts."""
+    from elb_log_to_mysql_spark.operators.textops import bpe_merge_loop
+
+    docs = spark.createDataFrame(
+        [(1, "the theme the"), (2, "theme thesis the")],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in bpe_merge_loop(docs, n_merges=3).collect()]
+    # iter1: (h,e) and (t,h) tie at 6 -> pair_a tiebreak picks (h,e)
+    # iter2: (t,he) dominates at 6 after re-segmentation
+    # iter3: (m,e) and (the,m) tie at 2 -> 'm' < 'the'
+    assert rows == [
+        (1, "h", "e", "he", 6),
+        (2, "t", "he", "the", 6),
+        (3, "m", "e", "me", 2),
+    ]
+
+
+def test_bpe_merge_loop_overlap_and_exhaustion(spark):
+    """'aaaa' must COUNT three overlapping (a,a) pairs per word but
+    MERGE to [aa, aa] (non-overlapping left-to-right); when the
+    alphabet is exhausted before n_merges, the loop stops and emits
+    only the completed merges (the oracle's empty-CTE behavior)."""
+    from elb_log_to_mysql_spark.operators.textops import bpe_merge_loop
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    rows = [tuple(r) for r in bpe_merge_loop(docs, n_merges=3).collect()]
+    assert rows == [
+        (1, "a", "a", "aa", 6),     # 3 overlapping pairs x 2 words
+        (2, "aa", "aa", "aaaa", 2), # non-overlap left it as [aa, aa]
+    ]
