@@ -71,18 +71,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS file into the history — no per-round list edits.
 
 import json as _json
+from functools import lru_cache as _lru_cache
 import re
 from pathlib import Path as _Path
 
 
-def _driver_history() -> tuple[dict[str, int], set[str]]:
+@_lru_cache(maxsize=1)
+def _driver_history() -> tuple[dict[str, int], frozenset[str]]:
     """(last driver-checked round per entry, entries whose latest
     record was a failure). Missing/corrupt artifacts degrade to
-    'never checked', which only makes the schedule more cautious."""
+    'never checked', which only makes the schedule more cautious.
+    Cached: the artifact set is fixed for the process lifetime and
+    both queries() and oracle_sql() consult it. 'Latest record'
+    is keyed on the parsed round NUMBER, not filename sort order —
+    lexicographic order diverges from round order at r10+."""
     last_round: dict[str, int] = {}
     last_ok: dict[str, bool] = {}
     here = _Path(__file__).resolve().parent
-    for f in sorted(here.glob("CORRECTNESS_r[0-9]*.json")):
+    for f in here.glob("CORRECTNESS_r[0-9]*.json"):
         m = re.search(r"_r(\d+)\.json$", f.name)
         if not m:
             continue
@@ -96,12 +102,13 @@ def _driver_history() -> tuple[dict[str, int], set[str]]:
         for name, rec in records.items():
             if not isinstance(rec, dict):
                 continue
-            last_round[name] = max(rnd, last_round.get(name, 0))
             ok = bool(rec.get("hash_match")) or (
                 rec.get("err") == "no_oracle" and (rec.get("spark_rows") or 0) > 0
             )
-            last_ok[name] = ok
-    failed = {n for n, ok in last_ok.items() if not ok}
+            if rnd >= last_round.get(name, 0):
+                last_ok[name] = ok
+            last_round[name] = max(rnd, last_round.get(name, 0))
+    failed = frozenset(n for n, ok in last_ok.items() if not ok)
     return last_round, failed
 
 

@@ -62,19 +62,29 @@ def ua_os_family_expr(ua: Column | str) -> Column:
     return uap.compile_when_ladder(ua, uap.os_parsers())
 
 
-def ua_families_udf():
+def ua_families_udf(prefer_wrapper: bool = True):
     """Exact uap-core resolution as an Arrow-batched pandas UDF.
 
     Returns a pandas UDF producing ``struct<browser:string,os:string>``.
-    Uses the ``user_agents`` wrapper when importable (byte-for-byte
-    the reference's code path); otherwise evaluates the vendored
-    database with the same first-match/$n algorithm
-    (functions/uap.py) — always available, so this path is now
-    exercised by tests and registry entries instead of lying dormant.
+    With ``prefer_wrapper`` (the default, what elb_parse uses) the
+    ``user_agents`` wrapper is used when importable — byte-for-byte
+    the reference's code path, evaluating the FULL uap-core database;
+    otherwise (or with ``prefer_wrapper=False``) the vendored database
+    is evaluated with the same first-match/$n algorithm
+    (functions/uap.py) — always available, so this path is exercised
+    by tests and registry entries instead of lying dormant.
+
+    ``prefer_wrapper=False`` exists for callers whose CONTRACT is
+    agreement with the vendored database's other compilations (the
+    ua_classify driver entry: its DuckDB CASE oracle and the rlike
+    ladder both evaluate the vendored subset, so the full-database
+    wrapper would name long-tail agents the subset maps to "Other"
+    and spuriously diverge in environments where user_agents happens
+    to be installed).
     """
     from pyspark.sql.functions import pandas_udf
 
-    if HAVE_USER_AGENTS:
+    if HAVE_USER_AGENTS and prefer_wrapper:
 
         def one(v):
             if v is None or v in ("", "-"):

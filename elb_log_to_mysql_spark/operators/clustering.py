@@ -97,7 +97,16 @@ def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
             F.lit(-1).alias("cluster_id"),
             F.lit(float("inf")).alias("_dist"),
         ),
-        lambda acc, x: F.when(x._dist < acc._dist, x).otherwise(acc),
+        # the sentinel guard makes the FIRST element always install,
+        # so an all-NaN distance row (a NaN coordinate poisons every
+        # fold) lands in cluster 0 with its NaN distance — identical
+        # to the windowed form's orderBy tie rule, where NaN sorts
+        # last but equal-NaN rows tie-break to the lowest cluster id.
+        # For finite distances the guard is inert (first element
+        # replaces inf anyway) and strict < keeps the earliest min.
+        lambda acc, x: F.when(
+            (acc.cluster_id == -1) | (x._dist < acc._dist), x
+        ).otherwise(acc),
     )
     return vectors.join(F.broadcast(cents)).select(
         "vec_id",

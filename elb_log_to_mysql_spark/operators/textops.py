@@ -782,6 +782,15 @@ def bpe_merge_loop(
             .localCheckpoint()
         )
 
+    if not merge_rows:
+        # no mergeable pair ever existed (e.g. a corpus with no
+        # [a-z0-9]{2,} tokens, or n_merges=0): the oracle's b_i CTEs
+        # are all empty, so return an empty frame of the same shape
+        return documents.sparkSession.createDataFrame(
+            [],
+            "step int, pair_a string, pair_b string, "
+            "merged string, n_occurrences long",
+        )
     out = merge_rows[0]
     for more in merge_rows[1:]:
         out = out.union(more)

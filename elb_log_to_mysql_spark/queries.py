@@ -2693,9 +2693,13 @@ def q_partition_pruning(spark, sf_dir):
     equality proves the layout round trip; the companion plan test
     (tests/test_plans.py:test_hive_partition_pruning) proves the scan
     touched only the one matching partition directory — at 100 TB the
-    difference between reading a day and reading a month. The
-    rewrite-per-call keeps the copy in lockstep with regenerated
-    testdata."""
+    difference between reading a day and reading a month. The copy is
+    REMOVED and rewritten per call: dynamic partition overwrite alone
+    would leave stale partition directories behind if regenerated
+    testdata stopped producing some event_date, and the scan would
+    silently include them."""
+    import shutil
+
     from elb_log_to_mysql_spark.sinks.layout import write_partitioned_idempotent
 
     events = _t(spark, sf_dir, "events")
@@ -2704,6 +2708,7 @@ def q_partition_pruning(spark, sf_dir):
         os.path.basename(os.path.normpath(sf_dir)),
         "events",
     )
+    shutil.rmtree(out_dir, ignore_errors=True)
     write_partitioned_idempotent(
         events.withColumn("event_date", F.to_date("ts")), out_dir, ["event_date"]
     )
@@ -2955,7 +2960,13 @@ def q_ua_classify(spark, sf_dir):
     `ladder_agrees` pins the JVM rlike when-ladder against the UDF
     in-plan (the oracle expects TRUE on every row). One driver row
     therefore certifies evaluator ≡ JVM ladder ≡ DuckDB CASE over a
-    family-complete UA sample including the precedence traps."""
+    family-complete UA sample including the precedence traps.
+    prefer_wrapper=False pins the UDF to the VENDORED database: this
+    entry's contract is three-way agreement over that database, and
+    the full-uap-core `user_agents` wrapper (used by elb_parse when
+    installed) would name long-tail agents the subset maps to
+    "Other", spuriously failing the oracle in wrapper-equipped
+    environments."""
     from elb_log_to_mysql_spark.functions.ua import (
         ua_browser_family_expr,
         ua_families_udf,
@@ -2965,7 +2976,7 @@ def q_ua_classify(spark, sf_dir):
     df = spark.createDataFrame(
         [(i, ua) for i, ua in enumerate(_UA_SAMPLE)], "ua_id int, ua string"
     )
-    fam = ua_families_udf()(F.col("ua"))
+    fam = ua_families_udf(prefer_wrapper=False)(F.col("ua"))
     return df.select(
         "ua_id",
         fam.browser.alias("browser"),

@@ -991,3 +991,68 @@ def test_bpe_merge_loop_overlap_and_exhaustion(spark):
         (1, "a", "a", "aa", 6),     # 3 overlapping pairs x 2 words
         (2, "aa", "aa", "aaaa", 2), # non-overlap left it as [aa, aa]
     ]
+
+
+def test_interval_join_custom_id_user_columns(spark, sf_dir):
+    """The parameterized id/user column names must produce the same
+    result as the default schema (review finding: the params existed
+    with zero exercised coverage)."""
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase")
+    points = ev.filter(F.col("event_type") == "click")
+    base = {
+        (r.event_id, r.n_nearby)
+        for r in relational.interval_join_bucketed(probes, points).collect()
+    }
+    renamed = {
+        (r.event_id, r.n_nearby)
+        for r in relational.interval_join_bucketed(
+            probes.withColumnRenamed("event_id", "pid")
+            .withColumnRenamed("user_id", "puser"),
+            points.withColumnRenamed("event_id", "cid")
+            .withColumnRenamed("user_id", "cuser"),
+            probe_id="pid",
+            point_id="cid",
+            probe_user="puser",
+            point_user="cuser",
+        ).collect()
+    }
+    assert renamed == base
+
+
+def test_bpe_merge_loop_no_eligible_tokens(spark):
+    """A corpus with no [a-z0-9]{2,} tokens must yield an EMPTY merge
+    list (the oracle's all-empty b_i CTEs), not crash (review
+    finding: merge_rows[0] raised IndexError)."""
+    from elb_log_to_mysql_spark.operators.textops import bpe_merge_loop
+
+    docs = spark.createDataFrame(
+        [(1, "A B !!"), (2, "")], "doc_id long, text string"
+    )
+    out = bpe_merge_loop(docs, n_merges=3)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "step", "pair_a", "pair_b", "merged", "n_occurrences",
+    ]
+
+
+def test_kmeans_nan_vector_lands_in_cluster_zero(spark):
+    """A NaN coordinate poisons every distance fold; the in-row argmin
+    must reproduce the windowed form's tie rule (NaN sorts last, ties
+    break to the lowest cluster id): cluster 0 with NaN dist — never
+    the internal -1 sentinel (review finding)."""
+    import math
+
+    from elb_log_to_mysql_spark.operators.clustering import kmeans_embeddings
+
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [4.0, 4.0]),
+        (2, [float("nan"), 1.0]),
+        (3, [3.9, 4.1]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in kmeans_embeddings(emb, k=2, iterations=1).collect()}
+    assert out[2].cluster_id == 0 and math.isnan(out[2].dist)
+    assert out[3].cluster_id == 1  # sane assignment for finite rows
+    assert all(r.cluster_id >= 0 for r in out.values())
