@@ -707,6 +707,29 @@ def bpe_merge_loop(
     n_occurrences) — the ordered merge list IS the trained tokenizer.
     Deterministic: integer counts, total tiebreak.
     """
+    merge_rows, _ = _bpe_train(documents, n_merges, text_col)
+    if not merge_rows:
+        # no mergeable pair ever existed (e.g. a corpus with no
+        # [a-z0-9]{2,} tokens, or n_merges=0): the oracle's b_i CTEs
+        # are all empty, so return an empty frame of the same shape
+        return documents.sparkSession.createDataFrame(
+            [],
+            "step int, pair_a string, pair_b string, "
+            "merged string, n_occurrences long",
+        )
+    out = merge_rows[0]
+    for more in merge_rows[1:]:
+        out = out.union(more)
+    return out
+
+
+def _bpe_train(documents, n_merges, text_col):
+    """Shared BPE trainer behind `bpe_merge_loop` (returns the merge
+    list) and `bpe_encode` (returns the corpus token table after the
+    merges are applied). Returns (merge_rows, words) where merge_rows
+    is a list of 1-row DataFrames (step, pair_a, pair_b, merged,
+    n_occurrences) and words is the distinct-word frequency table
+    with its symbol arrays re-segmented by every applied merge."""
     from elb_log_to_mysql_spark.operators.dedup import ws_tokens
 
     w = F.col("w")
@@ -782,16 +805,49 @@ def bpe_merge_loop(
             .localCheckpoint()
         )
 
-    if not merge_rows:
-        # no mergeable pair ever existed (e.g. a corpus with no
-        # [a-z0-9]{2,} tokens, or n_merges=0): the oracle's b_i CTEs
-        # are all empty, so return an empty frame of the same shape
-        return documents.sparkSession.createDataFrame(
-            [],
-            "step int, pair_a string, pair_b string, "
-            "merged string, n_occurrences long",
+    return merge_rows, words
+
+
+def bpe_encode(
+    documents: DataFrame,
+    n_merges: int = 3,
+    k: int = 40,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer training's third act — ENCODE: apply the learned
+    merge list back to the corpus and emit the resulting vocabulary
+    with corpus-wide token frequencies (top-k, deterministic
+    tiebreak). Together with `bpe_pair_counts` (one count pass) and
+    `bpe_merge_loop` (the training loop) this completes the BPE
+    story: train on the distinct-word table, then measure what the
+    trained tokenizer actually produces over the corpus.
+
+    Scale shape: encoding is embarrassingly parallel — the merge
+    list is tiny (n_merges rows, broadcast during training) and each
+    word re-segments with an in-row fold, so the only shuffles are
+    the up-front distinct-word agg (shared with training) and the
+    final token count. Because encode runs on the WORD-frequency
+    table and weights each token by the word's corpus frequency, its
+    cost at 100 TB is O(distinct words), not O(corpus): the corpus
+    is touched exactly once, by the same tokenize+count pass
+    training already needs.
+
+    Returns (token, n_occurrences, token_len) ordered by count desc
+    then token — single-character tokens that were never merged rank
+    alongside merged symbols, which is exactly the vocabulary a BPE
+    tokenizer at this merge budget would ship. Deterministic:
+    integer counts, total tiebreak (token is unique per row).
+    """
+    _, words = _bpe_train(documents, n_merges, text_col)
+    return (
+        words.select(F.explode("s").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.length("token").alias("token_len"),
         )
-    out = merge_rows[0]
-    for more in merge_rows[1:]:
-        out = out.union(more)
-    return out
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(k)
+    )

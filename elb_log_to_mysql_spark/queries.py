@@ -4851,10 +4851,11 @@ def q_bpe_pair_counts(spark, sf_dir):
     return textops.bpe_pair_counts(_t(spark, sf_dir, "documents"), k=40)
 
 
-def _bpe_loop_oracle(n_merges: int = 3) -> str:
-    """Unrolled-CTE replay of the BPE training loop. The merge-apply
-    step is deliberately a DIFFERENT formulation from the Spark fold:
-    each word's symbol string is space-wrapped (' a  b  c ') so plain
+def _bpe_ctes(n_merges: int = 3) -> str:
+    """Unrolled-CTE replay of the BPE training loop, shared by the
+    bpe_merge_loop and bpe_encode oracles. The merge-apply step is
+    deliberately a DIFFERENT formulation from the Spark fold: each
+    word's symbol string is space-wrapped (' a  b  c ') so plain
     left-to-right non-overlapping replace of ' pa  pb ' -> ' merged '
     is exactly the fold's non-overlap rule — two independent
     implementations that must agree bit-for-bit (symbols are
@@ -4896,14 +4897,38 @@ def _bpe_loop_oracle(n_merges: int = 3) -> str:
         FROM w{p} w, b{i} b
       )
     )""")
+    return ",\n    ".join(ctes)
+
+
+def _bpe_loop_oracle(n_merges: int = 3) -> str:
+    """See `_bpe_ctes`: the merge list, one row per training step."""
     union = "\n    UNION ALL ".join(
         f"SELECT step, pair_a, pair_b, merged, n_occurrences FROM b{i}"
         for i in range(1, n_merges + 1)
     )
-    joined = ",\n    ".join(ctes)
     return f"""
-    WITH {joined}
+    WITH {_bpe_ctes(n_merges)}
     {union}
+    """
+
+
+def _bpe_encode_oracle(n_merges: int = 3, k: int = 40) -> str:
+    """See `_bpe_ctes`: the corpus vocabulary AFTER the merges — every
+    word's final segmentation exploded back out weighted by corpus
+    word frequency. An error anywhere in the replayed loop (argmax
+    tiebreak, overlap rule, re-segmentation) shifts these counts."""
+    return f"""
+    WITH {_bpe_ctes(n_merges)}
+    SELECT token,
+           CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+           CAST(length(token) AS INTEGER) AS token_len
+    FROM (
+      SELECT unnest(string_split(s, ' ')) AS token, freq
+      FROM w{n_merges}
+    )
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT {k}
     """
 
 
@@ -4920,6 +4945,20 @@ def q_bpe_merge_loop(spark, sf_dir):
     hash-mismatches. Output = the ordered merge list, i.e. the
     trained tokenizer artifact."""
     return textops.bpe_merge_loop(_t(spark, sf_dir, "documents"), n_merges=3)
+
+
+@_q("bpe_encode", _bpe_encode_oracle(3, 40))
+def q_bpe_encode(spark, sf_dir):
+    """BPE ENCODE — the trained tokenizer applied back to the corpus
+    (operators/textops.py:bpe_encode): train 3 merges on the
+    distinct-word table, re-segment every word with the in-row
+    non-overlapping fold, and count the resulting tokens corpus-wide
+    (weighted by word frequency), top-40 with total tiebreak. The
+    oracle replays train AND encode with the independent
+    space-wrapped-replace formulation, so the output vocabulary is
+    pinned bit-for-bit — completing the bpe_pair_counts ->
+    bpe_merge_loop -> encode trilogy."""
+    return textops.bpe_encode(_t(spark, sf_dir, "documents"), n_merges=3, k=40)
 
 
 @_q(

@@ -993,6 +993,38 @@ def test_bpe_merge_loop_overlap_and_exhaustion(spark):
     ]
 
 
+def test_bpe_encode_semantics(spark):
+    """Encode = the trained merges applied back to the corpus: the
+    final vocabulary's counts must be word-frequency-weighted, rank
+    merged symbols alongside never-merged single characters, and
+    survive early alphabet exhaustion (merges 'aa' then 'ab', then
+    runs out of pairs before the n_merges budget)."""
+    from elb_log_to_mysql_spark.operators.textops import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa ab"), (2, "ab aa")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in bpe_encode(docs, n_merges=3, k=40).collect()]
+    # iter1 merges (a,a)->aa [count 3]; iter2 merges (a,b)->ab
+    # [count 2]; iter3 finds no pairs. Final words: aa->[aa] x3,
+    # ab->[ab] x2 -> vocabulary is exactly the two merged tokens.
+    assert rows == [("aa", 3, 2), ("ab", 2, 2)]
+
+
+def test_bpe_encode_mixed_vocabulary(spark):
+    """Single characters that never merged must remain first-class
+    vocabulary entries, ordered by the (count desc, token asc) total
+    tiebreak."""
+    from elb_log_to_mysql_spark.operators.textops import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab xy")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in bpe_encode(docs, n_merges=1, k=40).collect()]
+    # one merge: (a,b)->ab x3; 'xy' stays [x, y]
+    assert rows == [("ab", 3, 2), ("x", 1, 1), ("y", 1, 1)]
+
+
 def test_interval_join_custom_id_user_columns(spark, sf_dir):
     """The parameterized id/user column names must produce the same
     result as the default schema (review finding: the params existed
