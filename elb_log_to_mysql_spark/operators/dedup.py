@@ -659,3 +659,113 @@ def simhash_candidates(
         .select("doc_id_a", "doc_id_b", "fp_a", "fp_b")
     )
     return cand, fp
+
+
+# ---------------------------------------------------------------------------
+# exact long-substring duplicate spans (suffix-array-style, distributed)
+# ---------------------------------------------------------------------------
+def substring_dup_spans(
+    documents: DataFrame,
+    k: int = 8,
+    min_len: int = 20,
+    max_df: int | None = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal exact duplicated token spans across documents — the
+    distributed re-expression of suffix-array substring dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): find every pair of documents sharing a
+    contiguous run of >= `min_len` identical tokens, and report each
+    MAXIMAL shared span with its start positions.
+
+    A suffix array is inherently sequential; the distributed
+    equivalent is rolling k-token windows + diagonal run merging:
+
+    1. positional k-shingles: every doc emits (pos, gram) for each
+       k-token window — order-preserving, NOT distinct (positions
+       matter here, unlike Jaccard shingling).
+    2. df cap: grams appearing in > `max_df` distinct docs are
+       boilerplate (stop phrases); they would make the self-join
+       quadratic in df and are dropped, exactly as Lee et al. cap
+       suffix-array bucket width. The cap is replayed in the oracle,
+       so the registered config stays bit-exact.
+    3. shared-gram self-join on gram hash, doc_id_a < doc_id_b.
+    4. diagonal run merge: matches (pa, pb) with equal diagonal
+       pa - pb and consecutive pa belong to ONE shared substring;
+       the islands-and-gaps trick (run id = pa - row_number() within
+       (pair, diagonal)) merges them without any sequential scan. A
+       run of m overlapping k-windows is a shared span of m + k - 1
+       tokens.
+
+    Scale shape: one shuffle keyed by gram for the df cap + join
+    (co-partitioned), one window keyed by (pair, diagonal) whose
+    partitions are bounded by document length — never by corpus
+    size. The df cap is the explicit skew bound: without it one
+    viral sentence makes the join O(df^2).
+
+    Returns (doc_id_a, doc_id_b, start_a, start_b, span_tokens), one
+    row per maximal span >= min_len. Deterministic: the span set is
+    a pure function of the corpus.
+    """
+    from pyspark.sql import Window
+
+    t = ws_tokens(F.col(text_col))
+    toks = documents.select("doc_id", t.alias("t"))
+
+    n_sh = F.size(F.col("t")) - (k - 1)
+    grams = toks.select(
+        "doc_id",
+        F.when(
+            n_sh > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    sh = grams.select(
+        "doc_id", F.posexplode("grams").alias("pos", "gram")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "gram")
+
+    if max_df is not None:
+        # drop boilerplate grams BEFORE the self-join; keyed by gram,
+        # the same shuffle partitioning the join needs
+        df_tab = sh.groupBy("gram").agg(
+            F.count_distinct("doc_id").alias("df")
+        )
+        sh = sh.join(
+            df_tab.filter(F.col("df") > max_df), "gram", "left_anti"
+        )
+
+    a = sh.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram"
+    )
+    m = (
+        a.join(b, "gram")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "pa", "pb", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+
+    w = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = m.withColumn("rid", F.col("pa") - F.row_number().over(w))
+    spans = runs.groupBy("da", "db", "diag", "rid").agg(
+        F.min("pa").alias("start_a"),
+        F.min("pb").alias("start_b"),
+        (F.count(F.lit(1)) + (k - 1)).alias("span_tokens"),
+    )
+    return (
+        spans.filter(F.col("span_tokens") >= min_len)
+        .select(
+            F.col("da").alias("doc_id_a"),
+            F.col("db").alias("doc_id_b"),
+            "start_a",
+            "start_b",
+            "span_tokens",
+        )
+        .orderBy("doc_id_a", "doc_id_b", "start_a", "start_b")
+    )
