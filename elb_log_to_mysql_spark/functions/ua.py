@@ -28,9 +28,6 @@ The ``"-"``/empty sentinel maps to ``Unknown`` in both paths (etl:110).
 
 from __future__ import annotations
 
-import pandas as pd  # module-level so the UDF's postponed type
-# annotations ('pd.Series') resolve when pyspark infers the eval type
-
 from pyspark.sql import Column
 
 from elb_log_to_mysql_spark.functions import uap
@@ -82,6 +79,13 @@ def ua_families_udf(prefer_wrapper: bool = True):
     and spuriously diverge in environments where user_agents happens
     to be installed).
     """
+    # pandas is imported lazily (this module's expression-ladder path
+    # must import with zero third-party deps) but bound into module
+    # globals, because pyspark resolves the UDF's postponed 'pd.Series'
+    # annotations against this module's namespace.
+    global pd
+    import pandas as pd
+
     from pyspark.sql.functions import pandas_udf
 
     if HAVE_USER_AGENTS and prefer_wrapper:

@@ -51,12 +51,50 @@ class UAEntry:
     replacement: str | None  # None -> uap-core's default: capture group 1
 
 
+def _parse_uap_yaml(text: str) -> dict[str, list[dict[str, str]]]:
+    """Parse the vendored database without a YAML dependency.
+
+    The file is deliberately restricted to the tiny uap-core subset —
+    top-level section keys, ``- regex: '...'`` items, and
+    single-quoted ``*_replacement`` fields ('' escapes a quote) — so
+    the scale-path ladder compiles with zero third-party imports.
+    PyYAML, when installed, parses the same file identically
+    (pinned by tests/test_ua_corpus.py)."""
+
+    def unquote(v: str) -> str:
+        v = v.strip()
+        if not (v.startswith("'") and v.endswith("'") and len(v) >= 2):
+            raise ValueError(f"uap db: expected single-quoted value, got {v!r}")
+        return v[1:-1].replace("''", "'")
+
+    sections: dict[str, list[dict[str, str]]] = {}
+    current: list[dict[str, str]] | None = None
+    for lineno, raw_line in enumerate(text.splitlines(), 1):
+        line = raw_line.split("#", 1)[0] if raw_line.lstrip().startswith("#") else raw_line
+        if not line.strip():
+            continue
+        stripped = line.strip()
+        if not line[0].isspace() and stripped.endswith(":"):
+            current = sections.setdefault(stripped[:-1], [])
+        elif stripped.startswith("- "):
+            if current is None:
+                raise ValueError(f"uap db line {lineno}: item before any section")
+            key, _, val = stripped[2:].partition(":")
+            current.append({key.strip(): unquote(val)})
+        elif ":" in stripped:
+            if not current or not current[-1]:
+                raise ValueError(f"uap db line {lineno}: field before any item")
+            key, _, val = stripped.partition(":")
+            current[-1][key.strip()] = unquote(val)
+        else:
+            raise ValueError(f"uap db line {lineno}: unparseable: {raw_line!r}")
+    return sections
+
+
 @lru_cache(maxsize=None)
 def _load_db() -> tuple[tuple[UAEntry, ...], tuple[UAEntry, ...]]:
-    import yaml
-
     with open(DB_PATH) as f:
-        raw = yaml.safe_load(f)
+        raw = _parse_uap_yaml(f.read())
     browsers = tuple(
         UAEntry(e["regex"], e.get("family_replacement"))
         for e in raw.get("user_agent_parsers", [])

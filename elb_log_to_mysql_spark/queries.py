@@ -75,6 +75,25 @@ def _davg(expr: str) -> str:
     return DAVG_SQL.format(expr=expr)
 
 
+def _work_dir(kind: str) -> str:
+    """Per-invocation unique scratch dir for queries that materialize
+    an alternate layout (hive-partitioned copy, ORC round trip).
+
+    A FIXED shared path would race under concurrency: two overlapping
+    invocations (concurrent throughput streams, overlapping driver
+    processes) rmtree each other's in-flight scans. mkdtemp gives each
+    call its own directory; cleanup is deferred to process exit via
+    atexit because the returned DataFrame is lazy — the caller scans
+    the directory AFTER the query function returns."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=f"spark-graft-{kind}-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 # ===========================================================================
 # Relational core
 # ===========================================================================
@@ -1442,6 +1461,54 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
 
 
 @_q(
+    "substring_dup_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_transform(range(0, greatest(len(t) - 7, 0)),
+                i -> struct_pack(pos := i,
+                                 gram := array_to_string(t[i+1 : i+8], ' '))) AS gs
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, u.pos AS pos, u.gram AS gram
+      FROM (SELECT doc_id, unnest(gs) AS u FROM shingled WHERE len(gs) > 0)
+    ), kept AS (
+      SELECT gram FROM sh GROUP BY gram HAVING COUNT(DISTINCT doc_id) <= 50
+    ), shc AS (
+      SELECT sh.* FROM sh JOIN kept USING (gram)
+    ), m AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM shc a JOIN shc b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT da, db, diag, pa, pb,
+             pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS rid
+      FROM m
+    )
+    SELECT da AS doc_id_a, db AS doc_id_b,
+           MIN(pa) AS start_a, MIN(pb) AS start_b,
+           CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+    FROM runs GROUP BY da, db, diag, rid
+    HAVING COUNT(*) + 7 >= 20
+    """,
+)
+def q_substring_dup_spans(spark, sf_dir):
+    """Maximal exact duplicated token spans (Lee et al. 2022
+    suffix-array dedup, re-expressed as positional k-shingles +
+    diagonal run merge — operators/dedup.py:substring_dup_spans at the
+    registered defaults k=8, min_len=20, max_df=50). The oracle
+    replays every stage including the df cap: positional 8-gram
+    structs, HAVING count(distinct doc) <= 50, the shared-gram
+    self-join, and the islands-and-gaps run id (pos - row_number per
+    (pair, diagonal)) — so a wrong cap, a wrong diagonal, or an
+    off-by-one in the m + k - 1 span arithmetic all hash-mismatch."""
+    return dedup.substring_dup_spans(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "near_dedup",
     r"""
     WITH toks AS (
@@ -2456,8 +2523,6 @@ def q_media_dir_meta(spark, sf_dir):
     bytes survived the write→list→scan round trip intact. The 64-row
     driver-side materialization is the test harness, not the operator:
     at scale the media dir already exists."""
-    import shutil
-
     docs = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -2465,11 +2530,7 @@ def q_media_dir_meta(spark, sf_dir):
         .limit(64)
         .collect()
     )
-    out_dir = os.path.join(
-        "/tmp/spark-graft-media", os.path.basename(os.path.normpath(sf_dir))
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
+    out_dir = _work_dir("media")
     for r in docs:
         with open(os.path.join(out_dir, f"doc_{r.doc_id}.bin"), "wb") as fh:
             fh.write(r.text.encode("utf-8"))
@@ -2512,8 +2573,6 @@ def q_multimodal_decode_real(spark, sf_dir):
     + full unfiltering). This entry upgrades the family's evidence
     from replayed-stub to real-bytes for the formats the sandbox can
     decode."""
-    import shutil
-
     from elb_log_to_mysql_spark.sources.formats import read_media_dir
 
     docs = (
@@ -2523,12 +2582,7 @@ def q_multimodal_decode_real(spark, sf_dir):
         .limit(32)
         .collect()
     )
-    out_dir = os.path.join(
-        "/tmp/spark-graft-media-real",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
+    out_dir = _work_dir("media-real")
     for r in docs:
         if r.doc_id % 2 == 0:
             payload = multimodal.make_wav_bytes(
@@ -2570,8 +2624,6 @@ def q_multimodal_audio_real(spark, sf_dir):
     byte order produces different statistics and hash-mismatches —
     this checks the payload bytes, where multimodal_decode_real checks
     the headers."""
-    import shutil
-
     from elb_log_to_mysql_spark.sources.formats import read_media_dir
 
     docs = (
@@ -2581,12 +2633,7 @@ def q_multimodal_audio_real(spark, sf_dir):
         .limit(32)
         .collect()
     )
-    out_dir = os.path.join(
-        "/tmp/spark-graft-media-audio",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
+    out_dir = _work_dir("media-audio")
     for r in docs:
         payload = multimodal.make_wav_bytes(
             sample_rate=16000,
@@ -2636,8 +2683,6 @@ def q_multimodal_resize_real(spark, sf_dir):
     header + 4-byte-padded rows), and the operator re-decodes its own
     output in-plan — so wrong pixel geometry, wrong padding, or an
     unparseable output all hash-mismatch."""
-    import shutil
-
     from elb_log_to_mysql_spark.sources.formats import read_media_dir
 
     docs = (
@@ -2647,12 +2692,7 @@ def q_multimodal_resize_real(spark, sf_dir):
         .limit(32)
         .collect()
     )
-    out_dir = os.path.join(
-        "/tmp/spark-graft-media-resize",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
+    out_dir = _work_dir("media-resize")
     for r in docs:
         payload = multimodal.make_bmp_bytes(
             width=16 + r.doc_id % 16,
@@ -2694,21 +2734,13 @@ def q_partition_pruning(spark, sf_dir):
     (tests/test_plans.py:test_hive_partition_pruning) proves the scan
     touched only the one matching partition directory — at 100 TB the
     difference between reading a day and reading a month. The copy is
-    REMOVED and rewritten per call: dynamic partition overwrite alone
-    would leave stale partition directories behind if regenerated
-    testdata stopped producing some event_date, and the scan would
-    silently include them."""
-    import shutil
-
+    written to a fresh per-invocation directory (no stale partition
+    directories to leak into the scan, and no shared-path race under
+    concurrent invocation — see _work_dir)."""
     from elb_log_to_mysql_spark.sinks.layout import write_partitioned_idempotent
 
     events = _t(spark, sf_dir, "events")
-    out_dir = os.path.join(
-        "/tmp/spark-graft-hive",
-        os.path.basename(os.path.normpath(sf_dir)),
-        "events",
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = os.path.join(_work_dir("hive"), "events")
     write_partitioned_idempotent(
         events.withColumn("event_date", F.to_date("ts")), out_dir, ["event_date"]
     )
@@ -2737,16 +2769,13 @@ def q_orc_source_agg(spark, sf_dir):
     through the ORC source with an explicit schema, and aggregated;
     the oracle aggregates the original parquet — value equality proves
     the ORC round trip preserves every column it touches (decimal sum
-    included). The rewrite-per-call keeps the copy in lockstep with
-    regenerated testdata."""
+    included). The fresh per-invocation directory keeps the copy in
+    lockstep with regenerated testdata and race-free under
+    concurrency (see _work_dir)."""
     from elb_log_to_mysql_spark.sources.formats import read_orc, write_orc
 
     orders = _t(spark, sf_dir, "orders")
-    out_dir = os.path.join(
-        "/tmp/spark-graft-orc",
-        os.path.basename(os.path.normpath(sf_dir)),
-        "orders",
-    )
+    out_dir = os.path.join(_work_dir("orc"), "orders")
     write_orc(orders, out_dir)
     df = read_orc(spark, out_dir, orders.schema)
     return df.groupBy("o_orderstatus").agg(
@@ -4179,10 +4208,6 @@ def q_jsonl_deadletter(spark, sf_dir):
     good frame parses the rest — the at-scale replacement for the
     reference's silent row drop (etl:129-131). The oracle recomputes
     good/bad/sum from the uncorrupted table by the same id rule."""
-    import hashlib
-    import shutil
-    import tempfile
-
     from elb_log_to_mysql_spark.sources.formats import read_jsonl_with_deadletter
 
     ev = _t(spark, sf_dir, "events")
@@ -4190,9 +4215,7 @@ def q_jsonl_deadletter(spark, sf_dir):
         F.col("event_id") % 10 == 0,
         F.expr("substring(props, 1, length(props) - 1)"),
     ).otherwise(F.col("props"))
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    staged = f"{tempfile.gettempdir()}/jsonl_dl_{tag}"
-    shutil.rmtree(staged, ignore_errors=True)
+    staged = os.path.join(_work_dir("jsonl-dl"), "staged")
     ev.select(line.alias("value")).write.mode("overwrite").text(staged)
     good, dead = read_jsonl_with_deadletter(spark, staged, "k long")
     g = good.agg(
@@ -4390,8 +4413,6 @@ def q_multimodal_png_real(spark, sf_dir):
     hash-mismatches. This closes the 'compressed formats need external
     codecs' gap for the one compressed format whose codec ships in the
     standard library."""
-    import shutil
-
     from elb_log_to_mysql_spark.sources.formats import read_media_dir
 
     docs = (
@@ -4401,12 +4422,7 @@ def q_multimodal_png_real(spark, sf_dir):
         .limit(32)
         .collect()
     )
-    out_dir = os.path.join(
-        "/tmp/spark-graft-media-png",
-        os.path.basename(os.path.normpath(sf_dir)),
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir)
+    out_dir = _work_dir("media-png")
     for r in docs:
         payload = multimodal.make_png_bytes(
             width=16 + r.doc_id % 16,

@@ -83,6 +83,21 @@ def parse_alb_lines(
     """
     if exact_ua is None:
         exact_ua = HAVE_USER_AGENTS
+    elif exact_ua and not HAVE_USER_AGENTS:
+        # Explicitly-requested full uap-core parity needs the
+        # `user_agents` wrapper; without it the pandas-UDF path
+        # evaluates the vendored ~40-family subset (long tail ->
+        # "Other"). Make that downgrade visible instead of silent.
+        import warnings
+
+        warnings.warn(
+            "exact_ua=True but the `user_agents` package is not "
+            "installed: UA families come from the vendored uap-core "
+            "subset (rare agents collapse to 'Other'), not the full "
+            "database. Install `user_agents` for full parity.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     src = source_file if source_file is not None else F.input_file_name()
 
     t = lines.select(

@@ -75,6 +75,42 @@ def test_prefix_filtered_jaccard_equals_inverted_index(spark, sf_dir):
         assert pref == base, f"threshold {t}"
 
 
+def test_substring_dup_spans_islands_gaps_and_df_cap(spark):
+    """Handcrafted corpus pinning substring_dup_spans' three tricky
+    behaviors (k=3, min_len=5, max_df=3):
+
+    - maximal-span arithmetic: a 6-token shared run = 4 overlapping
+      3-windows -> span_tokens 4 + (3-1) = 6, with the right starts;
+    - islands-and-gaps merge: two shared runs on the SAME diagonal
+      separated by one differing token must stay TWO spans (6 and 5),
+      never bridge into one of 12;
+    - the df cap: a 6-token boilerplate block shared by 5 docs has
+      every gram at df=5 > max_df=3, so those docs report NO span
+      even though they share >= min_len tokens;
+    - min_len: a 4-token shared run (span 4 < 5) is excluded."""
+    run = "s1 s2 s3 s4 s5 s6"
+    rows = [
+        (0, f"x1 x2 {run} x3"),           # run at positions 2..7
+        (1, f"{run} y1 y2"),              # run at positions 0..5
+        (2, "p1 p2 p3 p4 p5 q g1 r1 r2 r3 r4 r5"),
+        (3, "p1 p2 p3 p4 p5 q g2 r1 r2 r3 r4 r5"),
+        (4, "t1 t2 t3 t4 u1"),            # 4-token run: below min_len
+        (5, "t1 t2 t3 t4 u2"),
+    ] + [(6 + i, f"b1 b2 b3 b4 b5 b6 f{i}") for i in range(5)]  # df=5 grams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id_a, r.doc_id_b, r.start_a, r.start_b): r.span_tokens
+        for r in dedup.substring_dup_spans(
+            docs, k=3, min_len=5, max_df=3
+        ).collect()
+    }
+    assert out == {
+        (0, 1, 2, 0): 6,
+        (2, 3, 0, 0): 6,
+        (2, 3, 7, 7): 5,
+    }
+
+
 def test_simhash_blocking_complete_beyond_hamming_3(spark, sf_dir):
     """Candidate blocking must be COMPLETE for the requested hamming
     radius: with the fixed 4-way (16-bit) split, a pair at distance

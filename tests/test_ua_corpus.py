@@ -224,3 +224,20 @@ def test_evaluator_dollar_group_semantics():
         uap.compile_when_ladder("ua", parsers)
     with _pytest.raises(ValueError):
         uap.duckdb_case_sql("ua", parsers)
+
+
+def test_hand_rolled_db_parser_matches_pyyaml():
+    """The dependency-free parser must read the vendored database
+    byte-identically to PyYAML (which parses the same restricted
+    subset); skipped only where PyYAML itself is absent."""
+    import pytest as _pytest
+
+    yaml = _pytest.importorskip("yaml")
+    with open(uap.DB_PATH) as f:
+        text = f.read()
+    assert uap._parse_uap_yaml(text) == yaml.safe_load(text)
+    # and the restricted-subset guards actually fire
+    with _pytest.raises(ValueError):
+        uap._parse_uap_yaml("user_agent_parsers:\n  - regex: unquoted\n")
+    with _pytest.raises(ValueError):
+        uap._parse_uap_yaml("  - regex: 'a'\n")  # item before any section
