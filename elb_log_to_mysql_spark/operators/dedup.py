@@ -540,7 +540,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    max_bucket: int = 300,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance <= max_hamming.
 
@@ -575,6 +575,15 @@ def simhash_near_pairs(
       AFTER per-row verification, a pair survives as long as ANY of
       its equal keys lives in a kept bucket — capping cannot strand
       a pair the way pre-join candidate dedup could.
+    - `max_bucket=None` (the default) DERIVES the cap from measured
+      clone density: the round-6 sweep adjudicated recall loss on
+      clone-dense corpora as cap STARVATION (a clone cluster of
+      multiplicity m fills every bucket it touches with ~m rows, so a
+      constant cap evicts the very buckets that carry true pairs) and
+      shipped the policy `max_bucket = max(300, 50 x replication
+      factor)` (SCALE.md). The factor — the max multiplicity of an
+      exact fingerprint — costs one scalar agg over the already-
+      persisted fingerprint frame. Pass an int to override.
     """
     cand, fp = simhash_candidates(
         documents, id_col, text_col, max_hamming, max_bucket
@@ -595,13 +604,16 @@ def simhash_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    max_bucket: int = 300,
+    max_bucket: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Blocked candidate rows (doc_id_a, doc_id_b, fp_a, fp_b) — one
     row per colliding key, NOT deduplicated — plus the persisted
     fingerprint frame (callers pass it to unpersist_on_gc / count it
     for stats). Exposed separately so the scale sweep can measure raw
-    join volume, the quantity the key-widening and bucket cap bound."""
+    join volume, the quantity the key-widening and bucket cap bound.
+
+    `max_bucket=None` derives the cap from the exact-fingerprint
+    duplication histogram (see simhash_near_pairs)."""
     n_blocks = 4
     while n_blocks <= max_hamming:
         n_blocks *= 2
@@ -616,6 +628,20 @@ def simhash_candidates(
         )
 
     fp = simhash_fingerprints(documents, id_col, text_col).persist()
+
+    if max_bucket is None:
+        # Density-derived cap (policy: max(300, 50 x replication
+        # factor), SCALE.md). One scalar agg over the persisted
+        # fingerprint frame — the AQE-statistics pattern, not a
+        # driver-side data loop; deterministic (exact max).
+        factor = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .agg(F.max("m"))
+            .first()[0]
+            or 1
+        )
+        max_bucket = max(300, 50 * int(factor))
 
     fpc = F.col("fp")
     if n_blocks - max_hamming >= 2:

@@ -111,6 +111,31 @@ def test_substring_dup_spans_islands_gaps_and_df_cap(spark):
     }
 
 
+def test_simhash_derived_cap_survives_clone_density(spark):
+    """The density-derived bucket cap (max(300, 50 x max fingerprint
+    multiplicity)) must recover the pairs a constant cap starves: a
+    clone cluster of 320 identical docs fills every bucket it touches
+    with >300 rows, so max_bucket=300 evicts ALL of them (recall 0 on
+    the cluster), while the derived default keeps the full C(320,2)
+    pair set."""
+    n = 320
+    rows = [(i, "the same cloned document body repeated verbatim") for i in range(n)]
+    rows += [(n + i, f"unique filler document number {i} talks about topic {i}") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    starved = dedup.simhash_near_pairs(docs, max_hamming=3, max_bucket=300)
+    clone_pairs_starved = starved.filter(
+        (F.col("doc_id_a") < n) & (F.col("doc_id_b") < n)
+    ).count()
+    assert clone_pairs_starved == 0  # the round-6 starvation mode
+
+    derived = dedup.simhash_near_pairs(docs, max_hamming=3)  # cap derived
+    clone_pairs = derived.filter(
+        (F.col("doc_id_a") < n) & (F.col("doc_id_b") < n)
+    ).count()
+    assert clone_pairs == n * (n - 1) // 2
+
+
 def test_simhash_blocking_complete_beyond_hamming_3(spark, sf_dir):
     """Candidate blocking must be COMPLETE for the requested hamming
     radius: with the fixed 4-way (16-bit) split, a pair at distance

@@ -198,22 +198,23 @@ def main() -> None:
     }
     sim.unpersist()
 
-    # Density-scaled-cap row (round-6 policy, SCALE.md): recall loss
-    # under clone densification is bucket-cap starvation, so the cap
-    # must scale with clone multiplicity — max_bucket ≈ 50×factor.
-    # Recording both rows separates cap starvation (recoverable)
-    # from the radius-bound recall plateau (density-invariant).
-    scaled_cap = max(300, 50 * factor)
+    # The round-6 `simhash_scaled_cap` row is retired: the operator
+    # now derives the cap from the exact-fingerprint duplication
+    # histogram by default (max(300, 50 x max multiplicity),
+    # dedup.py:simhash_candidates), so the default-config row above
+    # IS the density-scaled measurement. A constant-cap row remains
+    # useful only as the starvation counterexample:
     sim2 = dedup.simhash_near_pairs(
-        docs, max_hamming=6, max_bucket=scaled_cap
+        docs, max_hamming=6, max_bucket=300
     ).persist()
     n_sim2, t_sim2 = timed(sim2.count)
     sim2_hit = ex09.join(sim2, ["doc_id_a", "doc_id_b"], "left_semi").count()
-    report["simhash_scaled_cap"] = {
-        "max_bucket": scaled_cap,
+    report["simhash_constant_cap_300"] = {
+        "max_bucket": 300,
         "found": n_sim2,
         "sec": t_sim2,
         "recall": round(sim2_hit / n_ex09, 4) if n_ex09 else 1.0,
+        "note": "starvation control; default derives the cap in-plan",
     }
     sim2.unpersist()
     ex06.unpersist()
