@@ -73,10 +73,17 @@ def decontaminate(
     bench_mod: int = 97,
     ngram: int = 5,
     strategy: str = "overlap",
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Drop training docs sharing any word n-gram with the benchmark
-    set (here: every doc whose id ≡ 0 mod `bench_mod`, standing in for
-    an eval suite). Returns the clean training docs.
+    set. Returns the clean training docs.
+
+    The benchmark set is either an explicit `benchmark` frame (the
+    production shape: the eval suite is its own fixed corpus, and
+    `documents` is pure training data — every row of it is screened)
+    or, when `benchmark` is None, the in-corpus stand-in: every doc
+    whose id ≡ 0 mod `bench_mod` is treated as benchmark and excluded
+    from the returned training set.
 
     Two physical strategies, same semantics:
 
@@ -95,10 +102,14 @@ def decontaminate(
     # not pin it to one task (session.ensure_min_partitions is a no-op
     # on already-wide inputs)
     documents = ensure_min_partitions(documents)
-    is_bench = (F.col(id_col) % bench_mod) == 0
     gram_col = F.explode(word_shingles(text_col, ngram)).alias("gram")
-    bench_grams = documents.filter(is_bench).select(gram_col).distinct()
-    train = documents.filter(~is_bench)
+    if benchmark is not None:
+        bench_grams = benchmark.select(gram_col).distinct()
+        train = documents
+    else:
+        is_bench = (F.col(id_col) % bench_mod) == 0
+        bench_grams = documents.filter(is_bench).select(gram_col).distinct()
+        train = documents.filter(~is_bench)
     if strategy == "overlap":
         bench_arr = bench_grams.agg(F.collect_set("gram").alias("_bench_grams"))
         return (
@@ -564,6 +575,133 @@ def corpus_pipeline(
     mixed = mixture_sample(
         clean.select("doc_id", "source"), "source", "doc_id", quotas, salt
     )
+    return shuffle_index(mixed, "doc_id", salt).select(
+        "doc_id", "source", "mix_rank", "pos"
+    )
+
+
+def incremental_accept(
+    new_docs: DataFrame,
+    existing_corpus: DataFrame | None,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    near_threshold: float | None = None,
+) -> DataFrame:
+    """Curate ONE new ingest batch against an already-curated corpus:
+    quality gate -> within-batch exact dedup -> exact dedup vs the
+    existing corpus -> benchmark decontamination (-> optional near-dup
+    screen vs the corpus). Returns the accepted batch rows (original
+    columns) — the docs that may join the corpus.
+
+    Cost shape: every text-heavy stage (quality stats, shingling,
+    fingerprinting the batch) touches only the BATCH; the existing
+    corpus contributes a 16-byte fingerprint per doc to one
+    batch-driven anti-join (in production that fingerprint is a stored
+    column of the curated corpus — passing a frame that already has
+    `_fp` skips recomputing it), and the benchmark gram set is a
+    broadcast. Nothing joins corpus x corpus.
+
+    EQUIVALENCE CONTRACT (pinned by tests/test_pipeline.py and the
+    `incremental_corpus_pipeline` oracle): when batches arrive in
+    nondecreasing `doc_id` order — the ingest-time invariant —
+    folding batches through this operator accepts EXACTLY the set the
+    one-shot `corpus_pipeline` chain accepts over the union. The two
+    load-bearing facts: the min-id exact-dedup survivor of the union
+    is always in the earliest batch containing that fingerprint, and
+    clones are byte-identical up to case/whitespace, so quality and
+    contamination verdicts agree across batches.
+
+    `near_threshold`, when set, additionally drops batch docs whose
+    n-gram Jaccard vs ANY existing-corpus doc reaches the threshold
+    (`dedup.incremental_dedup`'s near path). Near-dup acceptance is
+    order-DEPENDENT (A absorbs B ≠ B absorbs A), so no one-shot
+    equivalence is claimed for that screen.
+    """
+    from elb_log_to_mysql_spark.operators.dedup import (
+        content_fingerprint,
+        exact_dedup,
+        incremental_dedup,
+    )
+    from elb_log_to_mysql_spark.operators.textops import quality_filter
+
+    batch = new_docs.join(
+        benchmark.select(id_col), id_col, "left_anti"
+    )
+    kept = batch.join(
+        quality_filter(batch).filter("keep").select(id_col),
+        id_col,
+        "left_semi",
+    )
+    surv = exact_dedup(
+        kept.withColumn("_fp", content_fingerprint(text_col)),
+        ["_fp"],
+        [id_col],
+    )
+    if existing_corpus is not None:
+        ex_fp = (
+            existing_corpus.select("_fp")
+            if "_fp" in existing_corpus.columns
+            else existing_corpus.select(
+                content_fingerprint(text_col).alias("_fp")
+            )
+        )
+        surv = surv.join(ex_fp, "_fp", "left_anti")
+    clean = decontaminate(
+        surv.drop("_fp"), id_col, text_col, ngram=ngram, benchmark=benchmark
+    )
+    if near_threshold is not None and existing_corpus is not None:
+        verdicts = incremental_dedup(
+            clean,
+            existing_corpus,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=near_threshold,
+        )
+        clean = clean.join(
+            verdicts.filter("keep").select(F.col("doc_id").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+    return clean
+
+
+def incremental_corpus_pipeline(
+    new_docs: DataFrame,
+    existing_corpus: DataFrame | None,
+    benchmark: DataFrame,
+    quotas: dict[str, int],
+    salt: str = "seed42",
+    ngram: int = 5,
+    near_threshold: float | None = None,
+) -> DataFrame:
+    """The daily-cadence corpus build: accept the new batch
+    (`incremental_accept`), append it to the curated pool, and
+    re-derive the training mixture and global order over the updated
+    pool. Returns (doc_id, source, mix_rank, pos) — the same contract
+    as `corpus_pipeline`, and (under the id-ordered-batches
+    precondition) the same VALUES: the `incremental_corpus_pipeline`
+    oracle replays the ONE-SHOT chain over the union, so its hash
+    match is the incremental ≡ one-shot proof.
+
+    The mixture/order stages are corpus-wide but touch only
+    (doc_id, source) and 16-byte hashes — the text-heavy work stays
+    batch-scaled. `existing_corpus` is the accepted POOL (pre-quota):
+    quota selection is re-derived each run, so a doc cut by quota
+    yesterday can enter today's mix when its stratum's quota allows.
+    """
+    accepted = incremental_accept(
+        new_docs,
+        existing_corpus,
+        benchmark,
+        ngram=ngram,
+        near_threshold=near_threshold,
+    )
+    pool = accepted.select("doc_id", "source")
+    if existing_corpus is not None:
+        pool = existing_corpus.select("doc_id", "source").unionByName(pool)
+    mixed = mixture_sample(pool, "source", "doc_id", quotas, salt)
     return shuffle_index(mixed, "doc_id", salt).select(
         "doc_id", "source", "mix_rank", "pos"
     )

@@ -4977,9 +4977,7 @@ def q_bpe_encode(spark, sf_dir):
     return textops.bpe_encode(_t(spark, sf_dir, "documents"), n_merges=3, k=40)
 
 
-@_q(
-    "corpus_pipeline",
-    r"""
+_ONE_SHOT_CORPUS_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'),
@@ -5064,7 +5062,12 @@ def q_bpe_encode(spark, sf_dir):
              ORDER BY md5(CAST(doc_id AS VARCHAR) || '|seed42'), doc_id
            ) - 1 AS BIGINT) AS pos
     FROM mixed
-    """,
+    """
+
+
+@_q(
+    "corpus_pipeline",
+    _ONE_SHOT_CORPUS_ORACLE,
 )
 def q_corpus_pipeline(spark, sf_dir):
     """The END-TO-END curation build as one job: Gopher quality gate
@@ -5078,6 +5081,41 @@ def q_corpus_pipeline(spark, sf_dir):
 
     return corpus_pipeline(
         _t(spark, sf_dir, "documents"),
+        quotas={"src0": 12, "src1": 8, "src2": 6, "src3": 100},
+    )
+
+
+@_q("incremental_corpus_pipeline", _ONE_SHOT_CORPUS_ORACLE)
+def q_incremental_corpus_pipeline(spark, sf_dir):
+    """The daily-cadence corpus build (operators/pipeline.py:
+    incremental_corpus_pipeline): the corpus is split into two
+    id-ordered ingest batches, batch 1 is curated against an empty
+    pool, batch 2 against batch 1's accepted pool, and the mixture +
+    training order are re-derived over the updated pool. The oracle
+    is the ONE-SHOT chain over the union (same SQL as
+    corpus_pipeline), so the driver's hash match IS the proof of the
+    equivalence contract: incremental over id-ordered batches accepts
+    exactly the one-shot set and emits the identical training order.
+    The benchmark set (docs with id % 97 == 0) is passed as the fixed
+    external eval-suite frame both batches screen against."""
+    from elb_log_to_mysql_spark.operators.pipeline import (
+        incremental_accept,
+        incremental_corpus_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    thr = docs.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / 2).cast("long").alias("thr")
+    )
+    with_thr = docs.crossJoin(F.broadcast(thr))
+    batch1 = with_thr.filter(F.col("doc_id") <= F.col("thr")).drop("thr")
+    batch2 = with_thr.filter(F.col("doc_id") > F.col("thr")).drop("thr")
+    pool1 = incremental_accept(batch1, None, bench)
+    return incremental_corpus_pipeline(
+        batch2,
+        pool1,
+        bench,
         quotas={"src0": 12, "src1": 8, "src2": 6, "src3": 100},
     )
 

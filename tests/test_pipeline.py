@@ -365,6 +365,64 @@ def test_corpus_pipeline_composes_stage_semantics(spark, sf_dir):
     assert positions == list(range(len(out)))
 
 
+def test_incremental_pipeline_equals_one_shot_over_union(spark):
+    """The equivalence contract (pipeline.py:incremental_accept):
+    folding id-ordered batches through the incremental build produces
+    EXACTLY the one-shot corpus_pipeline result over the union. The
+    handcrafted corpus exercises every seam: a cross-batch exact
+    clone (batch 2's copy must lose to batch 1's min-id survivor), a
+    batch-2 clone of a batch-1 CONTAMINATED doc (absent from the pool,
+    so dedup passes it — contamination must still drop it), a
+    benchmark doc in each batch, a quality failure, and a stratum
+    whose quota forces re-derived selection over the merged pool."""
+
+    def prose(a, b, c, d):
+        return f"the {a} {b} study and review of {c} {d} findings is ready for print"
+
+    bench1 = "the quick brown fox jumps over a lazy dog in winter"
+    contaminated = (
+        "this essay notes the quick brown fox jumps over every fence and gate"
+    )
+    clone_src = prose("alpha", "beta", "gamma", "delta")
+    rows = [
+        (0, "web", bench1),                          # bench (0 % 97 == 0)
+        (1, "web", prose("amber", "birch", "cedar", "dune")),
+        (2, "web", contaminated),                    # shares a 5-gram with bench
+        (3, "wiki", clone_src),                      # survivor of the clone pair
+        (4, "web", prose("ember", "frost", "grove", "heath")),
+        (101, "wiki", "  " + clone_src.upper() + "  "),  # cross-batch clone: drop
+        (102, "wiki", prose("iris", "jade", "kelp", "lark")),
+        (103, "web", contaminated),                  # clone of a REJECTED doc
+        (104, "web", "too short"),                   # quality failure
+        (105, "web", prose("moss", "nook", "opal", "pine")),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).select(  # lang/n_chars: schema passthroughs quality_filter expects
+        "*", F.lit("en").alias("lang"), F.length("text").alias("n_chars")
+    )
+    quotas = {"web": 2, "wiki": 2}
+
+    one_shot = pipeline.corpus_pipeline(docs, quotas, bench_mod=97)
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    batch1 = docs.filter(F.col("doc_id") < 100)
+    batch2 = docs.filter(F.col("doc_id") >= 100)
+    pool1 = pipeline.incremental_accept(batch1, None, bench)
+    incr = pipeline.incremental_corpus_pipeline(batch2, pool1, bench, quotas)
+
+    a = sorted(tuple(r) for r in one_shot.collect())
+    b = sorted(tuple(r) for r in incr.collect())
+    assert a == b and len(a) == 4  # 2 per stratum survived the quotas
+
+    # and the accepted pool itself is what the chain implies
+    accepted2 = pipeline.incremental_accept(batch2, pool1, bench)
+    pool_ids = {r.doc_id for r in pool1.collect()} | {
+        r.doc_id for r in accepted2.collect()
+    }
+    assert pool_ids == {1, 3, 4, 102, 105}
+
+
 def test_bpe_pair_counts_bruteforce(spark, sf_dir):
     from elb_log_to_mysql_spark.operators.textops import bpe_pair_counts
 
