@@ -301,6 +301,66 @@ def main() -> None:
         "kmeans_nonempty_clusters": len(km_sizes),
     }
 
+    # --- flagship end-to-end corpus build at the replica ---
+    # The heaviest plan in the registry (quality gate -> exact dedup
+    # -> decontamination -> exact-quota mixture -> global order) plus
+    # its lineage twin, exercised at replica volume with invariant
+    # checks that don't depend on DuckDB: the training order must be
+    # a total permutation, the audit's `selected` set must equal the
+    # pipeline's output set, and per-stratum selection must be
+    # exactly min(quota, eligible pool). Quotas span both regimes at
+    # any factor: src0 is quota-CUT (the replica is duplicate-dense,
+    # so exact dedup collapses each source's pool back to ~250 — a
+    # fixed quota of 50 stays below it), src1 whole-stratum via a
+    # factor-scaled quota, src2 whole-stratum via an unbounded one.
+    cp_quotas = {"src0": 50, "src1": 220 * factor, "src2": 10**9}
+    cp = pipeline.corpus_pipeline(docs, cp_quotas).persist()
+    n_cp, t_cp = timed(cp.count)
+    pos_stats = cp.agg(
+        F.min("pos"), F.max("pos"), F.count_distinct("pos")
+    ).first()
+    perm_ok = (
+        pos_stats[0] == 0
+        and pos_stats[1] == n_cp - 1
+        and pos_stats[2] == n_cp
+    )
+    aud = pipeline.curation_audit(docs, cp_quotas).persist()
+    n_aud, t_aud = timed(aud.count)
+    sel = aud.filter("selected").select("doc_id")
+    sel_vs_cp_mismatch = (
+        sel.join(cp.select("doc_id"), "doc_id", "left_anti").count()
+        + cp.select("doc_id").join(sel, "doc_id", "left_anti").count()
+    )
+    pool_counts = {
+        r.source: r.pool
+        for r in aud.filter("dedup_survivor AND decontaminated")
+        .groupBy("source")
+        .agg(F.count("*").alias("pool"))
+        .collect()
+    }
+    sel_counts = {
+        r.source: r.n
+        for r in cp.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    quota_ok = all(
+        sel_counts.get(src, 0) == min(cp_quotas.get(src, 0), pool)
+        for src, pool in pool_counts.items()
+    )
+    cp.unpersist()
+    aud.unpersist()
+    report["corpus_build"] = {
+        "quotas": cp_quotas,
+        "input_docs": report["rows"]["documents"],
+        "selected": n_cp,
+        "corpus_pipeline_sec": t_cp,
+        "curation_audit_sec": t_aud,
+        "audit_rows": n_aud,
+        "audit_covers_all_inputs": n_aud == report["rows"]["documents"],
+        "training_order_is_permutation": bool(perm_ok),
+        "audit_selected_equals_pipeline": sel_vs_cp_mismatch == 0,
+        "per_stratum_selected_is_min_quota_pool": bool(quota_ok),
+    }
+
     # --- event-time: sessionize + streaming twin on the replica ---
     sess, t_sess = timed(lambda: sessionize.sessionize(ev).count())
     batch = (
@@ -348,6 +408,17 @@ def main() -> None:
         "mixture_sample", "source_overlap", "unigram_prevalence",
         "kmeans_embeddings",
     ]
+    if factor <= 10:
+        # Full-chain SQL replays of the flagship build (and its
+        # incremental twin, whose Spark side runs the two-batch
+        # composition): the DuckDB side recomputes the five-stage
+        # chain over the whole replica — affordable at 10x; at 40x
+        # the invariant checks in report["corpus_build"] carry the
+        # evidence instead.
+        parity_queries += [
+            "corpus_pipeline", "curation_audit",
+            "incremental_corpus_pipeline",
+        ]
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         parity_path = tf.name
     try:
