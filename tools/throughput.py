@@ -82,9 +82,48 @@ def _jvm_cpu_seconds(spark) -> float | None:
         return None
 
 
+def profile_serial_sections(spark, sf_dir) -> dict:
+    """Per-query decomposition of the sequential wall into the two
+    driver-serial components the concurrent pass cannot parallelize:
+
+    - plan_sec: building the DataFrame + forcing analysis/
+      optimization/physical planning (queryExecution.executedPlan) —
+      pure driver work, serialized per SparkSession core loop;
+    - exec_sec: running the planned job to completion (materialize).
+
+    The Amdahl read: with serial fraction s = plan_total /
+    (plan_total + exec_total), N concurrent streams on one driver are
+    bounded by N / (1 + (N-1)·s) even with perfect executor-side
+    scaling. Run WARM (callers warm the set first) so plan_sec is
+    steady-state analysis cost, not one-time codegen/JIT."""
+    rows = {}
+    for name in HEADLINE:
+        fn = OVERRIDES.get(name, QUERIES[name])
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df._jdf.queryExecution().executedPlan()
+        t_plan = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        materialize(df)
+        t_exec = time.perf_counter() - t0
+        rows[name] = {"plan_sec": round(t_plan, 3), "exec_sec": round(t_exec, 3)}
+    plan_total = sum(r["plan_sec"] for r in rows.values())
+    exec_total = sum(r["exec_sec"] for r in rows.values())
+    s = plan_total / (plan_total + exec_total)
+    return {
+        "plan_total_sec": round(plan_total, 2),
+        "exec_total_sec": round(exec_total, 2),
+        "serial_fraction_planning": round(s, 3),
+        "amdahl_bound_4_streams": round(4 / (1 + 3 * s), 2),
+        "amdahl_bound_8_streams": round(8 / (1 + 7 * s), 2),
+        "per_query": rows,
+    }
+
+
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--fair"]
+    argv = [a for a in sys.argv[1:] if a not in ("--fair", "--profile")]
     fair = "--fair" in sys.argv[1:]
+    profile = "--profile" in sys.argv[1:]
     n_streams = int(argv[0]) if argv else 4
     out_json = argv[1] if len(argv) > 1 else "THROUGHPUT.json"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -105,6 +144,10 @@ def main() -> None:
     seq_errors: dict[int, str] = {}
     run_stream(spark, sf_dir, HEADLINE, seq_errors, 0)
     sequential = time.perf_counter() - t0
+
+    profile_report = (
+        profile_serial_sections(spark, sf_dir) if profile else None
+    )
 
     # concurrent: N streams, rotated orders, shared session
     errors: dict[int, str] = {}
@@ -153,6 +196,8 @@ def main() -> None:
                    **{f"seq{k}": v for k, v in seq_errors.items()},
                    **{f"s{k}": v for k, v in errors.items()}},
     }
+    if profile_report is not None:
+        report["serial_sections"] = profile_report
     with open(out_json, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
