@@ -795,3 +795,82 @@ def substring_dup_spans(
         )
         .orderBy("doc_id_a", "doc_id_b", "start_a", "start_b")
     )
+
+
+def substring_dedup_apply(
+    documents: DataFrame,
+    spans: DataFrame | None = None,
+    k: int = 8,
+    min_len: int = 20,
+    max_df: int | None = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """APPLY substring dedup: cut each duplicated span from the
+    LATER document (higher doc_id) and rebuild its text — the second
+    half of Lee et al. 2022's suffix-array dedup, which removes one
+    occurrence of every duplicated sequence rather than dropping
+    whole documents.
+
+    `spans` defaults to `substring_dup_spans(documents, ...)` with the
+    same parameters. Removal semantics: for every span row, the
+    doc_id_b side loses tokens [start_b, start_b + span_tokens);
+    doc_id_a keeps its occurrence (ties broke a < b upstream, so the
+    EARLIEST document always retains the text). Overlapping spans on
+    one doc union naturally — a token is dropped if ANY span covers
+    it.
+
+    Scale shape: spans aggregate per victim doc into one array
+    (grouped shuffle keyed by doc_id, bounded by spans-per-doc, never
+    corpus size), join back to the corpus on doc_id, and the cut is
+    one in-row higher-order expression — token i survives when no
+    span covers it — so the corpus-side cost is a single join plus
+    per-row compute linear in tokens x spans-per-doc. Docs with no
+    spans pass through untouched (left join, empty-array default).
+
+    Returns (doc_id, n_tokens_before, n_tokens_after, clean_text):
+    whitespace-normalized (the tokenizer is `ws_tokens`, so the
+    rebuilt text is the space-join of surviving tokens — byte layout
+    inside removed whitespace runs is not preserved, content is).
+    """
+    if spans is None:
+        spans = substring_dup_spans(
+            documents, k=k, min_len=min_len, max_df=max_df, text_col=text_col
+        )
+    cuts = (
+        spans.select(
+            F.col("doc_id_b").alias("doc_id"),
+            F.struct(
+                F.col("start_b").alias("start"),
+                F.col("span_tokens").alias("len"),
+            ).alias("cut"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("cut").alias("cuts"))
+    )
+    t = ws_tokens(F.col(text_col))
+    toks = documents.select("doc_id", t.alias("t")).join(
+        cuts, "doc_id", "left"
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — tiny plan-side helper
+        F.coalesce(
+            F.col("cuts"),
+            F.array().cast("array<struct<start:long,len:long>>"),
+        ),
+        lambda c: (i >= c.getField("start"))
+        & (i < c.getField("start") + c.getField("len")),
+    )
+    # guard: sequence(0, -1) on an empty token array steps DOWNWARD
+    # (the word_shingles short-doc hazard) — empty docs pass through
+    kept = F.when(F.size("t") > 0, F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - 1),
+            lambda i: F.when(~covered(i), F.element_at("t", i + 1)),
+        ),
+        lambda x: x.isNotNull(),
+    )).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

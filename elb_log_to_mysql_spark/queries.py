@@ -1460,9 +1460,10 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
     return dedup.ngram_jaccard_pairs_prefix(_t(spark, sf_dir, "documents"))
 
 
-@_q(
-    "substring_dup_spans",
-    r"""
+# Shared CTE chain: positional 8-gram structs -> df cap -> shared-gram
+# self-join -> diagonal islands-and-gaps run merge (the
+# substring_dup_spans oracle, reused by the apply twin).
+_SUBSTRING_SPANS_CTES = r"""
     WITH toks AS (
       SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
                                  x -> x <> '') AS t FROM documents
@@ -1487,12 +1488,22 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
       SELECT da, db, diag, pa, pb,
              pa - ROW_NUMBER() OVER (PARTITION BY da, db, diag ORDER BY pa) AS rid
       FROM m
+    ), span_rows AS (
+      SELECT da AS doc_id_a, db AS doc_id_b,
+             MIN(pa) AS start_a, MIN(pb) AS start_b,
+             CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+      FROM runs GROUP BY da, db, diag, rid
+      HAVING COUNT(*) + 7 >= 20
     )
-    SELECT da AS doc_id_a, db AS doc_id_b,
-           MIN(pa) AS start_a, MIN(pb) AS start_b,
-           CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
-    FROM runs GROUP BY da, db, diag, rid
-    HAVING COUNT(*) + 7 >= 20
+"""
+
+
+@_q(
+    "substring_dup_spans",
+    _SUBSTRING_SPANS_CTES
+    + """
+    SELECT doc_id_a, doc_id_b, start_a, start_b, span_tokens
+    FROM span_rows
     """,
 )
 def q_substring_dup_spans(spark, sf_dir):
@@ -1506,6 +1517,43 @@ def q_substring_dup_spans(spark, sf_dir):
     (pair, diagonal)) — so a wrong cap, a wrong diagonal, or an
     off-by-one in the m + k - 1 span arithmetic all hash-mismatch."""
     return dedup.substring_dup_spans(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "substring_dedup_apply",
+    _SUBSTRING_SPANS_CTES
+    + """
+    , cuts AS (
+      SELECT doc_id_b AS doc_id,
+             list(struct_pack(st := start_b, ln := span_tokens)) AS cuts
+      FROM span_rows GROUP BY doc_id_b
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens_before,
+           CAST(len(kept) AS BIGINT) AS n_tokens_after,
+           COALESCE(array_to_string(kept, ' '), '') AS clean_text
+    FROM (
+      SELECT toks.doc_id, t,
+             list_filter(
+               list_transform(range(0, len(t)),
+                 i -> CASE WHEN c.cuts IS NOT NULL AND len(list_filter(
+                             c.cuts, s -> i >= s.st AND i < s.st + s.ln)) > 0
+                      THEN NULL ELSE t[i+1] END),
+               x -> x IS NOT NULL) AS kept
+      FROM toks LEFT JOIN cuts c ON toks.doc_id = c.doc_id
+    )
+    """,
+)
+def q_substring_dedup_apply(spark, sf_dir):
+    """The second half of suffix-array dedup (Lee et al. 2022): CUT
+    every duplicated span from the later (higher-id) document and
+    rebuild its text (operators/dedup.py:substring_dedup_apply). The
+    oracle re-derives the span set through the shared CTE chain and
+    replays the cut itself — per-token coverage against the doc's
+    span list, earliest-document-keeps — so a wrong victim side, an
+    off-by-one span boundary, or a missed overlapping-span union all
+    change clean_text and hash-mismatch."""
+    return dedup.substring_dedup_apply(_t(spark, sf_dir, "documents"))
 
 
 @_q(

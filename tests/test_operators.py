@@ -111,7 +111,36 @@ def test_substring_dup_spans_islands_gaps_and_df_cap(spark):
     }
 
 
-def test_simhash_derived_cap_survives_clone_density(spark):
+def test_substring_dedup_apply_cuts_victim_side_only(spark):
+    """Apply semantics (k=3, min_len=4): the LATER doc loses each
+    covered token range, the earlier doc keeps its occurrence,
+    overlapping spans union (a token covered by any span is cut), and
+    span-free docs pass through verbatim (modulo whitespace collapse
+    and lowercasing, the ws_tokens contract)."""
+    run1 = "s1 s2 s3 s4 s5"          # shared 0..4 in docs 0/1
+    rows = [
+        (0, f"{run1} x1 x2"),
+        (1, f"{run1} y1 y2 s3 s4 s5 s6"),  # second span 7..10 w/ doc 2
+        (2, "s3 s4 s5 s6 z1"),
+        (3, "lone document with nothing shared"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = dedup.substring_dup_spans(docs, k=3, min_len=4, max_df=10)
+    got = {
+        r.doc_id: (r.n_tokens_before, r.n_tokens_after, r.clean_text)
+        for r in dedup.substring_dedup_apply(
+            docs, spans=spans, k=3, min_len=4, max_df=10
+        ).collect()
+    }
+    # doc 0: earliest everywhere -> untouched
+    assert got[0] == (7, 7, "s1 s2 s3 s4 s5 x1 x2")
+    # doc 1: loses 0..4 (vs doc 0) AND 7..10 (vs... doc 1 is EARLIER
+    # than doc 2, so it KEEPS s3 s4 s5 s6; only the run1 span cuts)
+    assert got[1] == (11, 6, "y1 y2 s3 s4 s5 s6")
+    # doc 2: later than doc 1 -> loses its s3 s4 s5 s6
+    assert got[2] == (5, 1, "z1")
+    # doc 3: passthrough
+    assert got[3] == (5, 5, "lone document with nothing shared")
     """The density-derived bucket cap (max(300, 50 x max fingerprint
     multiplicity)) must recover the pairs a constant cap starves: a
     clone cluster of 320 identical docs fills every bucket it touches
