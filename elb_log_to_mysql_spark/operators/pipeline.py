@@ -133,6 +133,83 @@ def decontaminate(
     return train.join(contaminated, id_col, "left_anti")
 
 
+def contamination_score(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = 97,
+    ngram: int = 5,
+    max_frac: float = 0.05,
+    benchmark: DataFrame | None = None,
+) -> DataFrame:
+    """Fraction-based benchmark contamination scoring — the
+    production refinement of `decontaminate`'s binary any-overlap
+    rule: a 10k-gram document sharing ONE boilerplate 5-gram with an
+    eval suite is not leaked eval content, but a short doc sharing
+    half its grams is. Scores every training doc with its distinct
+    n-gram overlap fraction against the benchmark gram set and flags
+    `keep` = (fraction <= max_frac); gram-less docs (shorter than the
+    n-gram width) have nothing to leak and keep.
+
+    Same scale shape as `decontaminate`'s 'overlap' strategy: the
+    deduplicated benchmark gram set collapses to ONE broadcast array
+    row (eval suites are MB-scale at any corpus size) and the score
+    is an in-row `array_intersect` size — zero corpus-side shuffles,
+    one scan. The fraction is a single IEEE double division of two
+    ints, so the oracle replays it bit-exactly.
+
+    Returns (doc_id, n_grams, n_hit, contamination_frac, keep), one
+    row per training doc (benchmark docs excluded, as in
+    `decontaminate`).
+    """
+    documents = ensure_min_partitions(documents)
+    gram_col = F.explode(word_shingles(text_col, ngram)).alias("gram")
+    if benchmark is not None:
+        bench_grams = benchmark.select(gram_col).distinct()
+        train = documents
+    else:
+        is_bench = (F.col(id_col) % bench_mod) == 0
+        bench_grams = documents.filter(is_bench).select(gram_col).distinct()
+        train = documents.filter(~is_bench)
+    bench_arr = bench_grams.agg(F.collect_set("gram").alias("_bench"))
+    grams = word_shingles(text_col, ngram)
+    n_grams = F.size(grams)
+    n_hit = F.size(F.array_intersect(grams, F.col("_bench")))
+    return (
+        train.join(F.broadcast(bench_arr))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            n_grams.cast("long").alias("n_grams"),
+            n_hit.cast("long").alias("n_hit"),
+            F.when(
+                n_grams > 0,
+                n_hit.cast("double") / n_grams.cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("contamination_frac"),
+        )
+        .withColumn("keep", F.col("contamination_frac") <= max_frac)
+    )
+
+
+def decontaminate_fraction(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_mod: int = 97,
+    ngram: int = 5,
+    max_frac: float = 0.05,
+    benchmark: DataFrame | None = None,
+) -> DataFrame:
+    """Drop training docs whose benchmark n-gram overlap FRACTION
+    exceeds `max_frac` (see `contamination_score`). Returns the
+    surviving training docs with their original columns."""
+    keep_ids = contamination_score(
+        documents, id_col, text_col, bench_mod, ngram, max_frac, benchmark
+    ).filter("keep").select(F.col("doc_id").alias(id_col))
+    return documents.join(keep_ids, id_col, "left_semi")
+
+
 def _bloom_words(grams: DataFrame, num_bits: int, num_hashes: int) -> list[int]:
     """Build a Bloom filter's 64-bit words from a gram DataFrame,
     distributively: k bit positions per gram (seeded xxhash64 mod m),

@@ -1520,6 +1520,48 @@ def q_substring_dup_spans(spark, sf_dir):
 
 
 @_q(
+    "contamination_frac",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t)-4, 0)),
+                    i -> array_to_string(t[i+1 : i+5], ' '))) AS grams
+      FROM toks
+    ), bench AS (
+      SELECT list(DISTINCT gram) AS b
+      FROM (SELECT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0)
+    ), scored AS (
+      SELECT doc_id,
+             CAST(len(grams) AS BIGINT) AS n_grams,
+             CAST(COALESCE(len(list_intersect(grams, b)), 0) AS BIGINT) AS n_hit
+      FROM g, bench WHERE doc_id % 97 <> 0
+    )
+    SELECT doc_id, n_grams, n_hit,
+           CASE WHEN n_grams > 0
+                THEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                ELSE 0.0 END AS contamination_frac,
+           (CASE WHEN n_grams > 0
+                 THEN CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                 ELSE 0.0 END) <= 0.05 AS keep
+    FROM scored
+    """,
+)
+def q_contamination_frac(spark, sf_dir):
+    """Fraction-based decontamination scoring (operators/pipeline.py:
+    contamination_score): distinct 5-gram overlap fraction of every
+    training doc against the broadcast benchmark gram set, keep =
+    frac <= 0.05 — the production-grade refinement of the binary
+    any-overlap rule. The fraction is one IEEE double division of two
+    int counts, so the oracle replay is bit-exact."""
+    from elb_log_to_mysql_spark.operators.pipeline import contamination_score
+
+    return contamination_score(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "substring_dedup_apply",
     _SUBSTRING_SPANS_CTES
     + """

@@ -365,6 +365,29 @@ def test_corpus_pipeline_composes_stage_semantics(spark, sf_dir):
     assert positions == list(range(len(out)))
 
 
+def test_decontaminate_fraction_zero_threshold_equals_binary(spark, sf_dir):
+    """At max_frac=0 the fraction rule degenerates to the binary
+    any-overlap rule — keep iff n_hit == 0 — so the two operators
+    must select identical id sets; and at a permissive threshold the
+    fraction rule keeps a superset (monotone in max_frac)."""
+    docs = load_table(spark, sf_dir, "documents")
+    binary = {r.doc_id for r in pipeline.decontaminate(docs).select("doc_id").collect()}
+    frac0 = {
+        r.doc_id
+        for r in pipeline.decontaminate_fraction(docs, max_frac=0.0)
+        .select("doc_id")
+        .collect()
+    }
+    assert frac0 == binary
+    frac5 = {
+        r.doc_id
+        for r in pipeline.decontaminate_fraction(docs, max_frac=0.05)
+        .select("doc_id")
+        .collect()
+    }
+    assert frac0 <= frac5
+
+
 def test_incremental_pipeline_equals_one_shot_over_union(spark):
     """The equivalence contract (pipeline.py:incremental_accept):
     folding id-ordered batches through the incremental build produces
