@@ -20,6 +20,17 @@ Usage:
         --quota  src0=12 --quota src1=8 --quota src3=100
 
 Writes <output>/selection.parquet and <output>/audit.parquet.
+
+Incremental (daily-cadence) mode: pass --existing with the accepted
+pool from a previous run and --benchmark with the fixed eval-suite
+parquet; --input is then the NEW ingest batch only. The batch is
+curated against the pool (quality gate, within-batch + vs-pool exact
+dedup, benchmark decontamination — all text-heavy work batch-scaled)
+and the mixture + training order are re-derived over the updated
+pool. <output>/pool.parquet is the updated accepted pool to feed the
+next run. With id-ordered batches the selection is IDENTICAL to a
+one-shot run over the union (the incremental_corpus_pipeline oracle
+proves this per round).
 """
 
 from __future__ import annotations
@@ -56,7 +67,17 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bench-mod", type=int, default=97)
     ap.add_argument("--ngram", type=int, default=5)
     ap.add_argument("--salt", default="seed42")
+    ap.add_argument(
+        "--existing", default=None,
+        help="accepted-pool parquet from a previous run (incremental mode)",
+    )
+    ap.add_argument(
+        "--benchmark", default=None,
+        help="eval-suite parquet (required with --existing)",
+    )
     args = ap.parse_args(argv)
+    if (args.existing is None) != (args.benchmark is None):
+        ap.error("--existing and --benchmark go together")
     quotas = dict(args.quota)
 
     spark = build_session(app_name="corpus-build")
@@ -69,6 +90,33 @@ def main(argv: list[str] | None = None) -> int:
     except Exception:  # noqa: BLE001
         docs = spark.read.parquet(args.input)
 
+    sel_path = os.path.join(args.output, "selection.parquet")
+    if args.existing is not None:
+        from elb_log_to_mysql_spark.operators.pipeline import (
+            incremental_accept,
+            incremental_corpus_pipeline,
+        )
+
+        pool = spark.read.parquet(args.existing)
+        bench = spark.read.parquet(args.benchmark)
+        accepted = incremental_accept(
+            docs, pool, bench, ngram=args.ngram
+        )
+        selection = incremental_corpus_pipeline(
+            docs, pool, bench, quotas, salt=args.salt, ngram=args.ngram
+        )
+        pool_path = os.path.join(args.output, "pool.parquet")
+        pool.unionByName(accepted).write.mode("overwrite").parquet(pool_path)
+        selection.write.mode("overwrite").parquet(sel_path)
+        n_sel = spark.read.parquet(sel_path).count()
+        n_pool = spark.read.parquet(pool_path).count()
+        print(
+            f"selected {n_sel} docs (pool now {n_pool}) -> {sel_path}; "
+            f"next run: --existing {pool_path}"
+        )
+        spark.stop()
+        return 0
+
     selection = corpus_pipeline(
         docs, quotas, bench_mod=args.bench_mod, ngram=args.ngram,
         salt=args.salt,
@@ -77,7 +125,6 @@ def main(argv: list[str] | None = None) -> int:
         docs, quotas, bench_mod=args.bench_mod, ngram=args.ngram,
         salt=args.salt,
     )
-    sel_path = os.path.join(args.output, "selection.parquet")
     audit_path = os.path.join(args.output, "audit.parquet")
     selection.write.mode("overwrite").parquet(sel_path)
     audit.write.mode("overwrite").parquet(audit_path)

@@ -528,6 +528,44 @@ def test_corpus_build_example_end_to_end(spark, sf_dir, tmp_path):
     assert audit.count() == load_table(spark, sf_dir, "documents").count()
 
 
+def test_corpus_build_example_incremental_mode(spark, sf_dir, tmp_path):
+    """The example's --existing/--benchmark mode curates only the new
+    batch, emits the updated pool, and (id-ordered batches) selects
+    exactly what a one-shot build over the union selects."""
+    import subprocess
+    import sys as _sys
+
+    docs = load_table(spark, sf_dir, "documents")
+    thr = docs.agg(
+        ((F.min("doc_id") + F.max("doc_id")) / 2).cast("long")
+    ).first()[0]
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    batch1 = docs.filter(F.col("doc_id") <= thr)
+    batch2 = docs.filter(F.col("doc_id") > thr)
+    bench.write.parquet(str(tmp_path / "bench.parquet"))
+    batch2.write.parquet(str(tmp_path / "batch2.parquet"))
+    pool1 = pipeline.incremental_accept(batch1, None, bench)
+    pool1.write.parquet(str(tmp_path / "pool1.parquet"))
+
+    out = str(tmp_path / "build")
+    proc = subprocess.run(
+        [_sys.executable, "examples/corpus_build.py",
+         "--input", str(tmp_path / "batch2.parquet"), "--output", out,
+         "--existing", str(tmp_path / "pool1.parquet"),
+         "--benchmark", str(tmp_path / "bench.parquet"),
+         "--quota", "src0=4", "--quota", "src1=3"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    sel = spark.read.parquet(f"{out}/selection.parquet")
+    one_shot = pipeline.corpus_pipeline(docs, {"src0": 4, "src1": 3})
+    assert sorted(tuple(r) for r in sel.collect()) == sorted(
+        tuple(r) for r in one_shot.collect()
+    )
+    pool = spark.read.parquet(f"{out}/pool.parquet")
+    assert pool.count() > pool1.count()  # batch 2 contributed docs
+
+
 def test_dataset_diff_statuses(spark):
     old = spark.createDataFrame(
         [(1, "alpha beta"), (2, "gamma"), (3, "delta")], ["doc_id", "text"]
