@@ -491,6 +491,46 @@ def _stratified_bucketed_rank(
     )
 
 
+def train_eval_split(
+    df: DataFrame,
+    key_col: str,
+    eval_per_4096: int = 41,
+    test_per_4096: int = 41,
+    salt: str = "split1",
+) -> DataFrame:
+    """Deterministic three-way train/eval/test assignment by hash
+    band — the split every training pipeline needs, with the two
+    properties `randomSplit` lacks: the assignment is a pure function
+    of (key, salt) so it is REPRODUCIBLE across runs, cluster
+    layouts, and engine versions, and it is CONSISTENT across tables
+    sharing the key (a doc's embeddings, scores, and text land in the
+    same split without any join).
+
+    The first 3 hex chars of md5(key|salt) define 4096 bands;
+    `eval_per_4096` bands go to eval, the next `test_per_4096` to
+    test, the rest to train (41/4096 ≈ 1%). Integer band arithmetic
+    (not a float comparison) so the SQL replay is exact. Adds a
+    `split` column; pure projection, no shuffle, nothing collected.
+    """
+    if eval_per_4096 + test_per_4096 >= 4096:
+        raise ValueError("eval + test bands must leave room for train")
+    band = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt))),
+            1,
+            3,
+        ),
+        16,
+        10,
+    ).cast("int")
+    return df.withColumn(
+        "split",
+        F.when(band < eval_per_4096, F.lit("eval"))
+        .when(band < eval_per_4096 + test_per_4096, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str,

@@ -145,6 +145,91 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def winnow_fingerprints(
+    documents: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): from each sliding window of `w` consecutive
+    k-gram hashes, select the MINIMUM hash (rightmost occurrence on
+    ties), then deduplicate selections. The scheme's guarantee: any
+    shared token run of length >= w + k - 1 between two documents
+    yields at least one shared (hash) fingerprint — so fingerprint
+    equality is a sub-quadratic candidate generator for substring
+    dedup, with density ~2/(w+1) fingerprints per token instead of
+    the full positional index `substring_dup_spans` builds.
+
+    All in-row: positional k-gram md5 fingerprints (md5, not
+    xxhash64: the DuckDB oracle replays the SELECTION, which depends
+    on hash ORDER, and md5 hex strings order identically in both
+    engines), then per window an argmin fold biased rightmost (<=
+    replaces on ties while scanning left-to-right), then distinct
+    (pos, hash) selections explode. No shuffle until the caller
+    groups or joins the fingerprints. HOF subtrees are let-bound (the
+    word_shingles lesson: outer references re-evaluate per element).
+
+    Returns (doc_id, pos, fp): pos is the 0-based k-gram position of
+    each selected fingerprint (string md5). Docs shorter than
+    w + k - 1 tokens emit nothing (no full window exists).
+    """
+    toks = _ws_tokens(F.col(text_col))
+
+    def _select(h: Column) -> Column:
+        n_win = F.size(h) - (w - 1)
+        # per window start i (1-based): rightmost argmin of h[i..i+w-1]
+        picks = F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.aggregate(
+                F.sequence(F.lit(0), F.lit(w - 1)),
+                F.struct(
+                    F.lit(-1).cast("long").alias("pos"),
+                    F.lit(None).cast("string").alias("fp"),
+                ),
+                lambda best, j: F.when(
+                    best.getField("fp").isNull()
+                    | (F.element_at(h, (i + j).cast("int"))
+                       <= best.getField("fp")),
+                    F.struct(
+                        (i + j - 1).cast("long").alias("pos"),
+                        F.element_at(h, (i + j).cast("int")).alias("fp"),
+                    ),
+                ).otherwise(best),
+            ),
+        )
+        return F.when(n_win > 0, F.array_distinct(picks)).otherwise(
+            F.array().cast("array<struct<pos:long,fp:string>>")
+        )
+
+    def _grams(t: Column) -> Column:
+        n_sh = F.size(t) - (k - 1)
+        return F.when(
+            n_sh > 0,
+            F.transform(
+                F.sequence(F.lit(1), n_sh),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, k))),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # let-bind tokens -> gram hashes -> selections (each evaluated once
+    # per row; see word_shingles for why outer HOF references must not
+    # be re-evaluated per element)
+    hashed = ensure_min_partitions(documents).select(
+        "doc_id",
+        F.element_at(
+            F.transform(
+                F.array(F.element_at(F.transform(F.array(toks), _grams), 1)),
+                _select,
+            ),
+            1,
+        ).alias("picks"),
+    )
+    return hashed.select(
+        "doc_id", F.explode("picks").alias("p")
+    ).select("doc_id", F.col("p.pos").alias("pos"), F.col("p.fp").alias("fp"))
+
+
 def tfidf(
     documents: DataFrame, vocab_size_min_df: int = 2, large_vocab: bool = False
 ) -> DataFrame:

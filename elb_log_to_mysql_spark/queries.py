@@ -1520,6 +1520,75 @@ def q_substring_dup_spans(spark, sf_dir):
 
 
 @_q(
+    "winnow_fingerprints",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(t) - 3, 0) + 1),
+                i -> md5(array_to_string(t[i : i+3], ' '))) AS h
+      FROM toks
+    ), picks AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(h) - 4, 0) + 1),
+               i -> struct_pack(
+                 pos := i + len(h[i : i+4])
+                        - list_position(list_reverse(h[i : i+4]),
+                                        list_min(h[i : i+4])) - 1,
+                 fp := list_min(h[i : i+4]))) AS p
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, CAST(u.pos AS BIGINT) AS pos, u.fp AS fp
+    FROM (SELECT doc_id, unnest(p) AS u FROM picks WHERE len(p) > 0)
+    """,
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003, the MOSS scheme — operators/textops.py:winnow_fingerprints,
+    k=4 w=5): rightmost-minimum md5 per sliding hash window,
+    deduplicated. The oracle replays the SELECTION itself (min +
+    reversed-list position for the rightmost tie), which is why the
+    fingerprints are md5 strings — they order identically in both
+    engines, where xxhash64 would not exist on the oracle side. A
+    wrong window bound, tie rule, or position offset moves a pick and
+    hash-mismatches."""
+    from elb_log_to_mysql_spark.operators.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "train_eval_split",
+    r"""
+    WITH banded AS (
+      SELECT doc_id, source,
+             CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split1'),
+                                      1, 3) AS INTEGER) AS INT) AS band
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN band < 41 THEN 'eval'
+                WHEN band < 82 THEN 'test'
+                ELSE 'train' END AS split
+    FROM banded
+    """,
+)
+def q_train_eval_split(spark, sf_dir):
+    """Deterministic hash-band train/eval/test split (operators/
+    pipeline.py:train_eval_split): the first 3 md5 hex chars define
+    4096 bands, 41 each to eval/test (~1%), rest train. Integer band
+    arithmetic, so the oracle replay is exact; the assignment is a
+    pure function of (doc_id, salt) — reproducible and join-free
+    consistent across tables sharing the key."""
+    from elb_log_to_mysql_spark.operators.pipeline import train_eval_split
+
+    return train_eval_split(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"
+    )
+
+
+@_q(
     "contamination_frac",
     r"""
     WITH toks AS (

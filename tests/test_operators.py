@@ -111,6 +111,45 @@ def test_substring_dup_spans_islands_gaps_and_df_cap(spark):
     }
 
 
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing theorem (Schleimer et al. 2003): two documents
+    sharing a token run of length >= w + k - 1 MUST share at least
+    one fingerprint — checked over many random clone-pair corpora —
+    and each window contributes exactly one pick, so a doc's distinct
+    fingerprints never exceed its window count."""
+    import random
+
+    from elb_log_to_mysql_spark.operators.textops import winnow_fingerprints
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for pair in range(10):
+        shared = " ".join(rng.choice(vocab) for _ in range(8))  # >= w+k-1=8
+        pre = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+        post = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 6)))
+        # join non-empty parts: textops' tokenizer (like its SQL
+        # twins) splits on single spaces and KEEPS empty tokens, so a
+        # double space from an empty pre/post would shift positions
+        rows.append((2 * pair, " ".join(p for p in (pre, shared, post) if p)))
+        rows.append(
+            (2 * pair + 1, " ".join(p for p in (shared, post, "extra") if p))
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(docs, k=4, w=5).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    for pair in range(10):
+        a, b = by_doc.get(2 * pair, set()), by_doc.get(2 * pair + 1, set())
+        assert a & b, f"pair {pair} shares an 8-token run but no fingerprint"
+    # density bound: picks per doc <= windows per doc
+    for doc_id, text in rows:
+        n_tokens = len(text.split())
+        n_windows = max(n_tokens - 3 - 4, 0)  # grams - (w-1)
+        assert len(by_doc.get(doc_id, set())) <= max(n_windows, 0) or n_windows == 0
+
+
 def test_substring_dedup_apply_cuts_victim_side_only(spark):
     """Apply semantics (k=3, min_len=4): the LATER doc loses each
     covered token range, the earlier doc keeps its occurrence,

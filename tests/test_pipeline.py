@@ -365,6 +365,37 @@ def test_corpus_pipeline_composes_stage_semantics(spark, sf_dir):
     assert positions == list(range(len(out)))
 
 
+def test_train_eval_split_deterministic_and_cross_table(spark, sf_dir):
+    """The split must be a pure function of (key, salt): identical
+    under repartitioning, consistent for the same key in a DIFFERENT
+    table (the join-free property), salt-sensitive, and roughly
+    41/4096 per held-out split."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = {r.doc_id: r.split for r in pipeline.train_eval_split(docs, "doc_id").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in pipeline.train_eval_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    # same keys in another frame get the same assignment
+    other = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    c = {r.doc_id: r.split for r in pipeline.train_eval_split(other, "doc_id").collect()}
+    assert all(c[k] == a[k] for k in c if k in a)
+    # salt changes the assignment for at least someone
+    d = {
+        r.doc_id: r.split
+        for r in pipeline.train_eval_split(docs, "doc_id", salt="split2").collect()
+    }
+    assert d != a
+    # all three splits present in expectation at 500 docs is flaky for
+    # 1% bands; just check train dominates and no unknown labels
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert set(counts) <= {"train", "eval", "test"}
+    assert counts["train"] >= 0.9 * len(a)
+
+
 def test_decontaminate_fraction_zero_threshold_equals_binary(spark, sf_dir):
     """At max_frac=0 the fraction rule degenerates to the binary
     any-overlap rule — keep iff n_hit == 0 — so the two operators
