@@ -541,6 +541,8 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    cap_multiplier: int = 50,
+    cap_ceiling: int | None = 100_000,
 ) -> DataFrame:
     """SimHash near-dup pairs by Hamming distance <= max_hamming.
 
@@ -584,9 +586,24 @@ def simhash_near_pairs(
       factor)` (SCALE.md). The factor — the max multiplicity of an
       exact fingerprint — costs one scalar agg over the already-
       persisted fingerprint frame. Pass an int to override.
+
+      NOTE: deriving the cap makes this call EAGER — it runs one
+      Spark job (fingerprint groupBy → max) at call time rather
+      than at first action, unlike the rest of the API. Pass an
+      explicit `max_bucket` int to keep plan construction lazy.
+    - On adversarially clone-dense corpora the derived cap admits
+      O(m²) candidate rows for a clone cluster of multiplicity m;
+      `cap_multiplier` tunes the density factor and `cap_ceiling`
+      (default 100k — set None to disable) hard-bounds the derived
+      cap so a single million-clone cluster cannot drive unbounded
+      join volume. Clusters past the ceiling still dedup through
+      the exact-fingerprint path (clones are byte-identical up to
+      canonicalization); simhash only loses their CROSS-cluster
+      near pairs, the documented recall trade of any cap.
     """
     cand, fp = simhash_candidates(
-        documents, id_col, text_col, max_hamming, max_bucket
+        documents, id_col, text_col, max_hamming, max_bucket,
+        cap_multiplier=cap_multiplier, cap_ceiling=cap_ceiling,
     )
     out = (
         cand.withColumn(
@@ -605,6 +622,8 @@ def simhash_candidates(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    cap_multiplier: int = 50,
+    cap_ceiling: int | None = 100_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Blocked candidate rows (doc_id_a, doc_id_b, fp_a, fp_b) — one
     row per colliding key, NOT deduplicated — plus the persisted
@@ -613,7 +632,10 @@ def simhash_candidates(
     join volume, the quantity the key-widening and bucket cap bound.
 
     `max_bucket=None` derives the cap from the exact-fingerprint
-    duplication histogram (see simhash_near_pairs)."""
+    duplication histogram — an EAGER one-job statistics probe at call
+    time (see simhash_near_pairs for the policy, the `cap_multiplier`
+    knob and the `cap_ceiling` hard bound); pass an int to stay
+    lazy."""
     n_blocks = 4
     while n_blocks <= max_hamming:
         n_blocks *= 2
@@ -630,10 +652,10 @@ def simhash_candidates(
     fp = simhash_fingerprints(documents, id_col, text_col).persist()
 
     if max_bucket is None:
-        # Density-derived cap (policy: max(300, 50 x replication
-        # factor), SCALE.md). One scalar agg over the persisted
-        # fingerprint frame — the AQE-statistics pattern, not a
-        # driver-side data loop; deterministic (exact max).
+        # Density-derived cap (policy: max(300, cap_multiplier x
+        # replication factor), SCALE.md). One scalar agg over the
+        # persisted fingerprint frame — the AQE-statistics pattern,
+        # not a driver-side data loop; deterministic (exact max).
         factor = (
             fp.groupBy("fp")
             .agg(F.count(F.lit(1)).alias("m"))
@@ -641,7 +663,9 @@ def simhash_candidates(
             .first()[0]
             or 1
         )
-        max_bucket = max(300, 50 * int(factor))
+        max_bucket = max(300, cap_multiplier * int(factor))
+        if cap_ceiling is not None:
+            max_bucket = min(max_bucket, cap_ceiling)
 
     fpc = F.col("fp")
     if n_blocks - max_hamming >= 2:

@@ -792,6 +792,7 @@ def incremental_corpus_pipeline(
     salt: str = "seed42",
     ngram: int = 5,
     near_threshold: float | None = None,
+    accepted: DataFrame | None = None,
 ) -> DataFrame:
     """The daily-cadence corpus build: accept the new batch
     (`incremental_accept`), append it to the curated pool, and
@@ -807,14 +808,20 @@ def incremental_corpus_pipeline(
     batch-scaled. `existing_corpus` is the accepted POOL (pre-quota):
     quota selection is re-derived each run, so a doc cut by quota
     yesterday can enter today's mix when its stratum's quota allows.
+
+    A caller that already ran `incremental_accept` this run (e.g. to
+    persist the updated pool) passes the result as `accepted` so the
+    batch-curation stages — quality gate, dedup joins,
+    decontamination — execute once, not once per consumer.
     """
-    accepted = incremental_accept(
-        new_docs,
-        existing_corpus,
-        benchmark,
-        ngram=ngram,
-        near_threshold=near_threshold,
-    )
+    if accepted is None:
+        accepted = incremental_accept(
+            new_docs,
+            existing_corpus,
+            benchmark,
+            ngram=ngram,
+            near_threshold=near_threshold,
+        )
     pool = accepted.select("doc_id", "source")
     if existing_corpus is not None:
         pool = existing_corpus.select("doc_id", "source").unionByName(pool)

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -102,12 +103,25 @@ def main(argv: list[str] | None = None) -> int:
         accepted = incremental_accept(
             docs, pool, bench, ngram=args.ngram
         )
+        # feed the already-built `accepted` plan in so the batch
+        # curation (quality gate, dedup joins, decontamination) is
+        # planned once for both the selection and the pool update
         selection = incremental_corpus_pipeline(
-            docs, pool, bench, quotas, salt=args.salt, ngram=args.ngram
+            docs, pool, bench, quotas, salt=args.salt, ngram=args.ngram,
+            accepted=accepted,
         )
+        # On a daily cadence --existing IS <output>/pool.parquet from
+        # the previous run, and `pool`/`selection` read it lazily —
+        # writing pool.parquet directly would overwrite an input of
+        # its own plan. Materialize the selection first (it reads the
+        # old pool), stage the updated pool beside it, then swap.
         pool_path = os.path.join(args.output, "pool.parquet")
-        pool.unionByName(accepted).write.mode("overwrite").parquet(pool_path)
+        staging = pool_path + ".staging"
         selection.write.mode("overwrite").parquet(sel_path)
+        pool.unionByName(accepted).write.mode("overwrite").parquet(staging)
+        if os.path.exists(pool_path):
+            shutil.rmtree(pool_path)
+        os.replace(staging, pool_path)
         n_sel = spark.read.parquet(sel_path).count()
         n_pool = spark.read.parquet(pool_path).count()
         print(

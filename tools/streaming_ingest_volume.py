@@ -105,8 +105,22 @@ def drain(
     )
     try:
         q.awaitTermination()
-    except Exception:
-        if fail_after_batches is None:
+    except Exception as exc:
+        # Swallow ONLY the injected crash: Spark wraps the sink's
+        # RuntimeError in a StreamingQueryException, so walk the
+        # cause chain / message for the marker. A genuine failure in
+        # the crash-injection run must still fail the tool loudly —
+        # folding it into a smaller rows_at_crash would silently
+        # corrupt the replay evidence.
+        def injected(e: BaseException | None, depth: int = 10) -> bool:
+            while e is not None and depth > 0:
+                if "injected mid-stream failure" in str(e):
+                    return True
+                e = e.__cause__ or e.__context__
+                depth -= 1
+            return False
+
+        if fail_after_batches is None or not injected(exc):
             raise
     return committed["n"]
 
