@@ -18,10 +18,14 @@ and compiled by :mod:`elb_log_to_mysql_spark.functions.uap`):
   exact-parity path executes in every environment, not only where
   the third-party wrapper happens to be installed.
 
-Because every vendored entry uses a literal family replacement, the
-ladder, the evaluator, and the oracle-side DuckDB CASE compilation
-agree by construction; tests/test_ua_corpus.py pins all of them to
-the same ~100-UA uap-core corpus fixture.
+The ladder, the evaluator, and the oracle-side DuckDB CASE
+compilation agree by construction — including the database's generic
+``$n`` capture entries, which compile to ``regexp_extract``
+concatenations on the JVM/DuckDB sides (uap.py) — and
+tests/test_ua_corpus.py pins all of them to the same ~150-UA
+uap-core corpus fixture. For byte-exact parity with an upstream
+uap-core checkout, point ``SPARK_ELB_UA_DB`` at its ``regexes.yaml``
+and every compilation evaluates the full public database.
 
 The ``"-"``/empty sentinel maps to ``Unknown`` in both paths (etl:110).
 """
@@ -47,10 +51,13 @@ def ua_browser_family_expr(ua: Column | str) -> Column:
     Chromiums before Chrome, Chrome before Safari).
 
     Family-name contract: named families use uap-core's spelling (so
-    rows match a reference run for those agents); the long tail of
-    rare agents collapses to "Other" — uap-core's own default family,
-    though uap-core's full database would sometimes name agents this
-    subset does not carry. Pinned in tests/test_ua_corpus.py.
+    rows match a reference run for those agents); rare STRUCTURED
+    agents resolve to their real product token through the database's
+    generic $1 tails (*bot/*spider/*crawler capture, "compatible;
+    Token/1.0" capture, Token/version capture) — uap-core's own
+    long-tail behavior — and only genuinely unstructured strings fall
+    to "Other" (with unmatched Mozilla/... UAs explicitly guarded to
+    "Other", never "Mozilla"). Pinned in tests/test_ua_corpus.py.
     """
     return uap.compile_when_ladder(ua, uap.browser_parsers())
 

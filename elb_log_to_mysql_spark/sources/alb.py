@@ -151,8 +151,10 @@ def parse_alb_lines(
         fam = ua_families_udf()(F.col("user_agent"))
         browser, os_fam = fam.getField("browser"), fam.getField("os")
     else:
-        browser = ua_browser_family_expr(F.col("user_agent"))
-        os_fam = ua_os_family_expr(F.col("user_agent"))
+        # pass the column NAME: the ladder then renders as one SQL
+        # CASE string and crosses py4j once instead of per-arm
+        browser = ua_browser_family_expr("user_agent")
+        os_fam = ua_os_family_expr("user_agent")
 
     out = t.select(
         ts.alias("log_timestamp"),

@@ -106,8 +106,9 @@ def test_shifted_fields_dropped_not_garbled(spark):
 def test_ua_ladder_families(spark):
     """Divergence corpus for the regex ladder: long-tail families use
     uap-core's spelling (ADVICE round 1 — Googlebot, Apache-HttpClient,
-    Yandex/UC collapse was the flagged gap); truly rare agents still
-    collapse to 'Other' by contract."""
+    Yandex/UC collapse was the flagged gap); since r8, structured rare
+    agents resolve to their product token through the generic $1
+    tails, and only unstructured strings collapse to 'Other'."""
     from elb_log_to_mysql_spark.functions.ua import (
         ua_browser_family_expr,
         ua_os_family_expr,
@@ -138,7 +139,12 @@ def test_ua_ladder_families(spark):
          "Edge", "Windows"),
         ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) "
          "HeadlessChrome/119.0.6045.0 Safari/537.36", "HeadlessChrome", "Linux"),
-        ("SomeNeverSeenAgent/1.0", "Other", "Other"),
+        # r8: structured long-tail agents resolve to their product
+        # token via the generic $1 tails (uap-core behavior); only
+        # unstructured strings — and unmatched Mozilla/ UAs — are Other
+        ("SomeNeverSeenAgent/1.0", "SomeNeverSeenAgent", "Other"),
+        ("just some freeform text", "Other", "Other"),
+        ("Mozilla/5.0 (Strange NewThing 1.0)", "Other", "Other"),
     ]
     df = spark.createDataFrame([(ua,) for ua, _, _ in cases], "ua string")
     rows = df.select(
