@@ -144,8 +144,11 @@ def _decode_real_one(payload: bytes) -> tuple:
     with the standard library alone: RIFF/WAVE audio (stdlib `wave`
     reads the fmt chunk: rate/channels/frame count) and BMP images
     (BITMAPINFOHEADER: width/height at fixed little-endian offsets).
-    Compressed formats (JPEG/PNG/...) still need external codecs and
-    stay on the stub path. Malformed payloads degrade to
+    Compressed formats have their own real paths now — PNG via
+    stdlib zlib (png_decode_pixels), JPEG via the vendored baseline
+    codec (jpegcodec.py / decode_jpeg_media_vendored) — so only
+    genuinely-external formats stay stubbed. Malformed payloads
+    degrade to
     kind='unknown' — the error-absorbing row policy (reference
     etl:129-131), never a task failure."""
     import io
@@ -663,12 +666,56 @@ def decode_png_media(media: DataFrame) -> DataFrame:
 
 def have_pil() -> bool:
     """True when Pillow is importable (it is NOT in this sandbox).
-    JPEG is the one container format that genuinely needs an external
-    codec — entropy-coded DCT is not re-implementable responsibly
-    here — so the JPEG path is guarded, not stubbed-and-claimed."""
+    Since r8 the DEFAULT JPEG path no longer needs it: the vendored
+    baseline codec (operators/jpegcodec.py — real Huffman entropy
+    decode, dequant, inverse DCT, per the public T.81 spec) decodes
+    actual bytes in every environment (decode_jpeg_media_vendored).
+    Pillow remains the optional wide-coverage path (progressive,
+    subsampled, CMYK streams the baseline codec rejects loudly)."""
     import importlib.util
 
     return importlib.util.find_spec("PIL") is not None
+
+
+def make_baseline_jpeg_bytes(width: int, height: int, block_base: int) -> bytes:
+    """Deterministic grayscale baseline-JFIF fixture via the vendored
+    encoder (jpegcodec.make_block_jpeg_bytes): 8x8-constant blocks at
+    even levels, so encode→decode is integer-exact and a SQL oracle
+    can replay decoded means from (width, height, block_base)."""
+    from elb_log_to_mysql_spark.operators import jpegcodec
+
+    return jpegcodec.make_block_jpeg_bytes(width, height, block_base)
+
+
+def decode_jpeg_media_vendored(media: DataFrame) -> DataFrame:
+    """REAL JPEG decode with the VENDORED baseline codec over Arrow
+    batches — the same contract and evidence pattern as
+    decode_png_media: header fields plus the pixel mean computed from
+    the ACTUALLY entropy-decoded, dequantized, inverse-DCT'd samples
+    (jpegcodec.decode_pixels). No external codec; works in every
+    environment. mapInPandas keeps the plan a scan -> project with no
+    shuffle; per-payload work is CPU-bound python/numpy, which is the
+    honest cost of a pure-python codec (swap decode_jpeg_media's
+    Pillow path in when the cluster ships a native codec)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from elb_log_to_mysql_spark.operators import jpegcodec
+
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _nc, psum, n = jpegcodec.decode_pixels(bytes(payload))
+                rows.append((int(doc_id), w, h, round(psum / n, 6)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_pixel"]
+            )
+
+    return media.mapInPandas(
+        batches, "doc_id long, width int, height int, mean_pixel double"
+    )
 
 
 def make_jpeg_bytes(width: int, height: int, fill: int = 0x7F) -> bytes:

@@ -2727,11 +2727,12 @@ def q_multimodal_decode_real(spark, sf_dir):
     container bytes — stdlib `wave` for the RIFF fmt chunk, the
     BITMAPINFOHEADER offsets for BMP. The oracle recomputes every
     field from the generation parameters, so a decoder that misreads
-    any header field hash-mismatches. JPEG still requires an external
-    codec; PNG is covered by multimodal_png_real (stdlib zlib DEFLATE
-    + full unfiltering). This entry upgrades the family's evidence
-    from replayed-stub to real-bytes for the formats the sandbox can
-    decode."""
+    any header field hash-mismatches. PNG is covered by
+    multimodal_png_real (stdlib zlib DEFLATE + full unfiltering) and
+    JPEG — since r8 — by multimodal_jpeg_real (vendored T.81
+    baseline codec, operators/jpegcodec.py). This entry upgrades the
+    family's evidence from replayed-stub to real-bytes for the
+    formats the sandbox can decode."""
     from elb_log_to_mysql_spark.sources.formats import read_media_dir
 
     docs = (
@@ -4622,6 +4623,62 @@ def q_multimodal_png_real(spark, sf_dir):
         F.col("content").alias("payload"),
     )
     return multimodal.decode_png_media(media)
+
+
+@_q(
+    "multimodal_jpeg_real",
+    """
+    SELECT doc_id,
+           CAST(8 * (2 + doc_id % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+           ROUND(CAST(2 * doc_id
+                      + ((2 + doc_id % 3) * (1 + doc_id % 2) - 1)
+                      AS DOUBLE), 6) AS mean_pixel
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 32)
+    """,
+)
+def q_multimodal_jpeg_real(spark, sf_dir):
+    """REAL JPEG decode e2e with the VENDORED baseline codec
+    (operators/jpegcodec.py — public T.81 spec: Huffman entropy
+    decode with byte unstuffing, DC prediction, dequantization,
+    de-zigzag, inverse DCT, level shift), closing the r7 'JPEG is the
+    one stubbed codec' gap without any external library. Fixtures
+    are spec-valid JFIF files from the vendored ENCODER (forward
+    DCT + quantization + canonical in-stream Huffman tables) whose
+    8x8 blocks are constant at even levels: such blocks carry only a
+    DC coefficient and with qDC=16 the encode→decode round trip is
+    integer-EXACT, so the oracle recomputes each decoded mean from
+    the generation parameters alone — block i of doc d decodes to
+    exactly (2*(d+i)) % 256 (no wrap in this id range), giving mean
+    2d + (n_blocks-1). A wrong Huffman table read, bit-reader
+    off-by-one, dequant slip, or IDCT scale error shifts the mean
+    and hash-mismatches. Same mapInPandas plumbing/plan shape as
+    multimodal_png_real (scan -> project, no shuffle)."""
+    from elb_log_to_mysql_spark.sources.formats import read_media_dir
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(32)
+        .collect()
+    )
+    out_dir = _work_dir("media-jpeg")
+    for r in docs:
+        payload = multimodal.make_baseline_jpeg_bytes(
+            width=8 * (2 + r.doc_id % 3),
+            height=8 * (1 + r.doc_id % 2),
+            block_base=r.doc_id,
+        )
+        with open(os.path.join(out_dir, f"doc_{r.doc_id}.jpg"), "wb") as fh:
+            fh.write(payload)
+    media = read_media_dir(spark, out_dir, glob="*.jpg").select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.jpg", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return multimodal.decode_jpeg_media_vendored(media)
 
 
 @_q(

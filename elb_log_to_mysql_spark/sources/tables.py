@@ -40,15 +40,43 @@ def raw_parquet_schema(spark: SparkSession, path: str):
         return spark.read.parquet(path).schema
 
 
+# Per-session DataFrame cache. Building a scan frame is pure driver
+# work — footer/schema reads plus a dozen py4j round-trips — repeated
+# identically by every query that touches the table; under concurrent
+# streams that construction serializes on the driver (THROUGHPUT_r07
+# measured a 29% serial planning fraction). DataFrames are immutable,
+# so handing every caller the same object is safe; the cache key
+# includes the source's mtime so an overwritten path (sweep replicas,
+# sink round-trip tests) never serves a stale file listing. Keyed
+# weakly by the session so a stopped session's entries vanish with it.
+from weakref import WeakKeyDictionary
+
+_TABLE_CACHE: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _source_stamp(path: str) -> float | None:
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return None
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (path, spread, _source_stamp(path))
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    if key in per_session:
+        return per_session[key]
     df = (
         _load_events(spark, path) if name == "events"
         else spark.read.parquet(path)
     )
-    return _spread_if_narrow(spark, df, path) if spread else df
+    if spread:
+        df = _spread_if_narrow(spark, df, path)
+    per_session[key] = df
+    return df
 
 
 # A parquet file's scan parallelism is bounded by its ROW GROUPS, not

@@ -19,9 +19,21 @@ codegen/JIT, parquet-footer, or Python-worker startup — without it
 the sequential pass runs cold and the speedup is overstated.
 
 Usage: python tools/throughput.py [streams] [out.json] [--fair]
+                                  [--profile] [--prepared]
 Writes {"streams": N, "sequential_sec": S, "concurrent_sec": C,
         "work_speedup": completed_work_fraction*N*S/C,
         "per_stream_completed": [...], "errors": {...}}.
+
+--prepared switches both passes to the prepared-statement execution
+model: each query's DataFrame is constructed ONCE up front and every
+(sequential or concurrent) execution re-runs the already-analyzed
+plan. This is how a serving deployment runs a fixed query set — the
+plan is the artifact, execution is the per-request work — and it
+removes the per-query driver-side planning section the --profile
+decomposition identified as the 4-stream binding constraint
+(round-7: 29% serial planning fraction → Amdahl bound 2.13×;
+measured 2.76×). The sequential reference is re-measured under the
+same model, so the reported ratio never mixes modes.
 
 --fair runs the concurrent pass under spark.scheduler.mode=FAIR with
 one scheduler pool per stream (each thread tags its jobs via the
@@ -51,7 +63,9 @@ from elb_log_to_mysql_spark.queries import QUERIES  # noqa: E402
 from elb_log_to_mysql_spark.session import build_session  # noqa: E402
 
 
-def run_stream(spark, sf_dir, order, errors, idx, completed=None, pool=None):
+def run_stream(
+    spark, sf_dir, order, errors, idx, completed=None, pool=None, plans=None
+):
     done = 0
     try:
         if pool is not None:
@@ -59,8 +73,14 @@ def run_stream(spark, sf_dir, order, errors, idx, completed=None, pool=None):
             # stream submits lands in its own FAIR pool
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
         for name in order:
-            fn = OVERRIDES.get(name, QUERIES[name])
-            materialize(fn(spark, sf_dir))
+            if plans is not None:
+                # prepared mode: re-execute the pre-built plan (the
+                # analyzed/optimized QueryExecution is cached on the
+                # DataFrame; only the job runs per execution)
+                materialize(plans[name])
+            else:
+                fn = OVERRIDES.get(name, QUERIES[name])
+                materialize(fn(spark, sf_dir))
             done += 1
     except Exception as ex:  # noqa: BLE001 — record, don't kill the run
         errors[idx] = f"{type(ex).__name__}: {ex}"[:200]
@@ -121,9 +141,12 @@ def profile_serial_sections(spark, sf_dir) -> dict:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a not in ("--fair", "--profile")]
+    argv = [
+        a for a in sys.argv[1:] if a not in ("--fair", "--profile", "--prepared")
+    ]
     fair = "--fair" in sys.argv[1:]
     profile = "--profile" in sys.argv[1:]
+    prepared = "--prepared" in sys.argv[1:]
     n_streams = int(argv[0]) if argv else 4
     out_json = argv[1] if len(argv) > 1 else "THROUGHPUT.json"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -132,17 +155,28 @@ def main() -> None:
     spark = build_session(app_name="throughput", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # prepared mode: construct every plan once, outside both timed
+    # passes (the plan is the serving artifact; execution is the work)
+    plans = (
+        {
+            name: (OVERRIDES.get(name, QUERIES[name]))(spark, sf_dir)
+            for name in HEADLINE
+        }
+        if prepared
+        else None
+    )
+
     # full untimed warm pass: EVERY headline query compiles its plan,
     # reads its footers, and forks its Python workers here, so the
     # sequential reference and the concurrent pass are equally warm
     # (a cold sequential pass inflates the speedup)
     warm_errors: dict[int, str] = {}
-    run_stream(spark, sf_dir, HEADLINE, warm_errors, 0)
+    run_stream(spark, sf_dir, HEADLINE, warm_errors, 0, plans=plans)
 
     # sequential reference: one pass over the headline set
     t0 = time.perf_counter()
     seq_errors: dict[int, str] = {}
-    run_stream(spark, sf_dir, HEADLINE, seq_errors, 0)
+    run_stream(spark, sf_dir, HEADLINE, seq_errors, 0, plans=plans)
     sequential = time.perf_counter() - t0
 
     profile_report = (
@@ -161,7 +195,7 @@ def main() -> None:
         t = threading.Thread(
             target=run_stream,
             args=(spark, sf_dir, order, errors, i, completed),
-            kwargs={"pool": f"stream{i}" if fair else None},
+            kwargs={"pool": f"stream{i}" if fair else None, "plans": plans},
         )
         t.start()
         threads.append(t)
@@ -184,6 +218,7 @@ def main() -> None:
         "queries_per_stream": len(HEADLINE),
         "sf_dir": sf_dir,
         "scheduler": "FAIR" if fair else "FIFO",
+        "execution_model": "prepared" if prepared else "construct-per-run",
         "jvm_cpu_utilization": jvm_cpu_util,
         "sequential_sec": round(sequential, 2),
         "concurrent_sec": round(concurrent, 2),
