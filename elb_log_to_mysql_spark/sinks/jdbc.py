@@ -22,6 +22,10 @@ from pyspark.sql import DataFrame
 
 DEFAULT_TABLE = "elb_log_data"  # etl:153
 
+# Lineage VARCHAR bound: covers the longest legal s3:// URI
+# (5 + 63-char bucket + "/" + 1024-byte key = 1093) with headroom.
+LINEAGE_VARCHAR_LEN = 1200
+
 
 def write_jdbc(
     df: DataFrame,
@@ -102,6 +106,19 @@ def _table_exists(con, table: str) -> bool:
     return False
 
 
+def build_delete_sql(
+    table: str, source_col: str, files: list[str], quote: str
+) -> str:
+    """The lineage-scoped DELETE statement, as a pure function so
+    tests can pin the exact SQL each dialect's quote char produces
+    (backtick for MySQL, double-quote for Derby/ANSI). Values are
+    SQL-escaped by doubling single quotes — the one escape every
+    target dialect agrees on."""
+    quoted = ",".join("'" + f.replace("'", "''") + "'" for f in files)
+    col_q = f"{quote}{source_col}{quote}"
+    return f"DELETE FROM {table} WHERE {col_q} IN ({quoted})"
+
+
 def jdbc_delete_files(
     spark,
     url: str,
@@ -134,18 +151,14 @@ def jdbc_delete_files(
     try:
         if not _table_exists(con, table):
             return False
-        quoted = ",".join("'" + f.replace("'", "''") + "'" for f in files)
         # Spark's JDBC writer creates case-sensitive (quoted) column
         # identifiers; the delete must quote them the same way. The
         # identifier quote char comes from the driver's metadata, so
         # this matches whatever dialect the URL points at.
         q = con.getMetaData().getIdentifierQuoteString().strip() or '"'
-        col_q = f"{q}{source_col}{q}"
         st = con.createStatement()
         try:
-            st.executeUpdate(
-                f"DELETE FROM {table} WHERE {col_q} IN ({quoted})"
-            )
+            st.executeUpdate(build_delete_sql(table, source_col, files, q))
         except Exception as ex:
             # Metadata probe can race a concurrent DROP; fall through
             # to append on the portable missing-table SQLStates.
@@ -175,7 +188,12 @@ def write_jdbc_idempotent(
     The lineage column is created as VARCHAR (not the dialect's
     unbounded text type) so it stays comparable and indexable — the
     delete predicate depends on it, and some dialects (Derby CLOB)
-    refuse equality on unbounded text."""
+    refuse equality on unbounded text. The length bound is 1200:
+    an s3:// URI can reach 5 ("s3://") + 63 (bucket) + 1 + 1024
+    (S3's object-key byte limit) = 1093 characters, so the earlier
+    VARCHAR(1000) could reject a legitimate maximal key; 1200 covers
+    it with headroom while staying well under MySQL's row limits
+    (equality predicates only — no index needed on this column)."""
     files = distinct_source_files(df, source_col)
     jdbc_delete_files(
         df.sparkSession, url, files, table=table, source_col=source_col,
@@ -184,7 +202,7 @@ def write_jdbc_idempotent(
         password=write_kwargs.get("password"),
     )
     write_kwargs.setdefault(
-        "create_table_column_types", f"{source_col} VARCHAR(1000)"
+        "create_table_column_types", f"{source_col} VARCHAR({LINEAGE_VARCHAR_LEN})"
     )
     write_jdbc(df, url, table=table, driver=driver, **write_kwargs)
     return files

@@ -112,6 +112,81 @@ def test_missing_table_sqlstate_detection(spark):
     assert not _missing_table_sqlstate(SimpleNamespace(java_exception=None))
 
 
+def test_mysql_delete_statement_exact_sql():
+    """Pin the exact DELETE the idempotent sink issues under MySQL's
+    backtick quoting (and Derby/ANSI double quotes), including the
+    doubled-single-quote value escape — the statement that makes
+    re-ingesting a file replace rows instead of duplicating them
+    (reference etl:155 duplicates on rerun; this is the fix's core)."""
+    from elb_log_to_mysql_spark.sinks.jdbc import build_delete_sql
+
+    files = ["s3://b/2025/05/26/f1.gz", "s3://b/it's.gz"]
+    assert build_delete_sql("elb_log_data", "log_source_file", files, "`") == (
+        "DELETE FROM elb_log_data WHERE `log_source_file` IN "
+        "('s3://b/2025/05/26/f1.gz','s3://b/it''s.gz')"
+    )
+    assert build_delete_sql("t", "c", ["x"], '"') == (
+        'DELETE FROM t WHERE "c" IN (\'x\')'
+    )
+
+
+def test_duplicate_key_sqlstate_is_not_swallowed(spark):
+    """MySQL duplicate-entry (error 1062, SQLState 23000) must NOT be
+    classified as missing-table: the delete-then-append contract
+    relies on integrity violations surfacing loudly, never being
+    folded into the first-ingest fall-through."""
+    jvm = spark._jvm
+    dup = jvm.java.sql.SQLException(
+        "Duplicate entry 's3://b/f.gz' for key 'uniq_src'", "23000", 1062
+    )
+    assert not _missing_table_sqlstate(SimpleNamespace(java_exception=dup))
+    wrapped = jvm.java.lang.RuntimeException("write aborted", dup)
+    assert not _missing_table_sqlstate(SimpleNamespace(java_exception=wrapped))
+
+
+def test_lineage_varchar_bound_covers_maximal_s3_uri(spark, tmp_path):
+    """The lineage column's VARCHAR bound must admit the longest legal
+    s3:// URI (5 + 63-char bucket + '/' + 1024-byte key = 1093) —
+    VARCHAR(1000) was a real boundary bug: MySQL in strict mode
+    REJECTS the oversized insert and the ingest of a maximal key
+    fails. Pins the constant and proves a maximal-length lineage
+    value round-trips through the real delete-then-append path
+    (Derby enforces VARCHAR bounds just as strictly)."""
+    from elb_log_to_mysql_spark.sinks.jdbc import (
+        LINEAGE_VARCHAR_LEN,
+        write_jdbc_idempotent,
+    )
+
+    max_uri = "s3://" + "b" * 63 + "/" + "k" * 1024
+    assert len(max_uri) == 1093 <= LINEAGE_VARCHAR_LEN
+    lines = spark.createDataFrame(
+        [(
+            'h2 2025-05-26T12:00:00.000123Z app/demo/x 10.0.0.1:443 '
+            '10.1.0.1:80 0.001 0.01 0.000 200 200 10 100 '
+            '"GET https://example.com/api HTTP/2.0" "curl/8.4.0" '
+            'TLS_AES_128_GCM_SHA256 TLSv1.3 arn:xxx',
+        )],
+        "value string",
+    )
+    df = parse_alb_lines(lines, source_file=F.lit(max_uri))
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    # first ingest creates the table with the VARCHAR(1200) override;
+    # the rerun exercises the DELETE over the maximal-length key
+    write_jdbc_idempotent(df, url, driver=driver, num_partitions=1)
+    write_jdbc_idempotent(df, url, driver=driver, num_partitions=1)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "elb_log_data")
+        .option("driver", driver)
+        .load()
+    )
+    rows = back.select("log_source_file").collect()
+    assert len(rows) == 1  # idempotent: rerun replaced, not duplicated
+    assert rows[0][0] == max_uri  # no truncation
+
+
 def test_delete_files_with_credentials_and_absent_table(spark, tmp_path):
     """jdbc_delete_files authenticates with user/password (Derby
     embedded accepts any) and returns False via the metadata probe when

@@ -189,9 +189,35 @@ def main() -> int:
             print(f"OK    {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
     spark.stop()
     if json_out:
+        # Freshness self-certification (VERDICT r7 item 7): with ~50
+        # driver checks/round over 160+ entries, a per-round LOCAL
+        # full sweep is what keeps every entry's record current. The
+        # artifact records its own coverage so a sweep that silently
+        # skipped entries (filter typo, early crash) reads as stale
+        # instead of green: `complete` is true only when every
+        # registered entry has a record IN THIS artifact.
+        all_entries = list(e.queries().keys())
+        missing = [n for n in all_entries if n not in records]
+        # Shaped like a correctness row on purpose: any consumer that
+        # scans the artifact for failing rows sees an incomplete sweep
+        # AS a failure, without needing to know about this key.
+        records["_freshness"] = {
+            "rows_match": not missing,
+            "schema_match": not missing,
+            "hash_match": not missing,
+            "spark_rows": len(records),
+            "oracle_rows": len(all_entries),
+            "err": None if not missing else (
+                f"incomplete sweep: {len(missing)} registry entries "
+                f"have no record in this artifact"
+            ),
+            "missing": missing[:50],
+            "subset_run": bool(only) or driver_budget is not None,
+        }
         with open(json_out, "w") as f:
             json.dump(records, f, indent=2)
-        print(f"wrote {len(records)} records to {json_out}")
+        print(f"wrote {len(records) - 1} records to {json_out} "
+              f"(complete={not missing})")
     print("FAILURES:", failures)
     return 1 if failures else 0
 
