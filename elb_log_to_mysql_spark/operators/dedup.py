@@ -474,6 +474,89 @@ def ngram_jaccard_pairs_prefix(
     return unpersist_on_gc(out, arr)
 
 
+def choose_jaccard_strategy(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    pair_budget_per_core: int = 16_000_000,
+    skew_budget: int = 50_000_000,
+) -> tuple[str, dict]:
+    """Pick the exact-Jaccard formulation from CORPUS STATISTICS
+    (VERDICT r7 item 4's chooser). One eager aggregation over the
+    shingle document-frequency table — the same AQE-statistics
+    pattern as the simhash density probe — estimates the two
+    quantities that decide the inverted index's fate:
+
+    - est_pairs = Σ df·(df−1)/2 — the exact number of join rows the
+      shingle self-join emits. The round-8 sweep calibration: 138M
+      pairs ran in 19 s; 556M pairs fell off the memory cliff at the
+      default heap (400 s, spill-bound) while prefix filtering did
+      the same corpus in 173 s; with 48 g of heap even 2.23 G pairs
+      stayed in-memory-fast (384 s). The default budget
+      (16M × defaultParallelism ≈ 0.5 G rows at 32 cores ≈ 16 GB of
+      candidate shuffle) keeps the inverted index inside the regime
+      where its lower constant factors win; callers with big
+      executors raise it.
+    - max_df — the hottest posting list. A single shingle of
+      frequency d concentrates d²/2 candidate rows on ONE join key
+      (a single reducer task): boilerplate at corpus scale. Prefix
+      filtering is immune (high-df shingles sort to the suffix and
+      never join), so max_df²/2 > skew_budget forces prefix
+      regardless of total volume.
+
+    Returns ("inverted"|"prefix", stats). NOTE: eager — runs one
+    Spark job at call time."""
+    sh = documents.select(
+        F.explode(word_shingles(text_col, shingle_n)).alias("s")
+    ).select(F.xxhash64("s").alias("shingle"))
+    row = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("pairs"),
+            F.max("df").alias("max_df"),
+        )
+        .first()
+    )
+    est_pairs = int(row.pairs or 0)
+    max_df = int(row.max_df or 0)
+    cores = documents.sparkSession.sparkContext.defaultParallelism
+    budget = pair_budget_per_core * cores
+    skewed = max_df * (max_df - 1) / 2 > skew_budget
+    strategy = "prefix" if (est_pairs > budget or skewed) else "inverted"
+    return strategy, {
+        "est_pairs": est_pairs,
+        "max_df": max_df,
+        "pair_budget": budget,
+        "skew_limited": bool(skewed),
+    }
+
+
+def ngram_jaccard_pairs_auto(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    **chooser_kwargs,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs with the strategy CHOSEN from corpus
+    stats (choose_jaccard_strategy): the inverted index while its
+    candidate volume fits the shuffle budget (lower constant factors
+    — no frequency join, no rank window, no candidate dedup), prefix
+    filtering beyond it or under posting-list skew. Both twins emit
+    the IDENTICAL pair set (pinned by the sweep's inv ≡ prefix hash
+    check), so the choice is pure physics, never semantics."""
+    strategy, _ = choose_jaccard_strategy(
+        documents, id_col, text_col, shingle_n, **chooser_kwargs
+    )
+    fn = (
+        ngram_jaccard_pairs_prefix if strategy == "prefix" else ngram_jaccard_pairs
+    )
+    return fn(documents, id_col, text_col, shingle_n, threshold)
+
+
 def simhash_fingerprints(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

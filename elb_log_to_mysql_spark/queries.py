@@ -1460,6 +1460,49 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
     return dedup.ngram_jaccard_pairs_prefix(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "ngram_jaccard_auto",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(0, greatest(len(t)-2, 0)),
+                    i -> concat_ws(' ', t[i+1], t[i+2], t[i+3]))) AS shingles
+      FROM toks
+    ), sh AS (
+      SELECT doc_id, unnest(shingles) AS shingle
+      FROM shingled WHERE len(shingles) > 0
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_id_a
+    JOIN sizes sb ON sb.doc_id = doc_id_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def q_ngram_jaccard_auto(spark, sf_dir):
+    """Exact Jaccard pairs with the STRATEGY CHOSEN FROM CORPUS STATS
+    (operators/dedup.py:choose_jaccard_strategy — VERDICT r7 item 4):
+    one eager df-table aggregation estimates the inverted join's
+    candidate volume (Σ df·(df−1)/2) and its hottest posting list;
+    the inverted index runs while candidates fit the shuffle budget,
+    prefix filtering beyond it or under posting-list skew. Both twins
+    are lossless, so the oracle is the same regardless of which the
+    chooser picks — this entry certifies the SEMANTICS are invariant
+    under the choice; the chooser's decisions themselves are pinned
+    by tests/test_dedup_chooser.py and calibrated in SCALE.md."""
+    return dedup.ngram_jaccard_pairs_auto(_t(spark, sf_dir, "documents"))
+
+
 # Shared CTE chain: positional 8-gram structs -> df cap -> shared-gram
 # self-join -> diagonal islands-and-gaps run merge (the
 # substring_dup_spans oracle, reused by the apply twin).

@@ -1,0 +1,100 @@
+"""Stats-driven exact-Jaccard strategy chooser (VERDICT r7 item 4).
+
+The round-7 sweep's apparent 40x prefix/inverted crossover was
+adjudicated in round 8 as a HEAP artifact (the 20x inverted run was
+spill-bound at the default heap; the 40x run had 48g), and the fix is
+a chooser that picks the formulation from corpus statistics rather
+than a hardcoded preference. These tests pin the decision rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elb_log_to_mysql_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_small_corpus_chooses_inverted(spark):
+    """Low candidate volume -> inverted index (lower constant factors:
+    no frequency join, no rank window, no candidate dedup)."""
+    rows = [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(50)]
+    strategy, stats = dedup.choose_jaccard_strategy(_docs(spark, rows))
+    assert strategy == "inverted"
+    assert stats["est_pairs"] <= stats["pair_budget"]
+    assert not stats["skew_limited"]
+
+
+def test_volume_over_budget_chooses_prefix(spark):
+    """est_pairs above the shuffle budget -> prefix filtering. The
+    budget is the knob (per-core), so the test pins the comparison,
+    not a magic corpus size."""
+    rows = [(i, f"alpha beta gamma delta {i % 5} epsilon") for i in range(60)]
+    strategy, stats = dedup.choose_jaccard_strategy(
+        _docs(spark, rows), pair_budget_per_core=1
+    )
+    assert strategy == "prefix"
+    assert stats["est_pairs"] > stats["pair_budget"]
+
+
+def test_posting_list_skew_forces_prefix(spark):
+    """A single boilerplate shingle shared by every document
+    concentrates d^2/2 candidate rows on ONE join key — prefix must
+    win on the skew guard even when TOTAL volume is under budget."""
+    boiler = "all rights reserved worldwide"
+    rows = [(i, f"{boiler} unique tail {i} x{i} y{i}") for i in range(500)]
+    strategy, stats = dedup.choose_jaccard_strategy(
+        _docs(spark, rows), skew_budget=10_000
+    )
+    assert strategy == "prefix"
+    assert stats["skew_limited"]
+    assert stats["max_df"] >= 500  # the boilerplate shingle's df
+
+
+def test_auto_output_equals_both_twins(spark):
+    """Whatever the chooser picks, the pair set is the twins' common
+    output — the lossless-choice contract the oracle certifies."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with no overlap here at all"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = _docs(spark, rows)
+    want = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    assert want == {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in dedup.ngram_jaccard_pairs_prefix(docs).collect()
+    }
+    for budget in (1, 10**9):  # force each strategy through the auto path
+        got = {
+            (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+            for r in dedup.ngram_jaccard_pairs_auto(
+                docs, pair_budget_per_core=budget
+            ).collect()
+        }
+        assert got == want
+
+
+def test_est_pairs_is_exact_join_volume(spark):
+    """The probe's Σ df·(df−1)/2 must equal the ACTUAL row count the
+    inverted self-join would emit (before the a<b halving, which the
+    estimate and the join apply consistently): pin it by computing
+    the join volume directly on a small corpus."""
+    rows = [(i, f"shared trigram text plus unique {i} tail") for i in range(8)]
+    docs = _docs(spark, rows)
+    _, stats = dedup.choose_jaccard_strategy(docs)
+    sh = docs.select(
+        "doc_id",
+        F.explode(dedup.word_shingles("text", 3)).alias("s"),
+    ).select("doc_id", F.xxhash64("s").alias("shingle"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    actual = a.join(b, "shingle").filter("a < b").count()
+    assert stats["est_pairs"] == actual
