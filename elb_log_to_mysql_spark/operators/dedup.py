@@ -699,6 +699,12 @@ def simhash_near_pairs(
     return unpersist_on_gc(out, fp)
 
 
+# (app id, analyzed-plan semantic hash, source files) -> max exact-
+# fingerprint multiplicity; see the derivation note in
+# simhash_candidates. Bounded by distinct corpora probed per session.
+_SIMHASH_DENSITY_CACHE: dict[tuple, int] = {}
+
+
 def simhash_candidates(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -739,14 +745,33 @@ def simhash_candidates(
         # replication factor), SCALE.md). One scalar agg over the
         # persisted fingerprint frame — the AQE-statistics pattern,
         # not a driver-side data loop; deterministic (exact max).
-        factor = (
-            fp.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("m"))
-            .agg(F.max("m"))
-            .first()[0]
-            or 1
-        )
-        max_bucket = max(300, cap_multiplier * int(factor))
+        # The factor is memoized per (app, source files) — same
+        # pattern as session.ensure_min_partitions' probe cache — so
+        # repeated simhash calls over an unchanged corpus pay the
+        # eager statistics job once per session, not per call.
+        sc = documents.sparkSession.sparkContext
+        try:
+            # files pin the data's identity across overwrites; the
+            # analyzed plan's semantic hash distinguishes different
+            # SLICES of the same files (a filtered subset must not
+            # reuse the full corpus's density factor)
+            files = tuple(sorted(documents.inputFiles()))
+            sem = documents._jdf.queryExecution().analyzed().semanticHash()
+            key = (sc.applicationId, sem, files) if files else None
+        except Exception:  # noqa: BLE001 — in-memory frames: no key
+            key = None
+        factor = _SIMHASH_DENSITY_CACHE.get(key) if key is not None else None
+        if factor is None:
+            factor = int(
+                fp.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("m"))
+                .agg(F.max("m"))
+                .first()[0]
+                or 1
+            )
+            if key is not None:
+                _SIMHASH_DENSITY_CACHE[key] = factor
+        max_bucket = max(300, cap_multiplier * factor)
         if cap_ceiling is not None:
             max_bucket = min(max_bucket, cap_ceiling)
 
