@@ -687,6 +687,34 @@ def make_baseline_jpeg_bytes(width: int, height: int, block_base: int) -> bytes:
     return jpegcodec.make_block_jpeg_bytes(width, height, block_base)
 
 
+def make_baseline_jpeg_color_bytes(
+    width: int, height: int, block_base: int
+) -> bytes:
+    """Deterministic COLOR (3-component 4:4:4) baseline-JFIF fixture:
+    gray-valued RGB blocks (r=g=b=even level v per 8x8 block). The
+    T.871 conversion then yields Y=v, Cb=Cr=128 exactly (the chroma
+    coefficients sum to zero), so all three encoded planes are
+    block-constant at even levels and the interleaved encode→decode
+    round trip stays integer-exact — the same oracle-replayable
+    property as the grayscale fixture, now exercising the color MCU
+    entropy decode and the YCbCr→RGB reconstruction end to end."""
+    import numpy as np
+
+    from elb_log_to_mysql_spark.operators import jpegcodec
+
+    bw = (width + 7) // 8
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    for by in range((height + 7) // 8):
+        for bx in range(bw):
+            v = (2 * (block_base + by * bw + bx)) % 256
+            img[
+                by * 8 : min(by * 8 + 8, height),
+                bx * 8 : min(bx * 8 + 8, width),
+                :,
+            ] = v
+    return jpegcodec.encode_rgb444(img)
+
+
 def decode_jpeg_media_vendored(media: DataFrame) -> DataFrame:
     """REAL JPEG decode with the VENDORED baseline codec over Arrow
     batches — the same contract and evidence pattern as

@@ -4725,6 +4725,55 @@ def q_multimodal_jpeg_real(spark, sf_dir):
 
 
 @_q(
+    "multimodal_jpeg_color",
+    """
+    SELECT doc_id,
+           CAST(8 * (2 + doc_id % 3) AS INTEGER) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INTEGER) AS height,
+           ROUND(CAST(2 * doc_id
+                      + ((2 + doc_id % 3) * (1 + doc_id % 2) - 1)
+                      AS DOUBLE), 6) AS mean_pixel
+    FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 24)
+    """,
+)
+def q_multimodal_jpeg_color(spark, sf_dir):
+    """COLOR JPEG decode e2e: 3-component 4:4:4 interleaved MCUs —
+    per block, THREE entropy-coded units with independent DC
+    predictors — plus the T.871 YCbCr→RGB reconstruction. Fixtures
+    are gray-valued RGB blocks (r=g=b=even v), for which the color
+    conversion is exact (Y=v, Cb=Cr=128: the chroma coefficient rows
+    sum to zero), so the decoded RGB mean equals the grayscale
+    formula and the oracle replays it from generation parameters —
+    certifying the color path in the driver gate rather than only in
+    unit tests (which cover the inexact general-color cases)."""
+    from elb_log_to_mysql_spark.sources.formats import read_media_dir
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(24)
+        .collect()
+    )
+    out_dir = _work_dir("media-jpeg-color")
+    for r in docs:
+        payload = multimodal.make_baseline_jpeg_color_bytes(
+            width=8 * (2 + r.doc_id % 3),
+            height=8 * (1 + r.doc_id % 2),
+            block_base=r.doc_id,
+        )
+        with open(os.path.join(out_dir, f"doc_{r.doc_id}.jpg"), "wb") as fh:
+            fh.write(payload)
+    media = read_media_dir(spark, out_dir, glob="*.jpg").select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.jpg", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return multimodal.decode_jpeg_media_vendored(media)
+
+
+@_q(
     "sql_interface",
     """
     WITH seg AS (
