@@ -97,7 +97,7 @@ def ua_families_udf(prefer_wrapper: bool = True):
 
     if HAVE_USER_AGENTS and prefer_wrapper:
 
-        def one(v):
+        def _one(v):
             if v is None or v in ("", "-"):
                 return ("Unknown", "Unknown")
             parsed = _user_agents.parse(v)
@@ -105,8 +105,25 @@ def ua_families_udf(prefer_wrapper: bool = True):
 
     else:
 
-        def one(v):
+        def _one(v):
             return (uap.parse_browser_family(v), uap.parse_os_family(v))
+
+    # Real traffic repeats a few thousand distinct UA strings across
+    # millions of rows; memoizing turns the per-row regex walk into a
+    # dict hit for repeats. A plain dict closure, NOT functools
+    # lru_cache: the wrapper pickles by qualname and cannot ship to
+    # executors from a local scope. The dict pickles empty with the
+    # UDF and fills per Python worker; the size guard bounds worker
+    # memory against adversarial all-distinct UA streams.
+    _cache: dict = {}
+
+    def one(v):
+        hit = _cache.get(v)
+        if hit is None:
+            hit = _one(v)
+            if len(_cache) < 65536:
+                _cache[v] = hit
+        return hit
 
     @pandas_udf("struct<browser:string,os:string>")
     def _parse(ua: pd.Series) -> pd.DataFrame:

@@ -436,6 +436,10 @@ def main() -> None:
     try:
         with open(parity_path) as fh:
             parity = json.load(fh)
+        # The r8 _freshness meta record marks SUBSET runs incomplete
+        # (by design here: the sweep checks its parity list, not the
+        # whole registry) — it is coverage metadata, not a parity row.
+        parity.pop("_freshness", None)
         report["oracle_parity"] = {
             "all_hash_match": all(v.get("hash_match") for v in parity.values()),
             "queries": {k: bool(v.get("hash_match")) for k, v in parity.items()},
