@@ -80,11 +80,15 @@ def ua_families_udf(prefer_wrapper: bool = True):
 
     ``prefer_wrapper=False`` exists for callers whose CONTRACT is
     agreement with the vendored database's other compilations (the
-    ua_classify driver entry: its DuckDB CASE oracle and the rlike
-    ladder both evaluate the vendored subset, so the full-database
-    wrapper would name long-tail agents the subset maps to "Other"
-    and spuriously diverge in environments where user_agents happens
-    to be installed).
+    ua_classify driver entry: its DuckDB CASE oracle and the CASE
+    ladder both evaluate the vendored database, so the upstream-full
+    wrapper — which names some agents differently at the margins —
+    would spuriously diverge in environments where user_agents
+    happens to be installed). Since r8 the vendored database itself
+    names the long tail via its generic $n capture entries, so the
+    gap between the two paths is narrow; byte-exact agreement with
+    an upstream checkout comes from pointing SPARK_ELB_UA_DB at its
+    regexes.yaml (then BOTH paths evaluate the full database).
     """
     # pandas is imported lazily (this module's expression-ladder path
     # must import with zero third-party deps) but bound into module
