@@ -181,3 +181,64 @@ def simhash_fp(token_hashes: Column) -> Column:
         return pd.Series(out)
 
     return _fp(token_hashes)
+
+
+def _normalized_subvectors(v: pd.Series, m: int, d_sub: int) -> np.ndarray:
+    """(n, m, d_sub) unit-normalized subvector tensor for a batch.
+    Zero vectors pass through unscaled (norm treated as 1) — they
+    land in whatever cell is nearest to the origin, deterministically."""
+    x = _stack(v).astype(np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return (x / norms).reshape(len(x), m, d_sub)
+
+
+def _sub_distances(subs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Squared L2 from every subvector to every sub-centroid:
+    (n, m, d_sub) x (m, k, d_sub) -> (n, m, k), via one einsum — the
+    (n, m, k, d_sub) broadcast intermediate would be d_sub x larger."""
+    x_sq = (subs * subs).sum(axis=2, keepdims=True)          # (n, m, 1)
+    c_sq = (codebooks * codebooks).sum(axis=2)               # (m, k)
+    cross = np.einsum("nmd,mkd->nmk", subs, codebooks)       # (n, m, k)
+    return np.maximum(x_sq - 2.0 * cross + c_sq[None], 0.0)
+
+
+def pq_codes(vec: Column, codebooks: np.ndarray) -> Column:
+    """Product-quantization codes for a vector column.
+
+    `codebooks` has shape (m, k, d_sub) with m·d_sub = dim. Each
+    vector is unit-normalized, split into m subvectors, and each
+    subvector mapped to the index of its nearest sub-centroid
+    (squared L2; ties break to the lowest index via argmin's
+    first-match rule). Returns array<int> of length m — the 100 TB
+    representation: m small ints per vector instead of dim floats.
+    """
+    cb = codebooks.astype(np.float64)
+    m, _, d_sub = cb.shape
+
+    @pandas_udf("array<int>")
+    def _codes(v: pd.Series) -> pd.Series:
+        subs = _normalized_subvectors(v, m, d_sub)
+        codes = _sub_distances(subs, cb).argmin(axis=2).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return _codes(vec)
+
+
+def pq_lut(vec: Column, codebooks: np.ndarray) -> Column:
+    """Per-query asymmetric-distance lookup table: squared L2 from
+    each unit-normalized query subvector to every sub-centroid.
+    Returns array<array<double>> of shape (m, k); ADC distance to a
+    coded corpus vector is then sum_m lut[m][code_m] — m array
+    lookups per candidate, computed JVM-side.
+    """
+    cb = codebooks.astype(np.float64)
+    m, _, d_sub = cb.shape
+
+    @pandas_udf("array<array<double>>")
+    def _lut(v: pd.Series) -> pd.Series:
+        subs = _normalized_subvectors(v, m, d_sub)
+        d = _sub_distances(subs, cb)                         # (n, m, k)
+        return pd.Series([[list(row) for row in tbl] for tbl in d])
+
+    return _lut(vec)

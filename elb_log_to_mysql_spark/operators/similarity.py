@@ -480,3 +480,164 @@ def embedding_quantize_int8(
         F.array_max(q).alias("q_max"),
         F.size(F.filter(q, lambda x: F.abs(x) == 127)).alias("n_sat"),
     )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 16,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 10,
+    max_train_rows: int = 100_000,
+    sample_fraction: float | None = None,
+):
+    """Offline product-quantization codebook training — run ONCE per
+    corpus, persist the (m, n_codes, dim/m) array, reuse across
+    queries (same contract as `train_ivf_centroids`).
+
+    Deterministic Lloyd's on a capped, id-ordered sample: init is the
+    first `n_codes` sampled vectors' subvectors, `iterations` fixed
+    rounds, empty cells keep their centroid, argmin ties break to the
+    lowest index. All m subspaces train in one vectorized pass over a
+    driver-side sample matrix (<= max_train_rows x dim doubles — an
+    offline index-build artifact, not a query-path collect). Vectors
+    are unit-normalized first so PQ squared-L2 order matches cosine
+    order (||a-b||^2 = 2 - 2cos for unit vectors).
+    """
+    import numpy as np
+
+    from elb_log_to_mysql_spark.functions.vectorops import _sub_distances
+
+    sampled = (
+        embeddings.sample(fraction=sample_fraction, seed=42)
+        if sample_fraction is not None
+        else embeddings
+    )
+    pdf = (
+        sampled.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(id_col)
+        .limit(max_train_rows)
+        .select(vec_col)
+        .toPandas()
+    )
+    import numpy as _np
+
+    x = _np.vstack(pdf[vec_col].to_numpy()).astype(_np.float64)
+    norms = _np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    subs = x.reshape(n, m, d_sub)
+    cb = subs[: min(n_codes, n)].transpose(1, 0, 2).copy()  # (m, <=k, d_sub)
+    for _ in range(iterations):
+        assign = _sub_distances(subs, cb).argmin(axis=2)     # (n, m)
+        for j in range(m):
+            counts = _np.bincount(assign[:, j], minlength=cb.shape[1])
+            sums = _np.zeros_like(cb[j])
+            _np.add.at(sums, assign[:, j], subs[:, j])
+            nz = counts > 0
+            cb[j][nz] = sums[nz] / counts[nz][:, None]
+    return cb
+
+
+def similarity_topk_pq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+    m: int = 16,
+    n_codes: int = 256,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization with
+    asymmetric-distance (ADC) scan + exact rerank.
+
+    The 100 TB memory path: the scanned representation is m small
+    codes per vector (m=16, k=256 -> 16 bytes vs 256 bytes of float32
+    for dim=64 — 16x; m=8 halves it again), and the per-candidate
+    distance is m array lookups against a per-query LUT instead of a
+    dim-length dot product.
+
+    1. Encode the corpus once with precomputed `codebooks`
+       (`train_pq_codebooks`, offline; inline training is an ad-hoc
+       convenience only) — at scale the code column is written next
+       to the id and the raw vectors stay in cold storage.
+    2. Per query, build the (m x n_codes) LUT of subvector-to-
+       sub-centroid distances, broadcast the query block, and rank
+       candidates by ADC = sum_m lut[m][code_m] — a JVM-side fold over
+       m elements; the raw vector column is NOT read in this stage.
+    3. Fetch raw vectors for only the top k*rerank_factor ADC
+       candidates per query (broadcast semi of the candidate ids
+       against the corpus) and rerank by exact cosine.
+
+    Composes with IVF (`similarity_topk_ivf`) for sublinear scan at
+    extreme scale: restrict step 2 to probed cells. Ranking ties break
+    by neighbor_id in both stages, so results are partitioning-
+    invariant; recall is audited against the brute-force exact top-k
+    in the registry entry.
+    """
+    import numpy as np
+
+    from elb_log_to_mysql_spark.functions.vectorops import pq_codes, pq_lut
+
+    cb = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else train_pq_codebooks(
+            embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+    )
+
+    codes = ensure_min_partitions(embeddings).select(
+        F.col(id_col).alias("neighbor_id"),
+        pq_codes(F.col(vec_col), cb).alias("codes"),
+    )
+    qside = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        pq_lut(F.col(vec_col), cb).alias("lut"),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        codes.crossJoin(F.broadcast(qside.select("query_id", "lut")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("lut"),
+                    lambda c, l: F.element_at(l, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        .withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    fetched = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(F.broadcast(cand), "neighbor_id")
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        fetched.join(
+            F.broadcast(qside.select("query_id", "q_vec")), "query_id"
+        )
+        .withColumn("cos", pairwise_cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

@@ -1217,3 +1217,56 @@ def test_kmeans_nan_vector_lands_in_cluster_zero(spark):
     assert out[2].cluster_id == 0 and math.isnan(out[2].dist)
     assert out[3].cluster_id == 1  # sane assignment for finite rows
     assert all(r.cluster_id >= 0 for r in out.values())
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_pq(emb, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"PQ recall too low: {recall}"
+
+
+def test_pq_codebooks_deterministic(spark, sf_dir):
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    b = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    assert a.shape == (8, 16, 8)
+    assert np.array_equal(a, b), "codebook training must be bit-deterministic"
+
+
+def test_pq_query_path_has_no_inline_training(spark, sf_dir):
+    """With precomputed codebooks the PQ search must be pure plan
+    construction — building the DataFrame triggers no Spark job."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = similarity.similarity_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, codebooks=cb
+    )
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "plan construction ran Spark jobs"
+    assert df.count() > 0
+
+
+def test_pq_adc_scan_reads_codes_not_vectors(spark, sf_dir):
+    """The ADC candidate stage must rank by code lookups: its plan
+    side carries the m-length code array, never a theta join, and the
+    raw-vector fetch is a broadcast equi-join on the candidate ids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    plan = similarity.similarity_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, codebooks=cb
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "codes" in plan
+    assert "BroadcastHashJoin" in plan
