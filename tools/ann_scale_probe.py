@@ -1,0 +1,146 @@
+"""ANN-at-scale datapoint: PQ and IVF+PQ vs brute force on an 80k
+vector corpus (SCALE.md evidence for operators/similarity.py).
+
+The registry certifies recall at sf0.01 (500 vectors); the 100 TB
+claims are about SCAN SHAPE — ADC over 16-byte codes instead of
+full-width dot products, and IVF cell restriction making the scan
+sublinear. This probe builds a `factor`x replica of the sf0.1
+embeddings where each copy gets small deterministic Gaussian noise
+(seeded per copy — NOT exact clones, so each base vector gains
+`factor` genuine near-neighbors and the top-k problem stays
+non-degenerate, like a real near-dup-heavy corpus), then measures
+wall + recall@10 for:
+
+  - brute-force exact (the baseline the others are audited against),
+  - PQ with exhaustive ADC scan + top-40 exact rerank,
+  - IVF(64 cells, nprobe 8) + PQ — the sublinear compressed path.
+
+Usage: python tools/ann_scale_probe.py [factor] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from elb_log_to_mysql_spark.session import build_session  # noqa: E402
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def build_noisy_replica(factor: int, out_path: str, noise: float = 0.05) -> int:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    base = np.vstack(t["embedding"].to_pylist()).astype(np.float32)
+    n, dim = base.shape
+    labels = t["label"].to_numpy()
+    parts = []
+    for i in range(factor):
+        rng = np.random.default_rng(1000 + i)
+        vecs = base if i == 0 else base + rng.normal(
+            0.0, noise, size=base.shape
+        ).astype(np.float32)
+        parts.append(
+            pa.table(
+                {
+                    "vec_id": pa.array(
+                        (i * n + np.arange(n)).astype("int64")
+                    ),
+                    "embedding": pa.array(
+                        [row for row in vecs.tolist()],
+                        type=pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array(labels, type=pa.int32()),
+                }
+            )
+        )
+    full = pa.concat_tables(parts)
+    pq.write_table(
+        full, out_path, row_group_size=max(1024, (factor * n) // 32)
+    )
+    return factor * n
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "ANN_SCALE_PROBE.json"
+    work = f"/tmp/ann_probe_{factor}x"
+    os.makedirs(work, exist_ok=True)
+    emb_path = os.path.join(work, "embeddings.parquet")
+    n_vec = build_noisy_replica(factor, emb_path)
+
+    from pyspark.sql import functions as F
+
+    from elb_log_to_mysql_spark.operators import similarity
+
+    spark = build_session(app_name="ann-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = spark.read.parquet(emb_path).persist()
+    emb.count()
+    q = emb.filter(F.col("vec_id") < 20)
+
+    report: dict = {
+        "factor": factor,
+        "vectors": n_vec,
+        "queries": 20,
+        "k": 10,
+        "paths": {},
+    }
+
+    t0 = time.perf_counter()
+    exact_rows = similarity.similarity_topk_bruteforce(emb, q, k=10).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    report["paths"]["bruteforce"] = {
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "pairs": len(exact),
+    }
+
+    t0 = time.perf_counter()
+    codebooks = similarity.train_pq_codebooks(emb)
+    train_wall = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    pq_rows = similarity.similarity_topk_pq(
+        emb, q, k=10, codebooks=codebooks
+    ).collect()
+    pq_set = {(r.query_id, r.neighbor_id) for r in pq_rows}
+    report["paths"]["pq_adc"] = {
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "codebook_train_sec": train_wall,
+        "recall_at_10": round(len(exact & pq_set) / len(exact), 4),
+    }
+
+    t0 = time.perf_counter()
+    centroids = similarity.train_ivf_centroids(emb, n_centroids=64)
+    ivf_train_wall = round(time.perf_counter() - t0, 2)
+
+    t0 = time.perf_counter()
+    ivfpq_rows = similarity.similarity_topk_ivfpq(
+        emb, q, k=10, n_centroids=64, nprobe=8,
+        centroids=centroids, codebooks=codebooks,
+    ).collect()
+    ivfpq_set = {(r.query_id, r.neighbor_id) for r in ivfpq_rows}
+    report["paths"]["ivfpq_64c_8probe"] = {
+        "wall_sec": round(time.perf_counter() - t0, 2),
+        "centroid_train_sec": ivf_train_wall,
+        "scan_fraction": round(8 / 64, 3),
+        "recall_at_10": round(len(exact & ivfpq_set) / len(exact), 4),
+    }
+
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    with open(out_json, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
