@@ -657,6 +657,97 @@ def bigram_condprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def lm_perplexity_filter(documents: DataFrame) -> DataFrame:
+    """CCNet-style statistical-LM perplexity gate: score every
+    document by the cross-entropy (bits/bigram) of an add-one
+    smoothed bigram LM trained on the corpus itself, and flag the
+    below-corpus-mean half as `keep`. This is the canonical cheap
+    LM-quality filter (Wenzek et al., CCNet): documents whose word
+    ORDER is improbable under the corpus distribution — boilerplate
+    mashups, shuffled scrapes, lorem-garbage — score high-entropy and
+    drop, without any external model.
+
+    p(w2|w1) = (c12 + 1) / (c1 + V) with V = |vocab| (Laplace), so
+    every probability is a single IEEE division of exact integers.
+    The per-bigram surprisal -log2(p) is the one transcendental; it
+    is ROUND()ed to 6 dp on both engines (the tfidf precedent for
+    cross-libm log) and then aggregated through the DECIMAL(28,8)
+    image (functions/numeric.py), so the per-doc cross-entropy and
+    the corpus-mean threshold are order-independent and bit-identical
+    to the SQL replay at any parallelism.
+
+    Physical shape = bigram_condprob's + two broadcast scalars: the
+    surprisal table is built on the DISTINCT-bigram frame (small join
+    of two count aggs + one broadcast |vocab| row), so the only
+    occurrence-scale join is positions↔surprisals (Zipf-skewed on
+    stopword contexts — AQE skew-join splits the hot keys). The keep
+    threshold is a 1-row agg broadcast back; nothing quadratic, no
+    Python.
+    """
+    from elb_log_to_mysql_spark.functions.numeric import davg
+    from elb_log_to_mysql_spark.operators.dedup import ws_tokens
+
+    toks_arr = ws_tokens(F.col("text"))
+
+    def _pairs(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+    pairs_col = F.element_at(F.transform(F.array(toks_arr), _pairs), 1)
+    docs = ensure_min_partitions(documents)
+    positions = docs.select(
+        "doc_id", "lang", F.explode(pairs_col).alias("p")
+    ).select(
+        "doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    unigrams = docs.select(F.explode(toks_arr).alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vocab = unigrams.agg(F.count(F.lit(1)).alias("v"))
+    bigrams = positions.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    surprisal = (
+        bigrams.join(unigrams, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log2(
+                    (F.col("c12") + 1).cast("double")
+                    / (F.col("c1") + F.col("v"))
+                ),
+                6,
+            ).alias("bits"),
+        )
+    )
+    perdoc = (
+        positions.join(surprisal, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            davg("bits").alias("cross_entropy"),
+        )
+    )
+    thr = perdoc.agg(davg("cross_entropy").alias("thr"))
+    return perdoc.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "cross_entropy",
+        (F.col("cross_entropy") <= F.col("thr")).alias("keep"),
+    )
+
+
 def bpe_pair_counts(documents: DataFrame, k: int = 40) -> DataFrame:
     """First BPE merge iteration over the corpus: adjacent
     character-pair frequencies within whitespace words, top-k.

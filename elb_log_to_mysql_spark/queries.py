@@ -5561,6 +5561,58 @@ def q_bigram_condprob(spark, sf_dir):
 
 
 @_q(
+    "lm_perplexity_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), positions AS (
+      SELECT doc_id, lang,
+             unnest(t[1:len(t)-1]) AS w1,
+             unnest(t[2:len(t)]) AS w2
+      FROM toks
+    ), unigrams AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+        SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+    ), vocab AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM unigrams
+    ), bigrams AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM positions GROUP BY w1, w2
+    ), surprisal AS (
+      SELECT b.w1, b.w2,
+             ROUND(-log2(CAST(b.c12 + 1 AS DOUBLE) / (u.c1 + vocab.v)),
+                   6) AS bits
+      FROM bigrams b JOIN unigrams u USING (w1) CROSS JOIN vocab
+    ), perdoc AS (
+      SELECT p.doc_id, p.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(CAST(SUM(CAST(s.bits AS DECIMAL(28,8))) AS STRING)
+                  AS DOUBLE) / COUNT(*) AS cross_entropy
+      FROM positions p JOIN surprisal s USING (w1, w2)
+      GROUP BY p.doc_id, p.lang
+    ), thr AS (
+      SELECT CAST(CAST(SUM(CAST(cross_entropy AS DECIMAL(28,8)))
+                  AS STRING) AS DOUBLE) / COUNT(*) AS thr
+      FROM perdoc
+    )
+    SELECT doc_id, lang, n_bigrams, cross_entropy,
+           cross_entropy <= thr.thr AS keep
+    FROM perdoc CROSS JOIN thr
+    """,
+)
+def q_lm_perplexity_filter(spark, sf_dir):
+    """CCNet-style LM perplexity gate: add-one smoothed bigram
+    cross-entropy per document, keep = below the corpus mean
+    (operators/textops.py:lm_perplexity_filter). The one log() goes
+    through ROUND(6) + decimal-image aggregation on both engines, so
+    the threshold comparison is bit-deterministic."""
+    return textops.lm_perplexity_filter(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "interval_join_bucketed",
     r"""
     WITH p AS (

@@ -918,6 +918,50 @@ def test_bigram_condprob_bruteforce(spark):
     assert out[2].n_bigrams == 2 and out[2].min_condp == 1 / 3
 
 
+def test_lm_perplexity_filter_bruteforce(spark):
+    import math
+
+    from elb_log_to_mysql_spark.operators import textops
+
+    rows = [
+        (1, "a b a b", "en"),   # high-probability order
+        (2, "b b b b", "en"),   # bigram (b,b) never follows elsewhere
+        (3, "a b c", "en"),
+        (4, "c", "en"),         # <2 tokens: no output row
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = {r.doc_id: r for r in textops.lm_perplexity_filter(docs).collect()}
+    assert set(out) == {1, 2, 3}
+
+    # brute-force replica: c1 from all tokens, c12 from positions,
+    # V = |vocab|, p = (c12+1)/(c1+V), bits = round(-log2(p), 6)
+    toks = {d: t.split() for d, t, _ in rows}
+    c1: dict = {}
+    c12: dict = {}
+    for t in toks.values():
+        for w in t:
+            c1[w] = c1.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    v = len(c1)
+    ce = {}
+    for d, t in toks.items():
+        bits = [
+            round(-math.log2((c12[(a, b)] + 1) / (c1[a] + v)), 6)
+            for a, b in zip(t, t[1:])
+        ]
+        if bits:
+            ce[d] = sum(bits) / len(bits)
+    thr = sum(ce.values()) / len(ce)
+    for d, want in ce.items():
+        assert out[d].n_bigrams == len(toks[d]) - 1
+        assert abs(out[d].cross_entropy - want) < 1e-6, d
+        assert out[d].keep == (out[d].cross_entropy <= thr), d
+    # the common-order doc survives; the improbable-order docs drop
+    # (doc1 ce≈1.164 < thr≈1.313 < doc2 ce≈1.322 < doc3 ce≈1.454)
+    assert out[1].keep and not out[2].keep and not out[3].keep
+
+
 def test_interval_join_bucketed_matches_bruteforce(spark, sf_dir):
     """Bucket decomposition must reproduce the naive quadratic join
     exactly, including zero-match probes and the cross-user filter."""
