@@ -3178,6 +3178,137 @@ def q_elb_parse(spark, sf_dir):
     )
 
 
+@_q(
+    "elb_url_stats",
+    """
+    WITH g AS (SELECT range AS n FROM range(0, 5000)),
+    r AS (
+      SELECT
+        '/api/item/' || CAST(n % 50 AS VARCHAR) AS requested_path,
+        CASE n % 4 WHEN 0 THEN 200 WHEN 1 THEN 404 WHEN 2 THEN 500
+                   ELSE 0 END AS status,
+        ROUND((CAST('0.001' AS DOUBLE)
+               + CAST('0.0' || CAST(n % 10 AS VARCHAR) AS DOUBLE)
+               + CAST('0.000' AS DOUBLE)) * 1000, 3) AS t_ms,
+        n % 1000 AS rcv,
+        CAST('10' || CAST(n % 89 AS VARCHAR) AS BIGINT) AS snt
+      FROM g
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY requested_path
+                                ORDER BY t_ms) AS rn,
+             COUNT(*) OVER (PARTITION BY requested_path) AS cnt
+      FROM r
+    )
+    SELECT requested_path,
+           CAST(COUNT(*) AS BIGINT) AS n_requests,
+           CAST(SUM(CASE WHEN status >= 500 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors,
+           CAST(SUM(CASE WHEN status >= 500 THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS error_rate,
+           CAST(SUM(rcv + snt) AS BIGINT) AS total_bytes,
+           CAST(CAST(SUM(CAST(t_ms AS DECIMAL(28,8))) AS STRING)
+                AS DOUBLE) / COUNT(*) AS mean_time_ms,
+           MAX(CASE WHEN rn = CAST(ceil(0.95 * cnt) AS BIGINT)
+                    THEN t_ms END) AS p95_time_ms
+    FROM ranked GROUP BY requested_path
+    """,
+)
+def q_elb_url_stats(spark, sf_dir):
+    """The dashboard rollup a reference user runs against the loaded
+    MySQL table (reference etl: the whole point of landing parsed
+    rows in a database): per requested_path, request count, 5xx
+    error rate, byte volume, mean latency, and p95 latency. The p95
+    is the exact value-at-integer-rank (ceil(0.95·n)-th smallest —
+    percentile_disc semantics replayed literally in the oracle as
+    row_number + COUNT windows, so no cross-engine interpolation
+    formula is trusted; ties share a value, making the rank pick
+    deterministic). The mean goes through the decimal-image sum.
+
+    Physical shape: the synthetic-parse chain is pure codegen; ONE
+    shuffle on requested_path serves both the rank window and the
+    final hash agg (same key, partitioning reused), so the rollup
+    adds a single exchange to the parse — at real volume this is the
+    log-analytics query shape: scan-heavy, one narrow-key shuffle."""
+    from pyspark.sql import Window
+
+    methods = F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT"))
+    uas = F.array(
+        F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/136.0.0.0 Safari/537.36"),
+        F.lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Version/17.4 Safari/605.1.15"),
+        F.lit("-"),
+    )
+    statuses = F.array(F.lit("200"), F.lit("404"), F.lit("500"), F.lit("-"))
+    n = F.col("id")
+    line = F.format_string(
+        'h2 2025-05-26T%02d:%02d:%02d.000123Z app/demo/x 10.0.%d.%d:443 10.1.0.1:80 '
+        '0.001 0.0%d 0.000 %s 200 %d 10%d "%s https://example.com/api/item/%d HTTP/2.0" '
+        '"%s" TLS_AES_128_GCM_SHA256 TLSv1.3 arn:xxx',
+        (n % 24).cast("int"),
+        (n % 60).cast("int"),
+        ((n * 7) % 60).cast("int"),
+        (n % 256).cast("int"),
+        ((n * 3) % 256).cast("int"),
+        (n % 10).cast("int"),
+        statuses[(n % 4).cast("int")],
+        (n % 1000).cast("int"),
+        (n % 89).cast("int"),
+        methods[(n % 3).cast("int")],
+        (n % 50).cast("int"),
+        uas[(n % 3).cast("int")],
+    )
+    lines = spark.range(0, 5000).select(line.alias("value"))
+    parsed = parse_alb_lines(lines, source_file=F.lit("synthetic://alb"))
+
+    w_rank = Window.partitionBy("requested_path").orderBy(
+        "total_processing_time_ms"
+    )
+    w_all = Window.partitionBy("requested_path")
+    ranked = parsed.select(
+        "requested_path",
+        "elb_status_code",
+        "total_processing_time_ms",
+        "received_bytes",
+        "sent_bytes",
+    ).select(
+        "*",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("cnt"),
+    )
+    is_err = (F.col("elb_status_code") >= 500).cast("long")
+    from elb_log_to_mysql_spark.functions.numeric import davg
+
+    return (
+        ranked.groupBy("requested_path")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum(is_err).alias("n_errors"),
+            F.sum(F.col("received_bytes") + F.col("sent_bytes")).alias(
+                "total_bytes"
+            ),
+            davg("total_processing_time_ms").alias("mean_time_ms"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(F.lit(0.95) * F.col("cnt")).cast("long"),
+                    F.col("total_processing_time_ms"),
+                )
+            ).alias("p95_time_ms"),
+        )
+        .select(
+            "requested_path",
+            "n_requests",
+            "n_errors",
+            (F.col("n_errors").cast("double") / F.col("n_requests")).alias(
+                "error_rate"
+            ),
+            "total_bytes",
+            "mean_time_ms",
+            "p95_time_ms",
+        )
+    )
+
+
 # ===========================================================================
 # Reference-surface P12 parity: the exact uap-core resolution path
 # (pandas UDF over the vendored database) checked cross-engine
