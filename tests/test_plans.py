@@ -238,3 +238,33 @@ def test_hive_partition_pruning(spark, sf_dir, tmp_path):
     all_parts, all_files = scan_metrics(full)
     assert pruned_parts == 1 and all_parts == n_dates
     assert pruned_files < all_files
+
+
+def test_elb_url_stats_single_exchange(spark, sf_dir):
+    """The dashboard rollup must add exactly ONE shuffle to the parse
+    chain: the rank window and the final agg share the requested_path
+    hash partitioning, and the whole path stays JVM-side. A second
+    exchange here doubles the shuffle volume of the log-analytics
+    query shape at 100 TB."""
+    from elb_log_to_mysql_spark.queries import QUERIES
+
+    rep = _report(QUERIES["elb_url_stats"](spark, sf_dir))
+    assert rep["exchanges"] == 1, rep["exchanges"]
+    assert rep["python_evals"] == 0
+    assert rep["partial_aggs"] >= 1  # count/sum combine map-side
+
+
+def test_lm_perplexity_filter_stays_jvm_side(spark, sf_dir):
+    """The LM gate reads only the columns it needs, keeps every
+    probability/log in codegen (no Python eval), and broadcasts the
+    two scalar frames (|vocab|, keep threshold) instead of shuffling
+    the corpus against them."""
+    from elb_log_to_mysql_spark.queries import QUERIES
+
+    rep = _report(QUERIES["lm_perplexity_filter"](spark, sf_dir))
+    assert rep["python_evals"] == 0
+    assert rep["sortmerge_joins"] == 0
+    assert rep["broadcast_joins"] >= 2  # vocab scalar + threshold
+    assert rep["read_schemas"] and all(
+        "text" in s or s == "struct<>" for s in rep["read_schemas"]
+    )
