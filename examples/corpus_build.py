@@ -42,6 +42,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from elb_log_to_mysql_spark.operators.pipeline import (  # noqa: E402
     corpus_pipeline,
     curation_audit,
@@ -142,9 +144,34 @@ def main(argv: list[str] | None = None) -> int:
     audit_path = os.path.join(args.output, "audit.parquet")
     selection.write.mode("overwrite").parquet(sel_path)
     audit.write.mode("overwrite").parquet(audit_path)
+    # Emit the incremental-cadence handoff alongside the selection:
+    # pool.parquet is the one-shot ACCEPTED set (quality-kept dedup
+    # survivors that cleared decontamination — exactly what folding
+    # batches through incremental_accept converges to, per its
+    # equivalence contract), with ORIGINAL document columns as the
+    # pool schema requires; benchmark.parquet materializes the
+    # bench_mod slice the bootstrap decontaminated against, so the
+    # next run is simply:
+    #   --existing <output>/pool.parquet --benchmark <output>/benchmark.parquet
+    # Without these the advertised incremental mode had no entry
+    # point from a bootstrap build.
+    pool_path = os.path.join(args.output, "pool.parquet")
+    bench_path = os.path.join(args.output, "benchmark.parquet")
+    eligible = spark.read.parquet(audit_path).filter(
+        "dedup_survivor AND decontaminated"
+    ).select("doc_id")
+    docs.join(eligible, "doc_id").write.mode("overwrite").parquet(pool_path)
+    docs.filter(
+        (F.col("doc_id") % args.bench_mod) == 0
+    ).write.mode("overwrite").parquet(bench_path)
     n_sel = spark.read.parquet(sel_path).count()
     n_all = spark.read.parquet(audit_path).count()
-    print(f"selected {n_sel} of {n_all} docs -> {sel_path}")
+    n_pool = spark.read.parquet(pool_path).count()
+    print(
+        f"selected {n_sel} of {n_all} docs -> {sel_path} "
+        f"(pool {n_pool} -> {pool_path}; next run: --existing {pool_path} "
+        f"--benchmark {bench_path})"
+    )
     spark.stop()
     return 0
 
