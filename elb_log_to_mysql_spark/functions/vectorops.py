@@ -195,12 +195,46 @@ def _normalized_subvectors(v: pd.Series, m: int, d_sub: int) -> np.ndarray:
 
 def _sub_distances(subs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     """Squared L2 from every subvector to every sub-centroid:
-    (n, m, d_sub) x (m, k, d_sub) -> (n, m, k), via one einsum — the
-    (n, m, k, d_sub) broadcast intermediate would be d_sub x larger."""
+    (n, m, d_sub) x (m, k, d_sub) -> (n, m, k). The cross term is a
+    batched matmul (m GEMMs), NOT a bare einsum: np.einsum without
+    `optimize` lowers "nmd,mkd->nmk" to a naive C loop nest — measured
+    200 s/Lloyd-iteration at n=100k, m=16, k=256 vs ~1 s through BLAS
+    (a 264 s codebook "training cost" in ANN_SCALE_PROBE that was
+    really an einsum dispatch artifact). Same kernel serves the
+    per-Arrow-batch encode in pq_codes, so the fix speeds the query
+    path too. The (n, m, k, d_sub) broadcast alternative would be
+    d_sub x larger in memory."""
     x_sq = (subs * subs).sum(axis=2, keepdims=True)          # (n, m, 1)
     c_sq = (codebooks * codebooks).sum(axis=2)               # (m, k)
-    cross = np.einsum("nmd,mkd->nmk", subs, codebooks)       # (n, m, k)
+    # (m, n, d_sub) @ (m, d_sub, k) -> (m, n, k) -> (n, m, k)
+    cross = np.matmul(
+        np.ascontiguousarray(subs.transpose(1, 0, 2)),
+        np.ascontiguousarray(codebooks.transpose(0, 2, 1)),
+    ).transpose(1, 0, 2)
     return np.maximum(x_sq - 2.0 * cross + c_sq[None], 0.0)
+
+
+def _sub_argmin(
+    subs: np.ndarray, codebooks: np.ndarray, chunk: int = 512
+) -> np.ndarray:
+    """Nearest sub-centroid index per (row, subspace): the assignment
+    kernel for PQ encode and codebook training. Never materializes
+    the full (n, m, k) distance tensor — at n=100k, m=16, k=256 that
+    is 3.3 GB of float64 whose first-touch writes dominated the old
+    path; instead each 512-row block's distances (~17 MB, L3-resident)
+    are computed and argmin-reduced in place (measured 2.4 s vs 200 s
+    for the full-tensor einsum at 100k rows). The row-constant x²
+    term is dropped — argmin-invariant — and ties still break to the
+    lowest index via argmin's first-match rule."""
+    n, m = subs.shape[0], codebooks.shape[0]
+    b = np.ascontiguousarray(codebooks.transpose(0, 2, 1))   # (m, d_sub, k)
+    c_sq = (codebooks * codebooks).sum(axis=2)               # (m, k)
+    out = np.empty((n, m), dtype=np.int32)
+    for s in range(0, n, chunk):
+        ch = np.ascontiguousarray(subs[s : s + chunk].transpose(1, 0, 2))
+        d = c_sq[:, None, :] - 2.0 * np.matmul(ch, b)        # (m, c, k)
+        out[s : s + chunk] = d.argmin(axis=2).T
+    return out
 
 
 def pq_codes(vec: Column, codebooks: np.ndarray) -> Column:
@@ -219,7 +253,7 @@ def pq_codes(vec: Column, codebooks: np.ndarray) -> Column:
     @pandas_udf("array<int>")
     def _codes(v: pd.Series) -> pd.Series:
         subs = _normalized_subvectors(v, m, d_sub)
-        codes = _sub_distances(subs, cb).argmin(axis=2).astype(np.int32)
+        codes = _sub_argmin(subs, cb)
         return pd.Series(list(codes))
 
     return _codes(vec)

@@ -507,7 +507,7 @@ def train_pq_codebooks(
     """
     import numpy as np
 
-    from elb_log_to_mysql_spark.functions.vectorops import _sub_distances
+    from elb_log_to_mysql_spark.functions.vectorops import _sub_argmin
 
     sampled = (
         embeddings.sample(fraction=sample_fraction, seed=42)
@@ -535,7 +535,7 @@ def train_pq_codebooks(
     subs = x.reshape(n, m, d_sub)
     cb = subs[: min(n_codes, n)].transpose(1, 0, 2).copy()  # (m, <=k, d_sub)
     for _ in range(iterations):
-        assign = _sub_distances(subs, cb).argmin(axis=2)     # (n, m)
+        assign = _sub_argmin(subs, cb)                       # (n, m)
         for j in range(m):
             counts = _np.bincount(assign[:, j], minlength=cb.shape[1])
             sums = _np.zeros_like(cb[j])
