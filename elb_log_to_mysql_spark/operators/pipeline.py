@@ -868,6 +868,54 @@ def curriculum_bins(
     )
 
 
+def domain_cap(
+    documents: DataFrame,
+    cap: int = 50,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Quality-ranked per-source cap (the RefinedWeb/FineWeb domain
+    diversity stage): within each source keep at most `cap`
+    documents, choosing the HIGHEST-quality ones — ties break to the
+    lowest doc_id. Distinct from `mixture_sample`, whose quotas pick
+    uniformly in hash order; this stage is the anti-dominance filter
+    that stops one boilerplate-heavy domain from flooding the mix
+    with its worst pages. Emits every input doc with its per-source
+    quality rank and a `kept` flag, so the drop set is auditable.
+
+    The per-source rank would naively be a stratum-wide sort window
+    (one task per domain — and real web domains are exactly the
+    skewed stratum where that dies). The composite Gopher-style
+    quality score takes only 6 discrete values, so the rank reuses
+    `_stratified_bucketed_rank` with the inverted score decile as
+    the bucket: every heavy stage is bounded by (source, score-level)
+    group size, never source size — same scale argument as
+    `curriculum_bins`/`mixture_sample`.
+    """
+    from elb_log_to_mysql_spark.operators.textops import text_stats
+
+    scored = text_stats(documents).select("doc_id", "quality_score")
+    base = (
+        ensure_min_partitions(documents)
+        .select("doc_id", F.col(strata_col).alias("_st"))
+        .join(scored, "doc_id")
+    )
+    # score ∈ {0, .3, .4, .6, .7, 1.0}: bucket = 10 - round(10·score)
+    # sorts ascending exactly as score sorts descending
+    bucketed = base.withColumn(
+        "_qb", (F.lit(10) - F.round(F.col("quality_score") * 10)).cast("int")
+    )
+    ranked = _stratified_bucketed_rank(
+        bucketed, "_st", "_qb", ["doc_id"], "_rank0"
+    )
+    return ranked.select(
+        "doc_id",
+        F.col("_st").alias(strata_col),
+        "quality_score",
+        (F.col("_rank0") + 1).alias("src_rank"),
+        (F.col("_rank0") < cap).alias("kept"),
+    )
+
+
 def curation_audit(
     documents: DataFrame,
     quotas: dict[str, int],

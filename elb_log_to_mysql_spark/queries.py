@@ -5840,6 +5840,50 @@ def q_embedding_quantize(spark, sf_dir):
 
 
 @_q(
+    "domain_cap",
+    r"""
+    WITH q AS (
+      SELECT doc_id, source,
+             string_split(lower(trim(text)), ' ') AS toks,
+             CAST(LENGTH(text) AS INT) AS n_chars_m,
+             CAST(LENGTH(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                  AS INT) AS punct
+      FROM documents
+    ), score AS (
+      SELECT doc_id, source,
+             CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN punct / greatest(n_chars_m, 1) < 0.2
+                    THEN 0.3 ELSE 0.0 END
+             + CASE WHEN len(list_filter(toks, t -> list_contains(
+                   ['the','and','of','to','in','is','that','for','with','a'],
+                   t))) / greatest(len(toks), 1) > 0.05
+                    THEN 0.3 ELSE 0.0 END AS quality_score
+      FROM q
+    )
+    SELECT doc_id, source, quality_score,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY quality_score DESC, doc_id)
+             AS src_rank,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY quality_score DESC, doc_id)
+             <= 50 AS kept
+    FROM score
+    """,
+)
+def q_domain_cap(spark, sf_dir):
+    """Quality-ranked per-source cap (RefinedWeb-style domain
+    diversity): keep the top-50 highest-Gopher-score docs per source,
+    ties to the lowest doc_id; every doc emitted with its rank and a
+    kept flag (operators/pipeline.py:domain_cap). The rank avoids the
+    stratum-wide sort window via the bucketed-rank decomposition over
+    the score's 6 discrete levels — the oracle replays it as the
+    ROW_NUMBER it is semantically equal to."""
+    from elb_log_to_mysql_spark.operators.pipeline import domain_cap
+
+    return domain_cap(_t(spark, sf_dir, "documents"), cap=50)
+
+
+@_q(
     "semantic_dedup_quality",
     r"""
     WITH RECURSIVE edges AS (

@@ -511,6 +511,32 @@ def test_curriculum_bins_monotone_and_balanced(spark, sf_dir):
         assert max(sizes.values()) - min(sizes.values()) <= 1, lang
 
 
+def test_domain_cap_matches_bruteforce(spark, sf_dir):
+    """The bucketed-rank cap must equal the naive per-source sort by
+    (quality_score desc, doc_id): exact rank match, kept = top-cap,
+    every input doc emitted exactly once."""
+    from elb_log_to_mysql_spark.operators.textops import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 7
+    out = {r.doc_id: r for r in pipeline.domain_cap(docs, cap=cap).collect()}
+    assert len(out) == docs.count()
+    scores = {
+        r.doc_id: r.quality_score
+        for r in text_stats(docs).select("doc_id", "quality_score").collect()
+    }
+    import collections
+    by_src = collections.defaultdict(list)
+    for r in docs.select("doc_id", "source").collect():
+        by_src[r.source].append(r.doc_id)
+    for src, ids in by_src.items():
+        ids.sort(key=lambda d: (-scores[d], d))
+        for rank0, d in enumerate(ids):
+            assert out[d].src_rank == rank0 + 1, (src, d)
+            assert out[d].kept == (rank0 < cap), (src, d)
+            assert out[d].quality_score == scores[d], d
+
+
 def test_curation_audit_consistent_with_pipeline(spark, sf_dir):
     """The audit's `selected` flag must equal corpus_pipeline's
     output set, every doc appears exactly once, and the stage
