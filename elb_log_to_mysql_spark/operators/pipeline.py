@@ -575,6 +575,77 @@ def mixture_sample(
     return ranked.filter(F.col("mix_rank") < quota).drop("_skey", "_bkt")
 
 
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    budgets: dict[str, int],
+    salt: str = "seed42",
+    text_col: str = "text",
+) -> DataFrame:
+    """TOKEN-budget mixture sampling: per stratum, take documents in
+    deterministic md5(key|salt) order until the stratum's token
+    budget is filled. Training mixes are token budgets ("300 B web
+    tokens + 30 B code tokens"), not document counts — this is
+    `mixture_sample`'s semantics with the quota measured in the unit
+    the training run actually consumes. A document is selected iff
+    the tokens taken BEFORE it are still under budget, so the doc
+    that crosses the boundary is included and the fill never
+    undershoots; strata absent from `budgets` are dropped.
+
+    Same scale shape as `_bucketed_global_cumsum`, stratified: the
+    hash's 2-hex-char prefix gives 256 key-range buckets per stratum
+    — per-(stratum, bucket) token totals, an exclusive prefix-sum
+    over the ≤256 bucket totals per stratum, and a bucket-local
+    running sum. No stratum-wide sort window (web IS the skewed
+    stratum), and the selection is a pure function of
+    (key, salt, budgets) — partitioning-invariant, so the emitted
+    `tokens_before` column replays exactly in the SQL oracle's
+    ROWS-window formulation.
+    """
+    from elb_log_to_mysql_spark.operators.dedup import ws_tokens
+
+    n_tok = F.size(ws_tokens(F.col(text_col))).cast("long")
+    base = ensure_min_partitions(df).select(
+        key_col, strata_col, n_tok.alias("n_tokens")
+    )
+    skey = F.md5(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
+    keyed = base.withColumn("_skey", skey).withColumn(
+        "_bkt", F.substring("_skey", 1, 2)
+    )
+    totals = keyed.groupBy(strata_col, "_bkt").agg(
+        F.sum("n_tokens").alias("_btotal")
+    )
+    offsets = totals.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_btotal").over(
+                Window.partitionBy(strata_col)
+                .orderBy("_bkt")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select(strata_col, "_bkt", "_offset")
+    local = F.sum("n_tokens").over(
+        Window.partitionBy(strata_col, "_bkt")
+        .orderBy("_skey", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget: Column = F.lit(0)
+    for stratum, b in budgets.items():
+        budget = F.when(F.col(strata_col) == stratum, F.lit(b)).otherwise(budget)
+    return (
+        keyed.join(F.broadcast(offsets), [strata_col, "_bkt"])
+        .withColumn(
+            "tokens_before",
+            (F.col("_offset") + F.coalesce(local, F.lit(0))).cast("long"),
+        )
+        .filter(F.col("tokens_before") < budget)
+        .select(key_col, strata_col, "n_tokens", "tokens_before")
+    )
+
+
 def source_overlap(
     documents: DataFrame,
     strata_col: str = "source",

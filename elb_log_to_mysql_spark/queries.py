@@ -5192,6 +5192,51 @@ def q_asof_join_forward(spark, sf_dir):
 
 
 @_q(
+    "token_budget_sample",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|seed42'), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS tokens_before
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, tokens_before
+    FROM cum
+    WHERE tokens_before < CASE source
+                            WHEN 'src0' THEN 3000
+                            WHEN 'src1' THEN 8000
+                            WHEN 'src2' THEN 1000000000
+                            ELSE 0 END
+    """,
+)
+def q_token_budget_sample(spark, sf_dir):
+    """TOKEN-budget training mix: fill 3k tokens of src0, 8k of src1,
+    all of src2 (budget exceeds the stratum), drop src3 (no budget) —
+    mixture_sample's semantics in the unit a training run actually
+    consumes, selected in deterministic md5(key|salt) order. The
+    per-stratum running token total comes from the stratified
+    bucketed prefix-sum (no stratum-wide sort window); the emitted
+    tokens_before replays exactly in the oracle's ROWS-window cumsum
+    (operators/pipeline.py:token_budget_sample)."""
+    from elb_log_to_mysql_spark.operators.pipeline import token_budget_sample
+
+    return token_budget_sample(
+        _t(spark, sf_dir, "documents"),
+        strata_col="source",
+        key_col="doc_id",
+        budgets={"src0": 3000, "src1": 8000, "src2": 10**9},
+    )
+
+
+@_q(
     "mixture_sample",
     r"""
     WITH ranked AS (

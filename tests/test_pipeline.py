@@ -511,6 +511,49 @@ def test_curriculum_bins_monotone_and_balanced(spark, sf_dir):
         assert max(sizes.values()) - min(sizes.values()) <= 1, lang
 
 
+def test_token_budget_sample_matches_bruteforce(spark, sf_dir):
+    """The stratified bucketed cumsum fill must equal the naive
+    per-source greedy fill in md5(key|salt) order: same selected set,
+    same tokens_before, the boundary-crossing doc included (fill
+    never undershoots a budget the stratum can cover)."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = {"src0": 2000, "src1": 5000}
+    out = {
+        r.doc_id: r
+        for r in pipeline.token_budget_sample(
+            docs, "source", "doc_id", budgets
+        ).collect()
+    }
+    rows = docs.select("doc_id", "source", "text").collect()
+    import collections
+    by_src = collections.defaultdict(list)
+    for r in rows:
+        n_tok = len([t for t in __import__("re").split(r"\s+", r.text.lower()) if t])
+        h = hashlib.md5(f"{r.doc_id}|seed42".encode()).hexdigest()
+        by_src[r.source].append((h, r.doc_id, n_tok))
+    want = {}
+    for src, budget in budgets.items():
+        cum = 0
+        for h, d, n in sorted(by_src[src]):
+            if cum < budget:
+                want[d] = (src, n, cum)
+            cum += n
+    assert set(out) == set(want)
+    for d, (src, n, before) in want.items():
+        r = out[d]
+        assert (r.source, r.n_tokens, r.tokens_before) == (src, n, before), d
+    # never undershoots: selected tokens reach each budget (or the
+    # whole stratum), because the crossing doc is included
+    got_tok = collections.Counter()
+    for r in out.values():
+        got_tok[r.source] += r.n_tokens
+    for src, budget in budgets.items():
+        stratum_total = sum(n for _, _, n in by_src[src])
+        assert got_tok[src] >= min(budget, stratum_total), src
+
+
 def test_domain_cap_matches_bruteforce(spark, sf_dir):
     """The bucketed-rank cap must equal the naive per-source sort by
     (quality_score desc, doc_id): exact rank match, kept = top-cap,
