@@ -407,6 +407,13 @@ def main() -> None:
         # just the invariant checks above
         "mixture_sample", "source_overlap", "unigram_prevalence",
         "kmeans_embeddings",
+        # round-8 additions: the LM gate (Zipf-skew join family),
+        # the parse-chain dashboard rollup (synthetic-input, but its
+        # one-exchange window+agg plan runs here under replica
+        # parallelism), and both budgeted-mix stages (stratified
+        # bucketed rank/cumsum at 10x stratum volume)
+        "lm_perplexity_filter", "elb_url_stats", "domain_cap",
+        "token_budget_sample",
     ]
     if factor <= 10:
         # Full-chain SQL replays of the flagship build (and its
