@@ -262,6 +262,30 @@ def spark_case_sql(
     return f"CASE {joined} ELSE {_spark_sql_quote(default)} END"
 
 
+def _assert_default_string_literals() -> None:
+    """Fail loudly if the session parses string literals in legacy
+    mode. :func:`_spark_sql_quote` doubles backslashes assuming the
+    default parser (``spark.sql.parser.escapedStringLiterals=false``);
+    under the legacy conf every regex in the rendered CASE would keep
+    its doubled backslashes and the whole UA ladder would silently
+    match nothing — every agent classified Other/generic-tail with no
+    error. Better to refuse than to misclassify."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    conf = spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    if str(conf).lower() == "true":
+        raise RuntimeError(
+            "spark.sql.parser.escapedStringLiterals=true: the rendered "
+            "UA CASE ladder assumes the default literal parser; with "
+            "the legacy conf its escaped regexes would silently match "
+            "nothing. Unset the conf or pass a Column to "
+            "compile_when_ladder to use the F.when construction path."
+        )
+
+
 def compile_when_ladder(
     ua: Column | str,
     parsers: tuple[UAEntry, ...],
@@ -283,6 +307,7 @@ def compile_when_ladder(
     back to the chained-``when`` construction (hundreds of py4j
     calls — fine for tests, avoid in hot query-build paths)."""
     if isinstance(ua, str):
+        _assert_default_string_literals()
         quoted = "`" + ua.replace("`", "``") + "`"
         return F.expr(spark_case_sql(quoted, parsers, blank_family, default))
     c = ua

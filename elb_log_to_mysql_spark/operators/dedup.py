@@ -699,10 +699,30 @@ def simhash_near_pairs(
     return unpersist_on_gc(out, fp)
 
 
-# (app id, analyzed-plan semantic hash, source files) -> max exact-
-# fingerprint multiplicity; see the derivation note in
+# (app id, analyzed-plan semantic hash, (file, mtime) stamps) -> max
+# exact-fingerprint multiplicity; see the derivation note in
 # simhash_candidates. Bounded by distinct corpora probed per session.
 _SIMHASH_DENSITY_CACHE: dict[tuple, int] = {}
+
+
+def _file_stamp(uri: str) -> int | None:
+    """mtime_ns of a (possibly file://-prefixed) input file, or None.
+
+    Folded into _SIMHASH_DENSITY_CACHE keys so an in-place overwrite
+    that keeps the same file names invalidates the memoized density
+    factor (same contract as sources/tables.py _source_stamp).
+    """
+    import os
+
+    path = uri
+    if path.startswith("file:"):
+        path = path[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+    try:
+        return os.stat(path).st_mtime_ns
+    except OSError:
+        return None
 
 
 def simhash_candidates(
@@ -754,8 +774,14 @@ def simhash_candidates(
             # files pin the data's identity across overwrites; the
             # analyzed plan's semantic hash distinguishes different
             # SLICES of the same files (a filtered subset must not
-            # reuse the full corpus's density factor)
-            files = tuple(sorted(documents.inputFiles()))
+            # reuse the full corpus's density factor). File names
+            # alone don't survive in-place overwrites that keep the
+            # same names (non-Spark writers, fixed-name generators),
+            # so each file's mtime_ns is folded in too — mirroring
+            # sources/tables.py's _source_stamp.
+            files = tuple(
+                sorted((f, _file_stamp(f)) for f in documents.inputFiles())
+            )
             sem = documents._jdf.queryExecution().analyzed().semanticHash()
             key = (sc.applicationId, sem, files) if files else None
         except Exception:  # noqa: BLE001 — in-memory frames: no key

@@ -14,12 +14,16 @@ entropy coding, JFIF container):
   to build deterministic fixtures; the bytes are a spec-valid JFIF
   file any external viewer can open.
 - :func:`decode_pixels` — a general baseline decoder: marker parse
-  (DQT/SOF0/DHT/DRI/SOS, APPn/COM skipped), Huffman entropy decode
+  (DQT/SOF0/DHT/DRI/SOS, APPn/COM skipped, 0xFF fill bytes and
+  standalone TEM/RSTn markers per B.1.1.2), Huffman entropy decode
   with 0xFF00 unstuffing and RSTn handling, DC prediction, dequant,
   de-zigzag, separable inverse DCT, level shift + clamp, partial-MCU
-  crop; 1-component (grayscale) and 3-component 4:4:4 YCbCr→RGB.
-  Progressive (SOF2) and subsampled streams are rejected loudly —
-  this is a baseline codec, and says so.
+  crop; 1-component (grayscale) and 3-component YCbCr→RGB at any
+  integer-ratio sampling — 4:4:4, 4:2:2, and the dominant wild-JPEG
+  layout 4:2:0 (interleaved H x V data units per MCU, chroma
+  upsampled by sample replication). Progressive (SOF2) and
+  non-integer sampling ratios are rejected loudly — this is a
+  baseline sequential codec, and says so.
 
 Everything here derives from the published spec; the Huffman tables
 are NOT the Annex K examples but canonical tables computed from the
@@ -146,10 +150,17 @@ def _marker(tag: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, tag, len(body) + 2) + body
 
 
-def _pad_replicate(plane: np.ndarray) -> np.ndarray:
+def _pad_replicate(
+    plane: np.ndarray, th: int | None = None, tw: int | None = None
+) -> np.ndarray:
+    """Replicate-pad `plane` to (th, tw) — default: up to whole 8x8
+    blocks; interleaved encodes pass the MCU-grid dims instead."""
     h, w = plane.shape
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    if th is None:
+        th = ((h + 7) // 8) * 8
+    if tw is None:
+        tw = ((w + 7) // 8) * 8
+    padded = np.empty((th, tw), dtype=np.float64)
     padded[:h, :w] = plane
     padded[h:, :w] = plane[-1:, :]
     padded[:h, w:] = padded[:h, w - 1 : w]
@@ -194,20 +205,26 @@ def _write_block(writer: _BitWriter, qc: np.ndarray, prev_dc: int) -> int:
     return dc
 
 
-def _container(h: int, w: int, n_comp: int, q: np.ndarray, scan: bytes) -> bytes:
+def _container(
+    h: int,
+    w: int,
+    sampling: list[tuple[int, int]],
+    q: np.ndarray,
+    scan: bytes,
+) -> bytes:
     qt_zz = bytes(int(q[r, c]) for (r, c) in _ZIGZAG)
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _marker(0xDB, b"\x00" + qt_zz)  # DQT, 8-bit, id 0
-    sof = struct.pack(">BHHB", 8, h, w, n_comp)
-    for cid in range(1, n_comp + 1):
-        sof += bytes([cid, 0x11, 0])  # 1x1 sampling, qtable 0
+    sof = struct.pack(">BHHB", 8, h, w, len(sampling))
+    for cid, (hi, vi) in enumerate(sampling, start=1):
+        sof += bytes([cid, (hi << 4) | vi, 0])  # sampling, qtable 0
     out += _marker(0xC0, sof)
     out += _marker(0xC4, bytes([0x00] + _DC_BITS) + bytes(_DC_HUFFVAL))
     out += _marker(0xC4, bytes([0x10] + _AC_BITS) + bytes(_AC_HUFFVAL))
-    sos = bytes([n_comp])
-    for cid in range(1, n_comp + 1):
+    sos = bytes([len(sampling)])
+    for cid in range(1, len(sampling) + 1):
         sos += bytes([cid, 0x00])
     sos += bytes([0, 63, 0])
     out += _marker(0xDA, sos)
@@ -216,23 +233,52 @@ def _container(h: int, w: int, n_comp: int, q: np.ndarray, scan: bytes) -> bytes
     return bytes(out)
 
 
-def _encode_planes(planes: list[np.ndarray], q: np.ndarray) -> bytes:
+def _encode_planes(
+    planes: list[np.ndarray],
+    q: np.ndarray,
+    sampling: list[tuple[int, int]] | None = None,
+) -> bytes:
+    """Interleaved baseline encode. `sampling` gives each plane's
+    (H, V) factors; planes arrive at their OWN resolution (chroma
+    already downsampled) and plane 0 must carry the max factors (its
+    shape defines the frame dims). Default: all 1x1 (no subsampling,
+    one block per component per MCU — the 4:4:4 / grayscale walk)."""
+    if sampling is None:
+        sampling = [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    if sampling[0] != (hmax, vmax):
+        raise ValueError("plane 0 must carry the max sampling factors")
     h, w = planes[0].shape
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    padded = [_pad_replicate(p) for p in planes]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        _pad_replicate(p, mcuy * vi * 8, mcux * hi * 8)
+        for p, (hi, vi) in zip(planes, sampling)
+    ]
     writer = _BitWriter()
     preds = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
+    # T.81 A.2.3 MCU walk: per MCU, each component contributes its
+    # H x V data units in raster order, components in frame order.
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, plane in enumerate(padded):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                # the orthonormal 2-D DCT IS the spec's FDCT scaling: a
-                # constant block of value v yields exactly 8*(v-128) at DC
-                coef = _C @ block @ _C.T
-                qc = np.rint(coef / q).astype(np.int64)
-                preds[ci] = _write_block(writer, qc, preds[ci])
+                hi, vi = sampling[ci]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        by, bx = my * vi + vy, mx * hi + vx
+                        block = (
+                            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                            - 128.0
+                        )
+                        # the orthonormal 2-D DCT IS the spec's FDCT
+                        # scaling: a constant block of value v yields
+                        # exactly 8*(v-128) at DC
+                        coef = _C @ block @ _C.T
+                        qc = np.rint(coef / q).astype(np.int64)
+                        preds[ci] = _write_block(writer, qc, preds[ci])
     writer.flush()
-    return _container(h, w, len(planes), q, bytes(writer.out))
+    return _container(h, w, sampling, q, bytes(writer.out))
 
 
 def encode_gray(pixels: np.ndarray, qtab: np.ndarray | None = None) -> bytes:
@@ -254,6 +300,33 @@ def encode_rgb444(rgb: np.ndarray, qtab: np.ndarray | None = None) -> bytes:
     cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
     cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
     return _encode_planes([y, cb, cr], q)
+
+
+def encode_rgb420(rgb: np.ndarray, qtab: np.ndarray | None = None) -> bytes:
+    """Encode an 8-bit RGB image (H x W x 3 uint8) as baseline JFIF
+    with 4:2:0 chroma subsampling — Y at 2x2 sampling (full
+    resolution), Cb/Cr at 1x1 (each chroma sample a 2x2-pixel box
+    average), interleaved 16x16-pixel MCUs of 4 Y + 1 Cb + 1 Cr data
+    units. This is the dominant wild-JPEG layout; the encoder exists
+    to build deterministic fixtures that exercise the decoder's
+    subsampled-MCU walk and chroma upsampling."""
+    q = _DEFAULT_QTAB if qtab is None else np.asarray(qtab, dtype=np.int64)
+    a = np.asarray(rgb, dtype=np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def down2(p: np.ndarray) -> np.ndarray:
+        hh, ww = p.shape
+        p2 = _pad_replicate(p, hh + hh % 2, ww + ww % 2)
+        return (
+            p2[0::2, 0::2] + p2[0::2, 1::2] + p2[1::2, 0::2] + p2[1::2, 1::2]
+        ) / 4.0
+
+    return _encode_planes(
+        [y, down2(cb), down2(cr)], q, [(2, 2), (1, 1), (1, 1)]
+    )
 
 
 def make_block_jpeg_bytes(width: int, height: int, block_base: int) -> bytes:
@@ -360,7 +433,8 @@ def decode_pixels(payload: bytes) -> tuple:
     """Decode a baseline JFIF/JPEG stream. Returns (width, height,
     n_components, pixel_sum, n_samples) where pixel_sum is over the
     decoded (cropped) samples — grayscale levels, or RGB after the
-    T.871 YCbCr conversion for 3-component 4:4:4 streams."""
+    T.871 YCbCr conversion for 3-component streams (4:4:4, 4:2:2,
+    4:2:0 and any other integer-ratio sampling)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -373,9 +447,16 @@ def decode_pixels(payload: bytes) -> tuple:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         tag = payload[pos + 1]
         if tag == 0xD9:  # EOI
             break
+        if tag == 0x01 or 0xD0 <= tag <= 0xD7:
+            # TEM / standalone RSTn: length-less markers, skip
+            pos += 2
+            continue
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
@@ -396,9 +477,9 @@ def decode_pixels(payload: bytes) -> tuple:
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
-                    raise ValueError("subsampling unsupported (baseline 4:4:4 only)")
-                comps.append({"id": cid, "tq": tq})
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
             frame = {"w": w, "h": h, "comps": comps}
         elif tag == 0xC2:
             raise ValueError("progressive JPEG unsupported (baseline codec)")
@@ -427,48 +508,111 @@ def decode_pixels(payload: bytes) -> tuple:
         raise ValueError("missing SOF0/SOS")
 
     w, h = frame["w"], frame["h"]
-    bw, bh = (w + 7) // 8, (h + 7) // 8
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError("invalid sampling factors")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError(
+                "non-integer subsampling ratio unsupported "
+                f"(factors {c['h']}x{c['v']} vs max {hmax}x{vmax})"
+            )
+    scomps = scan["comps"]
+    if len(scomps) == 1 and len(comps) > 1:
+        raise ValueError(
+            "multi-scan non-interleaved streams unsupported "
+            "(baseline interleaved decoder)"
+        )
+    if len(scomps) == 1:
+        # Non-interleaved scan (T.81 A.2.2): the MCU is ONE data unit
+        # of the sole component, walked over its own block grid. With
+        # a single frame component its plane IS the image, whatever
+        # the declared factors (some grayscale encoders write 0x22).
+        comp = by_id[scomps[0]["id"]]
+        cw = -(-(w * comp["h"]) // hmax)  # component's own width
+        ch = -(-(h * comp["v"]) // vmax)
+        mcux, mcuy = -(-cw // 8), -(-ch // 8)
+        layout = [(scomps[0], comp, 1, 1)]
+        plane_dims = {comp["id"]: (mcuy * 8, mcux * 8)}
+    else:
+        # Interleaved scan (T.81 A.2.3): each MCU carries H_i x V_i
+        # data units per component, components in scan order.
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        layout = [
+            (sc, by_id[sc["id"]], by_id[sc["id"]]["h"], by_id[sc["id"]]["v"])
+            for sc in scomps
+        ]
+        plane_dims = {
+            c["id"]: (mcuy * c["v"] * 8, mcux * c["h"] * 8) for c in comps
+        }
+    planes = {
+        cid: np.zeros(dims, dtype=np.float64)
+        for cid, dims in plane_dims.items()
+    }
     reader = _BitReader(payload[scan["data_at"] :])
-    preds = [0] * len(comps)
+    preds = {sc["id"]: 0 for sc in scomps}
     mcu = 0
-    for by in range(bh):
-        for bx in range(bw):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader.sync_to_restart()
-                preds = [0] * len(comps)
-            for ci, sc in enumerate(scan["comps"]):
-                comp = by_id[sc["id"]]
+                preds = {k: 0 for k in preds}
+            for sc, comp, hi, vi in layout:
                 dc_t, ac_t = dc_tables[sc["td"]], ac_tables[sc["ta"]]
                 q = qtabs[comp["tq"]]
-                size = _huff_decode(reader, dc_t)
-                diff = _extend(reader.read_bits(size), size) if size else 0
-                preds[ci] += diff
-                coef = np.zeros((8, 8), dtype=np.float64)
-                coef[0, 0] = preds[ci] * q[0, 0]
-                k = 1
-                while k < 64:
-                    sym = _huff_decode(reader, ac_t)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0xF
-                    k += run
-                    if k >= 64:
-                        raise ValueError("AC index overflow")
-                    v = _extend(reader.read_bits(size), size)
-                    r, c = _ZIGZAG[k]
-                    coef[r, c] = v * q[r, c]
-                    k += 1
-                block = _C.T @ coef @ _C + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+                plane = planes[comp["id"]]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        size = _huff_decode(reader, dc_t)
+                        diff = (
+                            _extend(reader.read_bits(size), size)
+                            if size
+                            else 0
+                        )
+                        preds[comp["id"]] += diff
+                        coef = np.zeros((8, 8), dtype=np.float64)
+                        coef[0, 0] = preds[comp["id"]] * q[0, 0]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_t)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            k += run
+                            if k >= 64:
+                                raise ValueError("AC index overflow")
+                            v = _extend(reader.read_bits(size), size)
+                            r, c = _ZIGZAG[k]
+                            coef[r, c] = v * q[r, c]
+                            k += 1
+                        block = _C.T @ coef @ _C + 128.0
+                        by, bx = my * vi + vy, mx * hi + vx
+                        plane[
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = block
             mcu += 1
 
-    cropped = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
+    # Upsample subsampled components by sample replication (JFIF
+    # leaves the upsampling filter unspecified; nearest-neighbor is
+    # exact on the block-constant oracle fixtures), then crop.
+    full = []
+    for c in comps:
+        p = planes[c["id"]]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            p = np.repeat(p, fy, axis=0)
+        if fx > 1:
+            p = np.repeat(p, fx, axis=1)
+        full.append(p)
+    cropped = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in full]
     if len(cropped) == 1:
         samples = cropped[0]
         return w, h, 1, float(samples.sum()), int(samples.size)

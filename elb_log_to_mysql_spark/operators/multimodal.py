@@ -715,6 +715,38 @@ def make_baseline_jpeg_color_bytes(
     return jpegcodec.encode_rgb444(img)
 
 
+def make_baseline_jpeg_420_bytes(
+    width: int, height: int, block_base: int
+) -> bytes:
+    """Deterministic 4:2:0 chroma-subsampled baseline-JFIF fixture
+    (jpegcodec.encode_rgb420): the same gray-valued RGB 8x8-constant
+    blocks as the 4:4:4 color fixture (Y=even level, Cb=Cr=128
+    exactly), but encoded as interleaved 16x16-pixel MCUs of 4 Y +
+    1 Cb + 1 Cr data units — the dominant wild-JPEG layout. The 2x2
+    box downsample of a constant-128 chroma plane is exactly 128 and
+    sample-replication upsampling restores it exactly, so the
+    encode→decode round trip stays integer-exact and the oracle
+    replays decoded means from (width, height, block_base). The four
+    Y blocks inside an MCU carry DIFFERENT levels, so a wrong MCU
+    interleave walk (block order, DC predictor routing, partial-MCU
+    padding) shifts the mean and hash-mismatches."""
+    import numpy as np
+
+    from elb_log_to_mysql_spark.operators import jpegcodec
+
+    bw = (width + 7) // 8
+    img = np.empty((height, width, 3), dtype=np.uint8)
+    for by in range((height + 7) // 8):
+        for bx in range(bw):
+            v = (2 * (block_base + by * bw + bx)) % 256
+            img[
+                by * 8 : min(by * 8 + 8, height),
+                bx * 8 : min(bx * 8 + 8, width),
+                :,
+            ] = v
+    return jpegcodec.encode_rgb420(img)
+
+
 def decode_jpeg_media_vendored(media: DataFrame) -> DataFrame:
     """REAL JPEG decode with the VENDORED baseline codec over Arrow
     batches — the same contract and evidence pattern as

@@ -605,7 +605,16 @@ def token_budget_sample(
     """
     from elb_log_to_mysql_spark.operators.dedup import ws_tokens
 
-    n_tok = F.size(ws_tokens(F.col(text_col))).cast("long")
+    # NULL text counts as 0 tokens: bare size() yields -1 for a NULL
+    # array (legacy sizeOfNull), which would subtract from the running
+    # cumsum and shift tokens_before for every later doc in the
+    # stratum. Pinned to 0 here and as COALESCE(len(...), 0) in the
+    # SQL oracles.
+    n_tok = (
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(ws_tokens(F.col(text_col))))
+        .cast("long")
+    )
     base = ensure_min_partitions(df).select(
         key_col, strata_col, n_tok.alias("n_tokens")
     )

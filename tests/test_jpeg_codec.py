@@ -96,12 +96,96 @@ def test_rejections_are_loud():
     data[idx + 1] = 0xC2
     with pytest.raises(ValueError, match="progressive"):
         jc.decode_pixels(bytes(data))
-    # subsampled SOF: component HV factor != 1x1
-    data = bytearray(jc.make_block_jpeg_bytes(8, 8, 1))
+    # non-integer sampling ratio (Cb at 3x1 vs Y's 2x2 -> hmax=3,
+    # 3 % 2 != 0): must refuse, replication can't upsample 3:2
+    rgb = np.full((16, 16, 3), 100, dtype=np.uint8)
+    data = bytearray(jc.encode_rgb420(rgb))
     idx = bytes(data).find(b"\xff\xc0")
-    data[idx + 11] = 0x22  # HV byte of component 1 (marker+2len+B HH B +id)
-    with pytest.raises(ValueError, match="subsampling"):
+    # SOF body: marker(2) len(2) prec(1) H(2) W(2) nc(1) then comp
+    # triples (id, HV, tq); comp 2's HV byte sits at idx+14
+    data[idx + 14] = 0x31
+    with pytest.raises(ValueError, match="non-integer"):
         jc.decode_pixels(bytes(data))
+
+
+def test_grayscale_with_declared_sampling_factors_decodes():
+    """Some grayscale encoders write HV=0x22 in SOF; a single-
+    component scan is non-interleaved so the factors are moot
+    (T.81 A.2.2) — the decoder must decode it, not reject it."""
+    data = bytearray(jc.make_block_jpeg_bytes(16, 8, 3))
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 11] = 0x22  # HV byte of the sole component
+    W, H, nc, psum, n = jc.decode_pixels(bytes(data))
+    img = _block_image(16, 8, 3)
+    assert (W, H, nc, n) == (16, 8, 1, img.size)
+    assert abs(psum - img.sum()) < 1e-6
+
+
+def test_fill_bytes_and_standalone_markers_skipped():
+    """B.1.1.2 allows any number of 0xFF fill bytes before a marker,
+    and TEM (0x01) / header-side RSTn are length-less: the marker
+    loop must skip both, not raise 'marker expected'."""
+    data = bytearray(jc.make_block_jpeg_bytes(8, 8, 1))
+    idx = bytes(data).find(b"\xff\xdb")
+    patched = (
+        bytes(data[:idx]) + b"\xff\xff\xff\x01\xff\xd0" + bytes(data[idx:])
+    )
+    W, H, nc, psum, n = jc.decode_pixels(patched)
+    img = _block_image(8, 8, 1)
+    assert (W, H, nc, n) == (8, 8, 1, 64)
+    assert abs(psum - img.sum()) < 1e-6
+
+
+@pytest.mark.parametrize(
+    "w,h,base", [(16, 8, 0), (24, 16, 5), (32, 8, 31), (24, 8, 9), (20, 11, 7)]
+)
+def test_420_block_constant_roundtrip_exact(w, h, base):
+    """4:2:0 round trip on gray-valued block-constant fixtures is
+    integer-exact: Y blocks are DC-only at even levels, chroma is
+    constant 128 through the 2x2 box downsample and replication
+    upsample. Widths 24 and heights 8/11 leave PARTIAL MCUs — a
+    wrong interleave walk, padded-block handling, or upsample
+    alignment breaks exactness."""
+    g = _block_image(w, h, base)
+    rgb = np.repeat(g[..., None], 3, axis=2).astype(np.uint8)
+    W, H, nc, psum, n = jc.decode_pixels(jc.encode_rgb420(rgb))
+    assert (W, H, nc, n) == (w, h, 3, w * h * 3)
+    assert abs(psum - 3 * g.sum()) < 1e-6
+
+
+def test_420_mcu_interleave_walk_pinned_by_crop():
+    """The global mean of a full-MCU image is walk-invariant, so pin
+    the in-MCU block ORDER through the crop instead: at 24x8 the
+    second MCU's Y blocks (raster bx2,bx3 / by1 row) are one visible
+    block plus three padding blocks; a transposed vy/vx walk or a
+    swapped raster order moves a padding block into the visible
+    region and changes the cropped sum. Both engines' ground truth
+    is the per-sample numpy image."""
+    for w, h, base in [(24, 8, 11), (24, 16, 3), (16, 24, 6)]:
+        g = _block_image(w, h, base)
+        rgb = np.repeat(g[..., None], 3, axis=2).astype(np.uint8)
+        W, H, nc, psum, n = jc.decode_pixels(jc.encode_rgb420(rgb))
+        assert (W, H, n) == (w, h, w * h * 3), (w, h)
+        assert abs(psum - 3 * g.sum()) < 1e-6, (w, h)
+
+
+def test_420_general_color_within_quant_error():
+    """A smooth true-color gradient through 4:2:0: chroma is lossy
+    (downsample + quantize + replicate), so assert the decoded mean
+    lands within the quantization error budget."""
+    yy, xx = np.meshgrid(np.arange(32), np.arange(48), indexing="ij")
+    sm = np.stack(
+        [(yy * 2 + xx) % 256, (yy + xx * 2) % 256, (yy + xx) % 256], axis=2
+    ).astype(np.uint8)
+    W, H, nc, psum, n = jc.decode_pixels(jc.encode_rgb420(sm))
+    assert (W, H, nc, n) == (48, 32, 3, sm.size)
+    assert abs(psum / n - sm.mean()) < 4.0
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 256, (24, 20, 3)).astype(np.uint8)
+    W, H, nc, psum, n = jc.decode_pixels(jc.encode_rgb420(noise))
+    assert (W, H, nc) == (20, 24, 3)
+    # noise chroma at quarter resolution: generous but bounded
+    assert abs(psum / n - noise.mean()) < 12.0
 
 
 def test_dct_basis_and_zigzag_invariants():

@@ -277,6 +277,46 @@ def test_simhash_max_bucket_caps_degenerate_buckets(spark):
     assert capped == []
 
 
+def test_simhash_density_cache_invalidated_by_overwrite(spark, tmp_path):
+    """The memoized density factor's key folds each input file's
+    mtime_ns: an IN-PLACE overwrite that keeps the same file names
+    (non-Spark writers, fixed-name generators) must NOT serve the old
+    corpus's stale factor — it would silently change the derived
+    max_bucket cap and thus the emitted near-pair set."""
+    import os
+    import time
+
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, "all clones share this text") for i in range(8)],
+        ["doc_id", "text"],
+    ).toPandas().to_parquet(path)
+
+    def factor_for(p):
+        dedup._SIMHASH_DENSITY_CACHE.clear()
+        docs = spark.read.parquet(p)
+        dedup.simhash_candidates(docs)
+        (key,) = dedup._SIMHASH_DENSITY_CACHE.keys()
+        return key, dedup._SIMHASH_DENSITY_CACHE[key]
+
+    key1, f1 = factor_for(path)
+    assert f1 == 8  # 8 identical fingerprints
+    # in-place overwrite, same file name, different density
+    time.sleep(0.01)
+    spark.createDataFrame(
+        [(i, f"distinct text number {i} here") for i in range(8)],
+        ["doc_id", "text"],
+    ).toPandas().to_parquet(path)
+    os.utime(path)  # belt and braces: force a fresh mtime
+    dedup._SIMHASH_DENSITY_CACHE.clear()
+    dedup._SIMHASH_DENSITY_CACHE[key1] = f1  # simulate stale entry
+    docs2 = spark.read.parquet(path)
+    dedup.simhash_candidates(docs2)
+    new_keys = set(dedup._SIMHASH_DENSITY_CACHE) - {key1}
+    assert new_keys, "overwrite must produce a DIFFERENT cache key"
+    dedup._SIMHASH_DENSITY_CACHE.clear()
+
+
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)

@@ -554,6 +554,40 @@ def test_token_budget_sample_matches_bruteforce(spark, sf_dir):
         assert got_tok[src] >= min(budget, stratum_total), src
 
 
+def test_token_budget_sample_null_text_counts_zero(spark):
+    """A NULL-text doc contributes 0 tokens, not size()'s legacy -1:
+    it must never shift tokens_before for later docs in its stratum
+    (a -1 would desync the cumsum from the DuckDB oracle, whose
+    len(NULL) is NULL and is skipped by the window SUM)."""
+    import hashlib
+
+    rows = [
+        (1, "s", "a b c"),       # 3 tokens
+        (2, "s", None),          # 0 tokens — the case under test
+        (3, "s", "d e"),         # 2 tokens
+        (4, "s", "f g h i j"),   # 5 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in pipeline.token_budget_sample(
+            df, "source", "doc_id", {"s": 4}
+        ).collect()
+    }
+    toks = {1: 3, 2: 0, 3: 2, 4: 5}
+    order = sorted(
+        (hashlib.md5(f"{d}|seed42".encode()).hexdigest(), d) for d in toks
+    )
+    cum, want = 0, {}
+    for _, d in order:
+        if cum < 4:
+            want[d] = cum
+        cum += toks[d]
+    assert {d: r.tokens_before for d, r in out.items()} == want
+    for d, r in out.items():
+        assert r.n_tokens == toks[d], d
+
+
 def test_domain_cap_matches_bruteforce(spark, sf_dir):
     """The bucketed-rank cap must equal the naive per-source sort by
     (quality_score desc, doc_id): exact rank match, kept = top-cap,

@@ -379,3 +379,22 @@ def test_hand_rolled_db_parser_matches_pyyaml():
         uap._parse_uap_yaml("user_agent_parsers:\n  - regex: unquoted\n")
     with _pytest.raises(ValueError):
         uap._parse_uap_yaml("  - regex: 'a'\n")  # item before any section
+
+
+def test_legacy_escaped_literals_conf_fails_loudly(spark):
+    """spark_case_sql's rendered literals double backslashes for the
+    DEFAULT parser; under spark.sql.parser.escapedStringLiterals=true
+    every regex would keep its doubled backslashes and the whole
+    ladder would silently classify all traffic as Other. The compile
+    path must refuse that session, not misclassify."""
+    import pytest as _pytest
+
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        with _pytest.raises(RuntimeError, match="escapedStringLiterals"):
+            uap.compile_when_ladder("ua", uap.browser_parsers())
+    finally:
+        spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+    # default conf: renders fine
+    col = uap.compile_when_ladder("ua", uap.browser_parsers())
+    assert col is not None
