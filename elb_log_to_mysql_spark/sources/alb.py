@@ -84,17 +84,22 @@ def parse_alb_lines(
     if exact_ua is None:
         exact_ua = HAVE_USER_AGENTS
     elif exact_ua and not HAVE_USER_AGENTS:
-        # Explicitly-requested full uap-core parity needs the
-        # `user_agents` wrapper; without it the pandas-UDF path
-        # evaluates the vendored ~40-family subset (long tail ->
-        # "Other"). Make that downgrade visible instead of silent.
+        # Explicitly-requested upstream uap-core parity needs either
+        # the `user_agents` wrapper or an upstream regexes.yaml via
+        # SPARK_ELB_UA_DB; without them the pandas-UDF path evaluates
+        # the vendored ~300-entry database (full $n capture semantics;
+        # generic bot/compatible-token/product tails NAME unknown
+        # agents structurally, but a handful of upstream families
+        # differ at the margins). Make that visible instead of silent.
         import warnings
 
         warnings.warn(
             "exact_ua=True but the `user_agents` package is not "
             "installed: UA families come from the vendored uap-core "
-            "subset (rare agents collapse to 'Other'), not the full "
-            "database. Install `user_agents` for full parity.",
+            "database (~300 entries, $n captures; near-complete but "
+            "not byte-identical to upstream at the margins). Install "
+            "`user_agents` or set SPARK_ELB_UA_DB to an upstream "
+            "regexes.yaml for byte-exact parity.",
             RuntimeWarning,
             stacklevel=2,
         )
