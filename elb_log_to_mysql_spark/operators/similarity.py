@@ -775,3 +775,109 @@ def similarity_topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+def ann_index_assign(
+    embeddings: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Materialize the stored IVF-PQ index rows for a vector frame:
+    (id, cell, codes, qerr) — the coarse cell (argmin squared-L2 to
+    the frozen `centroids`), the m PQ codes against the frozen
+    `codebooks`, and the coarse quantization error (squared L2 to the
+    assigned centroid), which is the per-row term of the drift
+    statistic. One pass, no shuffle: centroid distances are one
+    Arrow-batch matmul, codes one batched sub-argmin — assignment is
+    a pure per-row function of (vector, frozen artifacts), which is
+    exactly what makes incremental index maintenance sound (see
+    incremental_ann_index)."""
+    import numpy as np
+
+    from elb_log_to_mysql_spark.functions.vectorops import pq_codes
+
+    centers = np.asarray(centroids, dtype=np.float64)
+    cb = np.asarray(codebooks, dtype=np.float64)
+    return (
+        ensure_min_partitions(embeddings)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            center_distances(F.col(vec_col), centers).alias("_dists"),
+            pq_codes(F.col(vec_col), cb).alias("codes"),
+        )
+        .select(
+            "vec_id",
+            (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
+            .cast("int")
+            .alias("cell"),
+            "codes",
+            F.array_min("_dists").alias("qerr"),
+        )
+    )
+
+
+def ann_index_drift(
+    base_index: DataFrame,
+    batch_index: DataFrame,
+    drift_factor: float = 2.0,
+) -> DataFrame:
+    """Codebook-drift check for the incremental-index cadence: one
+    row (base_err, batch_err, drift_tripped). The statistic is the
+    mean coarse quantization error — if the new batch's vectors sit
+    `drift_factor`x further from the frozen centroids than the
+    corpus the quantizer was trained on, the batch's distribution
+    has moved and the offline artifacts should be re-derived
+    (train_ivf_centroids / train_pq_codebooks on the updated corpus);
+    below the trip line, appending the batch's assigned rows IS the
+    index update (cost scales with the batch, not the corpus)."""
+    b = base_index.agg(F.avg("qerr").alias("base_err"))
+    n = batch_index.agg(F.avg("qerr").alias("batch_err"))
+    return (
+        b.crossJoin(n)
+        .select(
+            "base_err",
+            "batch_err",
+            (
+                F.col("batch_err")
+                > F.lit(float(drift_factor)) * F.col("base_err")
+            ).alias("drift_tripped"),
+        )
+    )
+
+
+def incremental_ann_index(
+    base_index: DataFrame,
+    batch: DataFrame,
+    centroids,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Accept a NEW embeddings batch against an existing IVF-PQ
+    index: assign the batch's vectors to the existing cells/codes
+    (one pass over the batch — never a corpus rescan) and append to
+    the stored index rows. `is_new` marks the batch rows.
+
+    Equivalence contract (proved by the registry entry's oracle the
+    same way incremental_corpus_pipeline's is): assignment is a pure
+    per-row function of (vector, frozen artifacts), so
+    base_index UNION assign(batch) row-for-row equals a full
+    reassignment pass over the union with the same artifacts — the
+    incremental update loses nothing while doing O(|batch|) work.
+    The re-derive decision (when the batch's distribution has moved
+    and the frozen artifacts no longer fit) is ann_index_drift's
+    one-row verdict; re-training itself stays an offline index build
+    (train_ivf_centroids / train_pq_codebooks), never part of this
+    update path."""
+    new_rows = ann_index_assign(
+        batch, centroids, codebooks, id_col=id_col, vec_col=vec_col
+    )
+    return base_index.select(
+        "vec_id", "cell", "codes", "qerr", F.lit(False).alias("is_new")
+    ).unionByName(
+        new_rows.select(
+            "vec_id", "cell", "codes", "qerr", F.lit(True).alias("is_new")
+        )
+    )

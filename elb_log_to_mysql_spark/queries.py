@@ -28,7 +28,11 @@ from elb_log_to_mysql_spark.functions.numeric import DAVG_SQL, DSUM_SQL, dsum
 from elb_log_to_mysql_spark.operators import advanced, analytics, asof, dedup, relational
 from elb_log_to_mysql_spark.operators import multimodal, sessionize, similarity, skew
 from elb_log_to_mysql_spark.operators import textops, tpch, windows
-from elb_log_to_mysql_spark.session import carry_caches, tune_session
+from elb_log_to_mysql_spark.session import (
+    carry_caches,
+    tune_session,
+    unpersist_on_gc,
+)
 from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
 from elb_log_to_mysql_spark.sources.tables import (
     load_table,
@@ -2033,6 +2037,97 @@ def q_similarity_topk_ivfpq(spark, sf_dir):
         exact.select("query_id", "neighbor_id"), approx, floor=0.95
     )
     return carry_caches(out, exact, approx)
+
+
+@_q(
+    "incremental_ann_index",
+    """
+    WITH t AS (
+      SELECT CAST(FLOOR((MIN(vec_id) + MAX(vec_id)) / 2.0) AS BIGINT) AS thr
+      FROM embeddings
+    )
+    SELECT CAST(SUM(CASE WHEN vec_id <= thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_base,
+           CAST(SUM(CASE WHEN vec_id > thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_batch,
+           CAST(COUNT(*) AS BIGINT) AS n_union,
+           CAST(0 AS BIGINT) AS assign_mismatches,
+           FALSE AS drift_tripped
+    FROM embeddings, t
+    """,
+)
+def q_incremental_ann_index(spark, sf_dir):
+    """Incremental ANN index maintenance — the missing member of the
+    incremental-cadence family (incremental_dedup,
+    incremental_corpus_pipeline): the embeddings corpus splits into
+    an id-ordered base and a new batch; IVF centroids + PQ codebooks
+    are trained ONCE on the base (offline artifacts, memoized); the
+    batch is accepted by assigning its vectors to the EXISTING
+    cells/codes in one O(|batch|) pass
+    (operators/similarity.py:incremental_ann_index), with codebook
+    drift watched via the mean coarse-quantization-error statistic
+    (ann_index_drift) — re-derive artifacts only when it trips.
+
+    The oracle proves the equivalence contract the
+    incremental_corpus_pipeline way: assign_mismatches pins
+    base-index UNION batch-assignment row-for-row equal (cell AND
+    codes) to a full reassignment pass over the union with the same
+    frozen artifacts, and drift_tripped pins the same-distribution
+    batch below the trip line; n_base/n_batch/n_union are exact
+    value checks DuckDB recomputes independently. A nondeterministic
+    assignment, a batch row lost or doubled by the union, or a drift
+    statistic that trips on in-distribution data all hash-mismatch."""
+    emb = _t(spark, sf_dir, "embeddings")
+    thr = emb.agg(
+        F.floor((F.min("vec_id") + F.max("vec_id")) / 2).alias("thr")
+    )
+    with_thr = emb.crossJoin(F.broadcast(thr))
+    base = with_thr.filter(F.col("vec_id") <= F.col("thr")).drop("thr")
+    batch = with_thr.filter(F.col("vec_id") > F.col("thr")).drop("thr")
+    key = (sf_dir, "incremental_base")
+    if key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[key] = similarity.train_ivf_centroids(base)
+    if key not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[key] = similarity.train_pq_codebooks(base)
+    centers, cb = _IVF_CENTROIDS[key], _PQ_CODEBOOKS[key]
+
+    # The audit fans out over the assignment subtrees (counts,
+    # mismatch join, drift) — persist them once or every branch
+    # re-runs the Arrow assignment UDFs (the curation_audit lesson).
+    base_index = similarity.ann_index_assign(base, centers, cb).persist()
+    updated = similarity.incremental_ann_index(
+        base_index, batch, centers, cb
+    ).persist()
+    full = similarity.ann_index_assign(emb, centers, cb).select(
+        "vec_id",
+        F.col("cell").alias("f_cell"),
+        F.col("codes").alias("f_codes"),
+    )
+    counts = updated.agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("n_base"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_batch"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    mismatches = (
+        updated.join(full, "vec_id", "full")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("cell").isNull()
+                    | F.col("f_cell").isNull()
+                    | (F.col("cell") != F.col("f_cell"))
+                    | (F.col("codes") != F.col("f_codes")),
+                    1,
+                ).otherwise(0)
+            ).alias("assign_mismatches")
+        )
+        .select(F.coalesce("assign_mismatches", F.lit(0)).alias("assign_mismatches"))
+    )
+    drift = similarity.ann_index_drift(
+        base_index, updated.filter(F.col("is_new"))
+    ).select("drift_tripped")
+    out = counts.crossJoin(mismatches).crossJoin(drift)
+    return unpersist_on_gc(out, base_index, updated)
 
 
 @_q(

@@ -1392,3 +1392,57 @@ def test_ivfpq_candidate_join_is_cell_equijoin(spark, sf_dir):
     assert "cell" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _tiny_embeddings(spark, n=60, dim=16, shift=0.0, id0=0):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (id0 + i, [float(x) for x in (rng.normal(size=dim) + shift)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_incremental_ann_index_equals_full_rebuild(spark):
+    """Assignment is a pure per-row function of (vector, frozen
+    artifacts): base-index UNION batch-assignment must equal a full
+    reassignment pass over the union, row for row (cell AND codes) —
+    the contract that makes O(|batch|) index maintenance sound."""
+    base = _tiny_embeddings(spark, n=40, id0=0)
+    batch = _tiny_embeddings(spark, n=20, id0=100)
+    C = similarity.train_ivf_centroids(base, n_centroids=4)
+    CB = similarity.train_pq_codebooks(base, m=4, n_codes=8)
+    base_index = similarity.ann_index_assign(base, C, CB)
+    updated = similarity.incremental_ann_index(base_index, batch, C, CB)
+    full = similarity.ann_index_assign(base.unionByName(batch), C, CB)
+    got = {
+        r.vec_id: (r.cell, tuple(r.codes)) for r in updated.collect()
+    }
+    want = {r.vec_id: (r.cell, tuple(r.codes)) for r in full.collect()}
+    assert got == want
+    flags = {r.vec_id: r.is_new for r in updated.collect()}
+    assert all(not flags[i] for i in range(40))
+    assert all(flags[100 + i] for i in range(20))
+
+
+def test_ann_index_drift_trips_on_shifted_batch(spark):
+    """An in-distribution batch stays below the trip line; a batch
+    whose distribution moved (constant +6 sigma shift) must trip the
+    mean-quantization-error statistic, signalling an offline
+    artifact re-derive."""
+    base = _tiny_embeddings(spark, n=40, id0=0)
+    same = _tiny_embeddings(spark, n=20, id0=100)
+    moved = _tiny_embeddings(spark, n=20, shift=6.0, id0=200)
+    C = similarity.train_ivf_centroids(base, n_centroids=4)
+    CB = similarity.train_pq_codebooks(base, m=4, n_codes=8)
+    bi = similarity.ann_index_assign(base, C, CB)
+    ok = similarity.ann_index_drift(
+        bi, similarity.ann_index_assign(same, C, CB)
+    ).first()
+    assert not ok.drift_tripped, (ok.base_err, ok.batch_err)
+    bad = similarity.ann_index_drift(
+        bi, similarity.ann_index_assign(moved, C, CB)
+    ).first()
+    assert bad.drift_tripped, (bad.base_err, bad.batch_err)
