@@ -474,12 +474,50 @@ def ngram_jaccard_pairs_prefix(
     return unpersist_on_gc(out, arr)
 
 
+# Heap bytes the inverted index needs per candidate-pair row to stay
+# in the stable regime, calibrated from JACCARD_CROSSOVER_r08 (equal
+# 48 g heap, min-of-2): 138M pairs were comfortable at 8 GiB
+# (19 s), 556M pairs at 8 GiB fell off the memory cliff (spill-bound
+# 400 s, GC-thrash on the repeat), 2.23 G pairs at 48 GiB still ran.
+# 32 B/pair puts the 8 GiB budget at 268M — between the two anchors —
+# and scales the cliff guard with whatever heap the host actually has.
+_HEAP_BYTES_PER_PAIR = 32
+
+
+def _parse_jvm_mem(s: str) -> int:
+    """'48g' / '512m' / '8192k' / plain bytes -> bytes (JVM suffixes)."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _runtime_heap_bytes(spark) -> int:
+    """Total executor heap available to hold the candidate shuffle.
+
+    Cluster mode: spark.executor.memory x spark.executor.instances
+    (both set by any statically-sized deployment). Local / dynamic
+    fallback: the live JVM's actual Runtime.maxMemory() — ground
+    truth for local[*], conservative (driver-only) under dynamic
+    allocation, which errs toward prefix, the stable formulation."""
+    sc = spark.sparkContext
+    try:
+        em = sc.getConf().get("spark.executor.memory", None)
+        ni = sc.getConf().get("spark.executor.instances", None)
+        if em and ni and not sc.master.startswith("local"):
+            return _parse_jvm_mem(em) * int(ni)
+    except Exception:  # noqa: BLE001 — fall through to the live JVM
+        pass
+    return int(sc._jvm.Runtime.getRuntime().maxMemory())
+
+
 def choose_jaccard_strategy(
     documents: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
-    pair_budget_per_core: int = 16_000_000,
+    pair_budget_per_core: int | None = None,
     skew_budget: int = 50_000_000,
 ) -> tuple[str, dict]:
     """Pick the exact-Jaccard formulation from CORPUS STATISTICS
@@ -493,11 +531,14 @@ def choose_jaccard_strategy(
       pairs ran in 19 s; 556M pairs fell off the memory cliff at the
       default heap (400 s, spill-bound) while prefix filtering did
       the same corpus in 173 s; with 48 g of heap even 2.23 G pairs
-      stayed in-memory-fast (384 s). The default budget
-      (16M × defaultParallelism ≈ 0.5 G rows at 32 cores ≈ 16 GB of
-      candidate shuffle) keeps the inverted index inside the regime
-      where its lower constant factors win; callers with big
-      executors raise it.
+      stayed in-memory-fast (384 s). The budget DERIVES from the
+      runtime heap by default — total executor heap /
+      _HEAP_BYTES_PER_PAIR (32 B/pair, calibrated above) — so the
+      "past-budget inverted is UNSTABLE" cliff cannot be walked into
+      on a smaller host (a fixed constant tuned on a 48 g box would
+      wave a 556M-pair corpus through on an 8 g one, straight into
+      the measured GC-thrash regime). Pass `pair_budget_per_core` to
+      override with the legacy per-core constant.
     - max_df — the hottest posting list. A single shingle of
       frequency d concentrates d²/2 candidate rows on ONE join key
       (a single reducer task): boilerplate at corpus scale. Prefix
@@ -521,14 +562,24 @@ def choose_jaccard_strategy(
     )
     est_pairs = int(row.pairs or 0)
     max_df = int(row.max_df or 0)
-    cores = documents.sparkSession.sparkContext.defaultParallelism
-    budget = pair_budget_per_core * cores
+    spark = documents.sparkSession
+    if pair_budget_per_core is not None:
+        cores = spark.sparkContext.defaultParallelism
+        budget = pair_budget_per_core * cores
+        heap = None
+        source = "explicit"
+    else:
+        heap = _runtime_heap_bytes(spark)
+        budget = heap // _HEAP_BYTES_PER_PAIR
+        source = "heap-derived"
     skewed = max_df * (max_df - 1) / 2 > skew_budget
     strategy = "prefix" if (est_pairs > budget or skewed) else "inverted"
     return strategy, {
         "est_pairs": est_pairs,
         "max_df": max_df,
         "pair_budget": budget,
+        "heap_bytes": heap,
+        "budget_source": source,
         "skew_limited": bool(skewed),
     }
 

@@ -98,3 +98,36 @@ def test_est_pairs_is_exact_join_volume(spark):
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
     actual = a.join(b, "shingle").filter("a < b").count()
     assert stats["est_pairs"] == actual
+
+
+def test_default_budget_derives_from_runtime_heap(spark):
+    """With no explicit override the pair budget must be the live
+    JVM's max heap / 32 B-per-pair (JACCARD_CROSSOVER_r08
+    calibration) — a constant tuned on a 48 g box must not wave a
+    556M-pair corpus through on an 8 g host, where the inverted
+    index is measurably UNSTABLE, not just slower."""
+    rows = [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(20)]
+    _, stats = dedup.choose_jaccard_strategy(_docs(spark, rows))
+    jvm_heap = int(
+        spark.sparkContext._jvm.Runtime.getRuntime().maxMemory()
+    )
+    assert stats["budget_source"] == "heap-derived"
+    assert stats["heap_bytes"] == jvm_heap
+    assert stats["pair_budget"] == jvm_heap // dedup._HEAP_BYTES_PER_PAIR
+    # explicit override keeps the legacy per-core semantics
+    _, stats = dedup.choose_jaccard_strategy(
+        _docs(spark, rows), pair_budget_per_core=7
+    )
+    assert stats["budget_source"] == "explicit"
+    assert (
+        stats["pair_budget"]
+        == 7 * spark.sparkContext.defaultParallelism
+    )
+
+
+def test_mem_string_parser():
+    assert dedup._parse_jvm_mem("48g") == 48 << 30
+    assert dedup._parse_jvm_mem("512m") == 512 << 20
+    assert dedup._parse_jvm_mem("8192k") == 8192 << 10
+    assert dedup._parse_jvm_mem("1073741824") == 1 << 30
+    assert dedup._parse_jvm_mem("1.5g") == int(1.5 * (1 << 30))
