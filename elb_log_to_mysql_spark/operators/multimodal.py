@@ -667,11 +667,13 @@ def decode_png_media(media: DataFrame) -> DataFrame:
 def have_pil() -> bool:
     """True when Pillow is importable (it is NOT in this sandbox).
     Since r8 the DEFAULT JPEG path no longer needs it: the vendored
-    baseline codec (operators/jpegcodec.py — real Huffman entropy
-    decode, dequant, inverse DCT, per the public T.81 spec) decodes
-    actual bytes in every environment (decode_jpeg_media_vendored).
-    Pillow remains the optional wide-coverage path (progressive,
-    subsampled, CMYK streams the baseline codec rejects loudly)."""
+    codec (operators/jpegcodec.py — real Huffman entropy decode,
+    dequant, inverse DCT, per the public T.81 spec) decodes actual
+    bytes in every environment (decode_jpeg_media_vendored), covering
+    baseline sequential at any integer-ratio subsampling (4:4:4,
+    4:2:2, 4:2:0) AND progressive (SOF2) streams. Pillow remains the
+    optional wide-coverage path (arithmetic-coded, 12-bit, CMYK
+    streams the vendored codec rejects loudly)."""
     import importlib.util
 
     return importlib.util.find_spec("PIL") is not None
@@ -745,6 +747,26 @@ def make_baseline_jpeg_420_bytes(
                 :,
             ] = v
     return jpegcodec.encode_rgb420(img)
+
+
+def make_progressive_jpeg_bytes(
+    width: int, height: int, block_base: int
+) -> bytes:
+    """Deterministic PROGRESSIVE (SOF2) grayscale JFIF fixture
+    (jpegcodec.make_block_jpeg_bytes_progressive): the same
+    block-constant integer-exact image as the baseline fixture, but
+    transmitted as a multi-scan progressive stream — DC first pass at
+    Al=1, DC refinement, spectral-selection AC bands, AC refinement.
+    The quantized coefficients are identical to the baseline
+    encoding, so decode is bit-exact and the SQL oracle replays
+    decoded means from (width, height, block_base); what the fixture
+    pins is the progressive ENTROPY path (successive-approximation
+    bit assembly, EOB runs spanning blocks, per-scan Huffman state)."""
+    from elb_log_to_mysql_spark.operators import jpegcodec
+
+    return jpegcodec.make_block_jpeg_bytes_progressive(
+        width, height, block_base
+    )
 
 
 def decode_jpeg_media_vendored(media: DataFrame) -> DataFrame:

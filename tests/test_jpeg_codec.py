@@ -90,11 +90,13 @@ def test_color_444_solid_and_noise():
 def test_rejections_are_loud():
     with pytest.raises(ValueError, match="SOI"):
         jc.decode_pixels(b"\x00\x01not a jpeg")
-    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    # flip SOF0 -> SOF2 (progressive): the sequential scan header
+    # (Ss=0, Se=63) is illegal under progressive semantics (B.2.3:
+    # DC scans have Se=0) -> loud refusal, not a mis-decode
     data = bytearray(jc.make_block_jpeg_bytes(8, 8, 1))
     idx = bytes(data).find(b"\xff\xc0")
     data[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive scan"):
         jc.decode_pixels(bytes(data))
     # non-integer sampling ratio (Cb at 3x1 vs Y's 2x2 -> hmax=3,
     # 3 % 2 != 0): must refuse, replication can't upsample 3:2
@@ -220,3 +222,97 @@ def test_spark_decode_jpeg_media_vendored(spark):
     for d in range(6):
         img = _block_image(16, 8, d)
         assert got[d] == (16, 8, round(float(img.mean()), 6))
+
+
+# --- progressive (SOF2) profile ---------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "w,h,base", [(16, 8, 0), (24, 16, 5), (20, 11, 9), (8, 8, 127)]
+)
+def test_progressive_block_constant_exact(w, h, base):
+    """The progressive fixture twin decodes to EXACTLY the baseline
+    fixture's samples (same quantized coefficients, multi-scan
+    transmission): the invariant the multimodal_jpeg_progressive
+    oracle replays. Non-multiple-of-8 shapes cover the partial-block
+    crop under the non-interleaved AC scan walk."""
+    b = jc.decode_pixels(jc.make_block_jpeg_bytes(w, h, base))
+    p = jc.decode_pixels(jc.make_block_jpeg_bytes_progressive(w, h, base))
+    assert p == b
+    img = _block_image(w, h, base)
+    assert abs(p[3] - img.sum()) < 1e-6
+
+
+def test_progressive_container_is_sof2_multiscan():
+    """SOF2 frame, >1 SOS (spectral selection + successive
+    approximation scan script), EOI-terminated."""
+    data = jc.make_block_jpeg_bytes_progressive(16, 16, 3)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    # count SOS markers via the marker walk (entropy segments skipped)
+    pos, n_sos = 2, 0
+    while pos < len(data) - 1:
+        assert data[pos] == 0xFF
+        tag = data[pos + 1]
+        if tag == 0xD9:
+            break
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        pos += 2 + ln
+        if tag == 0xDA:
+            n_sos += 1
+            pos = jc._entropy_end(data, pos)
+    assert n_sos >= 4  # DC first + DC refine + AC bands + AC refine
+
+
+@pytest.mark.parametrize("w,h", [(8, 8), (31, 17), (64, 48), (7, 5)])
+def test_progressive_gray_equals_baseline_on_noise(w, h):
+    """Random images drive every entropy branch (ZRL runs, EOB runs
+    spanning blocks, newly-significant + correction bits in the
+    refinement scans); both transmissions of the same quantized
+    coefficients must reconstruct identical samples."""
+    img = np.random.default_rng(w * 100 + h).integers(
+        0, 256, size=(h, w), dtype=np.uint8
+    )
+    assert jc.decode_pixels(jc.encode_gray_progressive(img)) == (
+        jc.decode_pixels(jc.encode_gray(img))
+    )
+
+
+@pytest.mark.parametrize("w,h", [(16, 16), (33, 25), (17, 9)])
+def test_progressive_color_equals_baseline(w, h):
+    rng = np.random.default_rng(w + h)
+    rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert jc.decode_pixels(jc.encode_rgb444_progressive(rgb)) == (
+        jc.decode_pixels(jc.encode_rgb444(rgb))
+    )
+    assert jc.decode_pixels(jc.encode_rgb420_progressive(rgb)) == (
+        jc.decode_pixels(jc.encode_rgb420(rgb))
+    )
+
+
+def test_progressive_gradient_eob_and_zrl_interplay():
+    """Smooth gradients quantize to long zero tails: EOB runs cover
+    many successive blocks and ZRL folding inside the refinement
+    scan is exercised (the G.1.2.3 'fold into EOB' branch)."""
+    x = np.linspace(0, 255, 64)
+    img = np.tile(x, (64, 1)).astype(np.uint8)
+    assert jc.decode_pixels(jc.encode_gray_progressive(img)) == (
+        jc.decode_pixels(jc.encode_gray(img))
+    )
+
+
+def test_progressive_scan_header_validation():
+    """B.2.3: DC scans have Se=0, AC scans are single-component, a
+    refinement pass steps Al by one — corrupt headers refuse loudly."""
+    data = bytearray(jc.make_block_jpeg_bytes_progressive(8, 8, 1))
+    idx = bytes(data).find(b"\xff\xda")
+    ln = int.from_bytes(data[idx + 2 : idx + 4], "big")
+    se_at = idx + 2 + ln - 2  # ... Ss Se AhAl
+    orig = data[se_at]
+    data[se_at] = 63  # DC scan claiming an AC band
+    with pytest.raises(ValueError, match="progressive scan"):
+        jc.decode_pixels(bytes(data))
+    data[se_at] = orig
+    data[se_at + 1] = 0x75  # Ah=7 with Al=5: not a one-bit step
+    with pytest.raises(ValueError, match="successive approximation"):
+        jc.decode_pixels(bytes(data))
