@@ -137,3 +137,59 @@ def ua_families_udf(prefer_wrapper: bool = True):
         )
 
     return _parse
+
+
+def classify_ua_join(
+    df,
+    ua_col: str = "user_agent_full",
+    browser_col: str = "ua_browser_family",
+    os_col: str = "ua_os_family",
+    prefer_wrapper: bool = False,
+):
+    """Fill `browser_col`/`os_col` by classifying the DISTINCT agent
+    strings and broadcast-joining the result back — the dimension-ize
+    shape for the classic log-data skew where distinct UA strings are
+    thousands against millions-to-billions of rows.
+
+    Why this exists next to the CASE-ladder expression: the ladder is
+    the right in-plan form for a one-shot batch scan (zero Python,
+    whole-stage codegen), but it evaluates up to ~300 regexes PER ROW
+    on late-matching agents and its ~600-arm expression tree is
+    re-analyzed per micro-batch under Structured Streaming. Here the
+    regex walk runs once per DISTINCT agent (Arrow-batched evaluator,
+    exact uap-core semantics — same database, certified equal to the
+    ladder by the ua_classify gate) and the per-row cost collapses to
+    a broadcast hash probe. Rows with a NULL agent take the ladder's
+    blank-sentinel mapping ("Unknown") via the post-join coalesce.
+
+    Batch DataFrames only (distinct over an unbounded stream is a
+    stateful op with different semantics): call it inside
+    foreachBatch for streaming — streaming/ingest.py does.
+    """
+    from pyspark.sql import functions as F
+
+    if df.isStreaming:
+        raise ValueError(
+            "classify_ua_join needs a batch DataFrame; for streams "
+            "apply it per micro-batch inside foreachBatch"
+        )
+    fam = ua_families_udf(prefer_wrapper)(F.col(ua_col))
+    lookup = (
+        df.select(ua_col)
+        .where(F.col(ua_col).isNotNull())
+        .distinct()
+        .select(
+            F.col(ua_col),
+            fam.getField("browser").alias("__ua_browser"),
+            fam.getField("os").alias("__ua_os"),
+        )
+    )
+    cols = df.columns
+    return (
+        df.join(F.broadcast(lookup), on=ua_col, how="left")
+        .withColumn(
+            browser_col, F.coalesce("__ua_browser", F.lit("Unknown"))
+        )
+        .withColumn(os_col, F.coalesce("__ua_os", F.lit("Unknown")))
+        .select(*cols)
+    )

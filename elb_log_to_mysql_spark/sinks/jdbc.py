@@ -193,18 +193,33 @@ def write_jdbc_idempotent(
     (S3's object-key byte limit) = 1093 characters, so the earlier
     VARCHAR(1000) could reject a legitimate maximal key; 1200 covers
     it with headroom while staying well under MySQL's row limits
-    (equality predicates only — no index needed on this column)."""
-    files = distinct_source_files(df, source_col)
-    jdbc_delete_files(
-        df.sparkSession, url, files, table=table, source_col=source_col,
-        driver=driver,
-        user=write_kwargs.get("user"),
-        password=write_kwargs.get("password"),
-    )
-    write_kwargs.setdefault(
-        "create_table_column_types", f"{source_col} VARCHAR({LINEAGE_VARCHAR_LEN})"
-    )
-    write_jdbc(df, url, table=table, driver=driver, **write_kwargs)
+    (equality predicates only — no index needed on this column).
+
+    The frame is persisted for the duration of the write unless the
+    caller already did: this sink makes TWO passes (lineage-key
+    distinct, then the append), and under foreachBatch each pass
+    re-runs the whole upstream plan — for the ALB ingest that is the
+    entire parse chain, doubling the per-batch scan (measured as 2x
+    numInputRows in streaming progress before this guard)."""
+    caller_persisted = df.storageLevel.useMemory or df.storageLevel.useDisk
+    if not caller_persisted:
+        df = df.persist()
+    try:
+        files = distinct_source_files(df, source_col)
+        jdbc_delete_files(
+            df.sparkSession, url, files, table=table, source_col=source_col,
+            driver=driver,
+            user=write_kwargs.get("user"),
+            password=write_kwargs.get("password"),
+        )
+        write_kwargs.setdefault(
+            "create_table_column_types",
+            f"{source_col} VARCHAR({LINEAGE_VARCHAR_LEN})",
+        )
+        write_jdbc(df, url, table=table, driver=driver, **write_kwargs)
+    finally:
+        if not caller_persisted:
+            df.unpersist()
     return files
 
 

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from elb_log_to_mysql_spark.functions.casts import safe_float, safe_int
 from elb_log_to_mysql_spark.functions.ua import (
     HAVE_USER_AGENTS,
+    classify_ua_join,
     ua_browser_family_expr,
     ua_families_udf,
     ua_os_family_expr,
@@ -68,6 +69,7 @@ def parse_alb_lines(
     source_file: Column | None = None,
     exact_ua: bool | None = None,
     observation=None,
+    ua_strategy: str = "expr",
 ) -> DataFrame:
     """Parse a DataFrame of raw ALB log lines into the 13-col table.
 
@@ -80,6 +82,18 @@ def parse_alb_lines(
     n_emitted) — the Spark-native replacement for the reference's
     per-row WARN logging of skipped lines (X1: logger.py used at
     etl:68, etl:82; counters ride the existing job, no second scan).
+
+    `ua_strategy`: how the UA families are computed. "expr" (default)
+    is the in-plan compiled CASE ladder — zero Python, right for a
+    one-shot batch scan. "join" dimension-izes classification: the
+    uap database is evaluated once per DISTINCT agent string and
+    broadcast-joined back (functions/ua.py:classify_ua_join) — the
+    scale shape when distinct agents ≪ rows (batch DataFrames only).
+    "defer" emits NULL family columns and leaves classification to
+    the caller (classify_ua_join on the returned frame) — for callers
+    that persist the parsed batch first so the parse chain
+    materializes exactly once under a multi-pass sink; the streaming
+    ingest does this per micro-batch (streaming/ingest.py).
     """
     if exact_ua is None:
         exact_ua = HAVE_USER_AGENTS
@@ -152,7 +166,12 @@ def parse_alb_lines(
         F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")),
     ).otherwise(url)
 
-    if exact_ua:
+    if ua_strategy in ("join", "defer"):
+        # classified after projection over the distinct agents;
+        # placeholders keep the select's column order stable
+        browser = F.lit(None).cast("string")
+        os_fam = F.lit(None).cast("string")
+    elif exact_ua:
         fam = ua_families_udf()(F.col("user_agent"))
         browser, os_fam = fam.getField("browser"), fam.getField("os")
     else:
@@ -186,7 +205,10 @@ def parse_alb_lines(
     )
 
     # P4 drop-row policy: unparseable timestamp drops the record.
-    return out.filter(F.col("log_timestamp").isNotNull()).select(*ELB_LOG_COLUMNS)
+    out = out.filter(F.col("log_timestamp").isNotNull()).select(*ELB_LOG_COLUMNS)
+    if ua_strategy == "join":
+        out = classify_ua_join(out, prefer_wrapper=bool(exact_ua))
+    return out
 
 
 def read_alb_logs(

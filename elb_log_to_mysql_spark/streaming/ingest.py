@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from elb_log_to_mysql_spark.functions.ua import classify_ua_join
 from elb_log_to_mysql_spark.sinks.jdbc import write_jdbc_idempotent
 from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
 
@@ -45,18 +46,34 @@ def stream_alb_to_jdbc(
     test/backfill mode); otherwise it returns the running query for
     the caller to manage."""
     lines = spark.readStream.text(source_dir)
-    parsed = parse_alb_lines(lines)
 
+    # The parse chain runs INSIDE foreachBatch (input_file_name()
+    # still resolves there — the micro-batch is a plain file-source
+    # DataFrame), parsed ONCE into a persisted frame: the idempotent
+    # sink makes two passes (lineage-key distinct + write) and UA
+    # classification makes two more (distinct agents + probe), so an
+    # unpersisted plan would re-run from_csv 3-4x per batch (visible
+    # as 2-3x numInputRows in streaming progress). Classification
+    # takes the dimension-join strategy off the persisted frame: the
+    # ~300-regex uap walk runs once per DISTINCT agent per batch
+    # instead of per row, and the micro-batch plan carries a
+    # broadcast join instead of a ~600-arm CASE that Catalyst
+    # re-analyzes every trigger. Same 13-col output either way
+    # (pinned by tests/test_alb_parse.py's join-parity test).
     def sink(batch_df, _batch_id: int) -> None:
-        write_jdbc_idempotent(
-            batch_df,
-            url,
-            table=table,
-            driver=driver,
-            num_partitions=sink_connections,
-        )
+        parsed = parse_alb_lines(batch_df, ua_strategy="defer").persist()
+        try:
+            write_jdbc_idempotent(
+                classify_ua_join(parsed),
+                url,
+                table=table,
+                driver=driver,
+                num_partitions=sink_connections,
+            )
+        finally:
+            parsed.unpersist()
 
-    writer = parsed.writeStream.foreachBatch(sink)
+    writer = lines.writeStream.foreachBatch(sink)
     if checkpoint is not None:
         writer = writer.option("checkpointLocation", checkpoint)
     if available_now:

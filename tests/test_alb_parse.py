@@ -301,3 +301,64 @@ def test_main_env_url_assembly(monkeypatch):
     monkeypatch.setenv("AWS_BUCKET_NAME", "b")
     monkeypatch.setenv("AWS_LOG_PREFIX", "elb/prod/")
     assert log_path_from_env() == "s3a://b/elb/prod/*.gz"
+
+
+def test_ua_join_strategy_matches_expr_ladder(spark):
+    """ua_strategy="join" (distinct agents -> evaluator -> broadcast
+    join, the streaming micro-batch shape) must emit byte-identical
+    rows to the default in-plan CASE ladder — including the blank
+    sentinel ("-" -> Unknown), generic $n capture tails, and plain
+    "Other" fallbacks. The two compilations of the same vendored
+    database are certified equal by the ua_classify gate; this pins
+    the JOIN PLUMBING (null handling, column order, row alignment)."""
+
+    def with_ua(ua: str) -> str:
+        return GOLDEN.replace(
+            "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+            "(KHTML, like Gecko) Chrome/136.0.0.0 Safari/537.36",
+            ua,
+        )
+
+    lines = [
+        GOLDEN,
+        with_ua("-"),                              # blank sentinel
+        with_ua("GPTBot/1.0"),                     # bot database row
+        with_ua("somethingbot/9.1"),               # generic *bot tail
+        with_ua("curl/8.4.0"),                     # product/version tail
+        with_ua("completely unstructured string"),  # Other
+        with_ua("Mozilla/5.0 (Macintosh; Intel Mac OS X 14_5) "
+                "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.5 "
+                "Safari/605.1.15"),                 # Safari / Mac OS X
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    expr_rows = sorted(
+        parse_alb_lines(df, source_file=F.lit("t.gz")).collect()
+    )
+    join_rows = sorted(
+        parse_alb_lines(
+            df, source_file=F.lit("t.gz"), ua_strategy="join"
+        ).collect()
+    )
+    assert join_rows == expr_rows
+    assert len(join_rows) == len(lines)
+    fams = {r.user_agent_full: r.ua_browser_family for r in join_rows}
+    assert fams["-"] == "Unknown"
+
+    # the streaming micro-batch shape: parse once with deferred
+    # (NULL) family columns, persist, classify over the persisted
+    # frame — identical rows again
+    from elb_log_to_mysql_spark.functions.ua import classify_ua_join
+
+    deferred = parse_alb_lines(
+        df, source_file=F.lit("t.gz"), ua_strategy="defer"
+    )
+    assert deferred.where(
+        F.col("ua_browser_family").isNotNull()
+        | F.col("ua_os_family").isNotNull()
+    ).count() == 0
+    persisted = deferred.persist()
+    try:
+        defer_rows = sorted(classify_ua_join(persisted).collect())
+    finally:
+        persisted.unpersist()
+    assert defer_rows == expr_rows

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from elb_log_to_mysql_spark.session import build_session  # noqa: E402
 from elb_log_to_mysql_spark.sinks.jdbc import write_jdbc_idempotent  # noqa: E402
+from elb_log_to_mysql_spark.functions.ua import classify_ua_join  # noqa: E402
 from elb_log_to_mysql_spark.sources.alb import parse_alb_lines  # noqa: E402
 
 DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
@@ -86,19 +87,27 @@ def drain(
     lines = spark.readStream.option(
         "maxFilesPerTrigger", str(max_files_per_trigger)
     ).text(source_dir)
-    parsed = parse_alb_lines(lines)
     committed = {"n": 0}
 
+    # parse ONCE per micro-batch into a persisted frame, classify UA
+    # over the distinct agents, multi-pass sink reads the persisted
+    # data — the exact shape streaming/ingest.py:stream_alb_to_jdbc
+    # runs (and the fix for the r8 throughput dip: see SCALE.md)
     def sink(batch_df, _batch_id: int) -> None:
         if fail_after_batches is not None and committed["n"] >= fail_after_batches:
             raise RuntimeError("injected mid-stream failure")
-        write_jdbc_idempotent(
-            batch_df, url, table=TABLE, driver=DERBY_DRIVER, num_partitions=4
-        )
+        parsed = parse_alb_lines(batch_df, ua_strategy="defer").persist()
+        try:
+            write_jdbc_idempotent(
+                classify_ua_join(parsed),
+                url, table=TABLE, driver=DERBY_DRIVER, num_partitions=4,
+            )
+        finally:
+            parsed.unpersist()
         committed["n"] += 1
 
     q = (
-        parsed.writeStream.foreachBatch(sink)
+        lines.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
