@@ -3210,9 +3210,7 @@ def q_multimodal_features(spark, sf_dir):
 # regex ladder's output for the three fixed UA strings).
 # ===========================================================================
 
-@_q(
-    "elb_parse",
-    """
+_ELB_PARSE_ORACLE = """
     WITH g AS (SELECT range AS n FROM range(0, 5000)),
     r AS (
       SELECT
@@ -3231,11 +3229,13 @@ def q_multimodal_features(spark, sf_dir):
            CAST(SUM(rcv) AS BIGINT) AS total_received,
            CAST(SUM(snt) AS BIGINT) AS total_sent
     FROM r GROUP BY elb_status_code, http_method, ua_browser_family
-    """,
-)
-def q_elb_parse(spark, sf_dir):
-    """Flagship reference pipeline on deterministic synthetic ALB lines:
-    generate -> parse (full P1-P16 chain) -> status/browser rollup."""
+    """
+
+
+def _synthetic_alb_lines(spark, n_lines: int = 5000):
+    """The deterministic ALB line generator shared by the elb_parse
+    family: every field derives from the row index, so oracles can
+    regenerate expectations from the same index arithmetic."""
     methods = F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT"))
     uas = F.array(
         F.lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) Chrome/136.0.0.0 Safari/537.36"),
@@ -3261,16 +3261,50 @@ def q_elb_parse(spark, sf_dir):
         (n % 50).cast("int"),
         uas[(n % 3).cast("int")],
     )
-    lines = spark.range(0, 5000).select(line.alias("value"))
-    parsed = parse_alb_lines(lines, source_file=F.lit("synthetic://alb"))
-    return (
-        parsed.groupBy("elb_status_code", "http_method", "ua_browser_family")
-        .agg(
-            F.count(F.lit(1)).alias("n_requests"),
-            F.sum("received_bytes").alias("total_received"),
-            F.sum("sent_bytes").alias("total_sent"),
-        )
+    return spark.range(0, n_lines).select(line.alias("value"))
+
+
+def _elb_parse_rollup(parsed):
+    return parsed.groupBy(
+        "elb_status_code", "http_method", "ua_browser_family"
+    ).agg(
+        F.count(F.lit(1)).alias("n_requests"),
+        F.sum("received_bytes").alias("total_received"),
+        F.sum("sent_bytes").alias("total_sent"),
     )
+
+
+@_q("elb_parse", _ELB_PARSE_ORACLE)
+def q_elb_parse(spark, sf_dir):
+    """Flagship reference pipeline on deterministic synthetic ALB lines:
+    generate -> parse (full P1-P16 chain) -> status/browser rollup."""
+    lines = _synthetic_alb_lines(spark)
+    parsed = parse_alb_lines(lines, source_file=F.lit("synthetic://alb"))
+    return _elb_parse_rollup(parsed)
+
+
+@_q("elb_parse_ua_join", _ELB_PARSE_ORACLE)
+def q_elb_parse_ua_join(spark, sf_dir):
+    """The SAME flagship pipeline through the streaming micro-batch
+    shape (streaming/ingest.py): parse with deferred UA columns,
+    persist the parsed frame, classify the DISTINCT agent strings
+    with the Arrow evaluator and broadcast-join the families back
+    (functions/ua.py:classify_ua_join — the dimension-join strategy
+    that fixed the r8 ingest throughput dip, SCALE.md round-9).
+    Sharing elb_parse's oracle makes ladder ≡ dimension-join a
+    driver-certified identity, not only a local test: any divergence
+    in null handling, join alignment, or evaluator-vs-ladder family
+    naming hash-mismatches here. The persisted frame is NOT
+    unpersisted before return (the gate consumes the plan lazily);
+    it is batch-scoped and evicted with the session, matching the
+    foreachBatch lifetime in the real ingest."""
+    from elb_log_to_mysql_spark.functions.ua import classify_ua_join
+
+    lines = _synthetic_alb_lines(spark)
+    parsed = parse_alb_lines(
+        lines, source_file=F.lit("synthetic://alb"), ua_strategy="defer"
+    ).persist()
+    return _elb_parse_rollup(classify_ua_join(parsed))
 
 
 @_q(
