@@ -726,6 +726,7 @@ def corpus_pipeline(
     bench_mod: int = 97,
     ngram: int = 5,
     salt: str = "seed42",
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """The END-TO-END curation chain as ONE DataFrame expression:
 
@@ -745,6 +746,15 @@ def corpus_pipeline(
     training order. Each stage's scale posture is documented on its
     own operator; composition adds nothing that shuffles the corpus
     beyond what the stages themselves do.
+
+    `benchmark`: the PRODUCTION decontamination shape — an explicit
+    eval-suite frame (with `text`), fixed-size no matter how the
+    corpus grows; every training doc is screened against it. Without
+    it, the id ≡ 0 mod `bench_mod` in-corpus stand-in applies — fine
+    on organic corpora, but ill-posed under clone replication (a
+    clone of almost every text eventually lands on the residue and
+    poisons the gram set; the 160x probe measured exactly that —
+    SCALE.md round-9).
     """
     from elb_log_to_mysql_spark.operators.dedup import (
         content_fingerprint,
@@ -763,9 +773,9 @@ def corpus_pipeline(
         ["doc_id"],
     ).drop("_fp")
     clean = survivors.join(
-        decontaminate(documents, bench_mod=bench_mod, ngram=ngram).select(
-            "doc_id"
-        ),
+        decontaminate(
+            documents, bench_mod=bench_mod, ngram=ngram, benchmark=benchmark
+        ).select("doc_id"),
         "doc_id",
         "left_semi",
     )
@@ -1002,6 +1012,7 @@ def curation_audit(
     bench_mod: int = 97,
     ngram: int = 5,
     salt: str = "seed42",
+    benchmark: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document LINEAGE for the curation build — the audit twin
     of `corpus_pipeline`: one row for EVERY input document with the
@@ -1056,7 +1067,9 @@ def curation_audit(
         .persist()
     )
     clean_ids = (
-        decontaminate(documents, bench_mod=bench_mod, ngram=ngram)
+        decontaminate(
+            documents, bench_mod=bench_mod, ngram=ngram, benchmark=benchmark
+        )
         .select("doc_id")
         .persist()
     )
@@ -1086,7 +1099,12 @@ def curation_audit(
         "source",
         F.coalesce("quality_keep", F.lit(False)).alias("quality_keep"),
         F.coalesce("dedup_survivor", F.lit(False)).alias("dedup_survivor"),
-        (F.col("doc_id") % bench_mod == 0).alias("is_bench"),
+        (
+            F.lit(False)
+            if benchmark is not None  # eval suite is external: no
+            # in-corpus doc is itself a benchmark member
+            else (F.col("doc_id") % bench_mod == 0)
+        ).alias("is_bench"),
         F.coalesce("decontaminated", F.lit(False)).alias("decontaminated"),
         F.coalesce("selected", F.lit(False)).alias("selected"),
     )

@@ -712,3 +712,39 @@ def test_dataset_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in pipeline.dataset_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_corpus_pipeline_explicit_benchmark(spark, sf_dir):
+    """The production decontamination shape: an EXTERNAL eval-suite
+    frame. Docs sharing an n-gram with it are excluded, nothing else
+    changes, and the audit twin agrees flag-for-flag (is_bench is
+    all-False — no in-corpus doc is a benchmark member). The
+    in-corpus mod stand-in is ill-posed under clone replication
+    (SCALE.md round-9: the 160x probe selected ZERO docs because a
+    clone of ~81% of texts landed on the benchmark residue); this
+    pins the API that models reality: corpus grows, eval suite
+    doesn't."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter((F.col("doc_id") % 31) == 0).select("text")
+    quotas = {"src0": 10**9, "src1": 10**9, "src2": 10**9}
+
+    out = pipeline.corpus_pipeline(docs, quotas, benchmark=bench)
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+
+    clean = {
+        r.doc_id
+        for r in pipeline.decontaminate(docs, benchmark=bench).collect()
+    }
+    # selection ⊆ clean, and the contaminated docs really are gone
+    assert got <= clean
+    dirty_probe = docs.filter((F.col("doc_id") % 31) == 0).select("doc_id")
+    assert not got & {r.doc_id for r in dirty_probe.collect()}
+    # non-degenerate: the external suite removes SOME but not all
+    n = docs.count()
+    assert 0 < len(got) < n
+
+    aud = pipeline.curation_audit(docs, quotas, benchmark=bench)
+    rows = aud.collect()
+    assert all(r.is_bench is False for r in rows)
+    assert {r.doc_id for r in rows if r.selected} == got
+    assert {r.doc_id for r in rows if r.decontaminated} == clean

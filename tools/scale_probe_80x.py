@@ -91,12 +91,22 @@ def main() -> None:
     nd.unpersist()
 
     # --- corpus build: another doubling on the audit-knee fix ---
+    # The benchmark is the PRODUCTION shape: a fixed external eval
+    # suite (the base corpus's mod-97 residue), not the in-corpus
+    # id-mod stand-in. Under clone replication the stand-in is
+    # ill-posed: each base text has `factor` clones, so by 160x ~81%
+    # of texts have a clone on the benchmark residue and their gram
+    # sets poison the whole pool (measured: selected == 0). A real
+    # corpus grows while its eval suite stays fixed — this replica
+    # now models that.
+    src_docs = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+    bench = src_docs.filter((F.col("doc_id") % 97) == 0).select("text")
     cp_quotas = {"src0": 50, "src1": 220 * factor, "src2": 10**9}
-    cp = pipeline.corpus_pipeline(docs, cp_quotas).persist()
+    cp = pipeline.corpus_pipeline(docs, cp_quotas, benchmark=bench).persist()
     n_cp, t_cp = timed(cp.count)
     pos = cp.agg(F.min("pos"), F.max("pos"), F.count_distinct("pos")).first()
     perm_ok = pos[0] == 0 and pos[1] == n_cp - 1 and pos[2] == n_cp
-    aud = pipeline.curation_audit(docs, cp_quotas).persist()
+    aud = pipeline.curation_audit(docs, cp_quotas, benchmark=bench).persist()
     n_aud, t_aud = timed(aud.count)
     sel = aud.filter("selected").select("doc_id")
     mismatch = (
