@@ -316,3 +316,28 @@ def test_progressive_scan_header_validation():
     data[se_at + 1] = 0x75  # Ah=7 with Al=5: not a one-bit step
     with pytest.raises(ValueError, match="successive approximation"):
         jc.decode_pixels(bytes(data))
+
+
+def test_progressive_422_internal_sampling():
+    """4:2:2 (H-only chroma subsampling) through both transmissions:
+    the interleaved DC walk carries 2 Y + 1 Cb + 1 Cr units per MCU
+    and the AC scans walk each component's own block grid — a third
+    sampling geometry beyond the public 4:4:4/4:2:0 helpers."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, size=(24, 40, 3)).astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    def down2h(p):
+        p2 = jc._pad_replicate(p, p.shape[0], p.shape[1] + p.shape[1] % 2)
+        return (p2[:, 0::2] + p2[:, 1::2]) / 2.0
+
+    planes = [y, down2h(cb), down2h(cr)]
+    sampling = [(2, 1), (1, 1), (1, 1)]
+    q = jc._DEFAULT_QTAB
+    base = jc.decode_pixels(jc._encode_planes(planes, q, sampling))
+    prog = jc.decode_pixels(jc._encode_planes_progressive(planes, q, sampling))
+    assert prog == base
+    assert base[:3] == (40, 24, 3)
