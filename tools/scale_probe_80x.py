@@ -51,6 +51,9 @@ SRC = "/root/testdata/sf0.1"
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     out_json = sys.argv[2] if len(sys.argv) > 2 else f"SCALE_PROBE_{factor}x.json"
+    # optional section filter (re-measure one family without paying
+    # for the others): any of near_dedup / corpus / event_time
+    sections = set(sys.argv[3:]) or {"near_dedup", "corpus", "event_time"}
     out_dir = f"/tmp/scale_probe_{factor}x"
 
     spark = build_session(app_name=f"scale-probe-{factor}x")
@@ -76,6 +79,29 @@ def main() -> None:
                                                "events": ev.count()}}
 
     # --- near_dedup at scale: precision in-plan, recall lower bound ---
+    if "near_dedup" in sections:
+        _near_dedup_section(report, dedup, docs, n_base, factor)
+    if "corpus" in sections:
+        _corpus_section(report, spark, pipeline, docs, n_docs, factor)
+    if "event_time" in sections:
+        _event_time_section(report, spark, sessionize, ev, out_dir,
+                            raw_parquet_schema, run_stream_to_batch,
+                            ensure_event_time, tumbling_counts)
+
+    if os.path.exists(out_json) and sections != {
+        "near_dedup", "corpus", "event_time"
+    }:
+        # sectioned re-measure: merge into the existing artifact
+        with open(out_json) as f:
+            prior = json.load(f)
+        prior.update(report)
+        report = prior
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+def _near_dedup_section(report, dedup, docs, n_base, factor):
     nd = dedup.near_dedup_minhash(docs, threshold=0.6).persist()
     n_nd, t_nd = timed(nd.count)
     min_j = nd.agg(F.min("jaccard")).first()[0]
@@ -90,6 +116,8 @@ def main() -> None:
     }
     nd.unpersist()
 
+
+def _corpus_section(report, spark, pipeline, docs, n_docs, factor):
     # --- corpus build: another doubling on the audit-knee fix ---
     # The benchmark is the PRODUCTION shape: a fixed external eval
     # suite (the base corpus's mod-97 residue), not the in-corpus
@@ -127,9 +155,25 @@ def main() -> None:
         for s, p in pool.items()
     )
     cp.unpersist(); aud.unpersist()
+    # Steady-state rep: the first evaluation of the expression-dense
+    # quality gate pays a session-scoped codegen/JIT warm-up that is
+    # SCALE-INDEPENDENT (measured 218 s first vs 26 s repeat on the
+    # identical query at 80x) — a long-running production job pays it
+    # once per executor JVM. Drop the persisted id-sets (gc fires
+    # unpersist_on_gc), then re-evaluate fresh frames warm: the warm
+    # cell is the number that scales.
+    import gc
+    del cp, aud, sel
+    gc.collect()
+    n_cp2, t_cp_warm = timed(
+        lambda: pipeline.corpus_pipeline(docs, cp_quotas, benchmark=bench)
+        .count()
+    )
+    assert n_cp2 == n_cp
     report["corpus_build"] = {
         "selected": n_cp,
         "corpus_pipeline_sec": t_cp,
+        "corpus_pipeline_sec_warm": t_cp_warm,
         "curation_audit_sec": t_aud,
         "audit_over_pipeline": round(t_aud / t_cp, 2) if t_cp else None,
         "audit_covers_all_inputs": n_aud == n_docs,
@@ -138,6 +182,10 @@ def main() -> None:
         "per_stratum_quota_exact": bool(quota_ok),
     }
 
+
+def _event_time_section(report, spark, sessionize, ev, out_dir,
+                        raw_parquet_schema, run_stream_to_batch,
+                        ensure_event_time, tumbling_counts):
     # --- event time at 8M events: sessionize + stream ≡ batch ---
     n_sess, t_sess = timed(lambda: sessionize.sessionize(ev).count())
     batch = (
@@ -157,10 +205,6 @@ def main() -> None:
         "stream_windows": streamed, "batch_windows": batch,
         "stream_equals_batch": streamed == batch,
     }
-
-    with open(out_json, "w") as f:
-        json.dump(report, f, indent=1)
-    print(json.dumps(report, indent=1))
 
 
 if __name__ == "__main__":
