@@ -734,13 +734,17 @@ def corpus_pipeline(
         exact-quota mixture -> deterministic global training order
 
     — i.e. the whole pre-training data build the individual operators
-    implement, composed so Catalyst plans it as one job (shared scans,
-    no materialization boundaries between stages). Every stage is the
-    deterministic variant (Gopher-rule gate, min-id fingerprint
-    survivor, gram-set decontamination, hash-order quota, bucketed
-    global shuffle rank), so the FINAL training order is a pure
-    function of (corpus, quotas, salt) — reproducible end to end and
-    value-checkable against a single SQL replay of the full chain.
+    implement, composed lazily with each stage's id-set persisted
+    (the curation_audit structure: the text-heavy derivations
+    materialize ONCE however many join branches consume them, a
+    following audit reuses them through Spark's plan cache, and the
+    sf0.01 oracle-gate wall fell 72.4 -> 13.6 s with no semantic
+    change — SCALE.md round-9). Every stage is the deterministic variant
+    (Gopher-rule gate, min-id fingerprint survivor, gram-set
+    decontamination, hash-order quota, bucketed global shuffle rank),
+    so the FINAL training order is a pure function of (corpus,
+    quotas, salt) — reproducible end to end and value-checkable
+    against a single SQL replay of the full chain.
 
     Returns (doc_id, source, mix_rank, pos): the selected corpus in
     training order. Each stage's scale posture is documented on its
@@ -761,30 +765,49 @@ def corpus_pipeline(
         exact_dedup,
     )
     from elb_log_to_mysql_spark.operators.textops import quality_filter
+    from elb_log_to_mysql_spark.session import unpersist_on_gc
 
-    kept = documents.join(
-        quality_filter(documents).filter("keep").select("doc_id"),
-        "doc_id",
-        "left_semi",
+    # The stage id-sets are persisted (narrow doc_id frames) exactly
+    # as in curation_audit: composed lazily, the text-heavy stages
+    # (quality stats, fingerprinting, gram decontamination) re-execute
+    # per consuming join branch once the id-sets outgrow broadcast,
+    # and the 160x probe measured the resulting knee — 61.8 s at 80x
+    # -> 548.6 s at 160x for the unpersisted form while the persisted
+    # audit twin stayed linear (52.7 -> 97.3 s). SCALE.md round-9.
+    kept_ids = (
+        quality_filter(documents).filter("keep").select("doc_id").persist()
     )
-    survivors = exact_dedup(
-        kept.withColumn("_fp", content_fingerprint("text")),
-        ["_fp"],
-        ["doc_id"],
-    ).drop("_fp")
-    clean = survivors.join(
+    kept = documents.join(kept_ids, "doc_id", "left_semi")
+    surv_ids = (
+        exact_dedup(
+            kept.withColumn("_fp", content_fingerprint("text")),
+            ["_fp"],
+            ["doc_id"],
+        )
+        .select("doc_id")
+        .persist()
+    )
+    clean_ids = (
         decontaminate(
             documents, bench_mod=bench_mod, ngram=ngram, benchmark=benchmark
-        ).select("doc_id"),
-        "doc_id",
-        "left_semi",
+        )
+        .select("doc_id")
+        .persist()
     )
+    clean_surv = surv_ids.join(clean_ids, "doc_id", "left_semi")
     mixed = mixture_sample(
-        clean.select("doc_id", "source"), "source", "doc_id", quotas, salt
+        documents.join(clean_surv, "doc_id", "left_semi").select(
+            "doc_id", "source"
+        ),
+        "source",
+        "doc_id",
+        quotas,
+        salt,
     )
-    return shuffle_index(mixed, "doc_id", salt).select(
+    out = shuffle_index(mixed, "doc_id", salt).select(
         "doc_id", "source", "mix_rank", "pos"
     )
+    return unpersist_on_gc(out, kept_ids, surv_ids, clean_ids)
 
 
 def incremental_accept(
