@@ -362,3 +362,28 @@ def test_ua_join_strategy_matches_expr_ladder(spark):
     finally:
         persisted.unpersist()
     assert defer_rows == expr_rows
+
+
+def test_ua_join_plan_shape(spark):
+    """The streaming micro-batch shape's PLAN contract: UA families
+    arrive via a BROADCAST join against the distinct-agent lookup
+    (one Arrow/Python eval node on the tiny dimension side), and the
+    ~600-arm regex CASE ladder is absent — the property that fixed
+    the r8 ingest throughput dip (SCALE.md round-9)."""
+    from elb_log_to_mysql_spark.functions.ua import classify_ua_join
+    from elb_log_to_mysql_spark.plans.inspect import formatted_plan, plan_report
+
+    df = spark.createDataFrame([(ln,) for ln in [GOLDEN]], "value string")
+    out = classify_ua_join(
+        parse_alb_lines(df, source_file=F.lit("t.gz"), ua_strategy="defer")
+    )
+    out.collect()
+    rep = plan_report(out)
+    assert rep["broadcast_joins"] >= 1
+    assert rep["sortmerge_joins"] == 0 and rep["shuffled_hash_joins"] == 0
+    # the ladder compiles to a CASE of rlike arms; the join plan
+    # must carry none of it (one regex remains in the arity guard)
+    plan = formatted_plan(out)
+    assert plan.count("rlike") <= 2
+    # exactly one Python/Arrow eval (the evaluator over DISTINCT agents)
+    assert rep["python_evals"] == 1
