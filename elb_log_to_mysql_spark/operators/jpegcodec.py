@@ -1014,6 +1014,10 @@ def decode_pixels(payload: bytes) -> tuple:
                 p += 64
         elif tag in (0xC0, 0xC1, 0xC2):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError(
+                    f"{prec}-bit sample precision unsupported (8-bit only)"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]

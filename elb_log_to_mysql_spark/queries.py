@@ -3294,17 +3294,20 @@ def q_elb_parse_ua_join(spark, sf_dir):
     Sharing elb_parse's oracle makes ladder ≡ dimension-join a
     driver-certified identity, not only a local test: any divergence
     in null handling, join alignment, or evaluator-vs-ladder family
-    naming hash-mismatches here. The persisted frame is NOT
-    unpersisted before return (the gate consumes the plan lazily);
-    it is batch-scoped and evicted with the session, matching the
-    foreachBatch lifetime in the real ingest."""
+    naming hash-mismatches here. The persisted frame's lifetime is
+    tied to the returned result via unpersist_on_gc (the gate
+    consumes the plan lazily, then drops the frame) so repeated gate
+    runs in one long-lived session don't accumulate cached blocks —
+    matching the bounded foreachBatch lifetime in the real ingest."""
     from elb_log_to_mysql_spark.functions.ua import classify_ua_join
 
     lines = _synthetic_alb_lines(spark)
     parsed = parse_alb_lines(
         lines, source_file=F.lit("synthetic://alb"), ua_strategy="defer"
     ).persist()
-    return _elb_parse_rollup(classify_ua_join(parsed))
+    return unpersist_on_gc(
+        _elb_parse_rollup(classify_ua_join(parsed)), parsed
+    )
 
 
 @_q(

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from elb_log_to_mysql_spark.functions.ua import classify_ua_join
+from elb_log_to_mysql_spark.functions.ua import HAVE_USER_AGENTS, classify_ua_join
 from elb_log_to_mysql_spark.sinks.jdbc import write_jdbc_idempotent
 from elb_log_to_mysql_spark.sources.alb import parse_alb_lines
 
@@ -64,7 +64,10 @@ def stream_alb_to_jdbc(
         parsed = parse_alb_lines(batch_df, ua_strategy="defer").persist()
         try:
             write_jdbc_idempotent(
-                classify_ua_join(parsed),
+                # prefer_wrapper tracks the batch default (alb.py:99):
+                # when the user_agents wrapper is installed, streamed
+                # family names must match batch output exactly.
+                classify_ua_join(parsed, prefer_wrapper=HAVE_USER_AGENTS),
                 url,
                 table=table,
                 driver=driver,

@@ -108,6 +108,14 @@ def test_rejections_are_loud():
     data[idx + 14] = 0x31
     with pytest.raises(ValueError, match="non-integer"):
         jc.decode_pixels(bytes(data))
+    # 12-bit sample precision (SOF prec byte = 12): extended T.81
+    # profile we don't implement — must refuse, not decode with
+    # 8-bit level shift/clamp assumptions
+    data = bytearray(jc.make_block_jpeg_bytes(8, 8, 1))
+    idx = bytes(data).find(b"\xff\xc0")
+    data[idx + 4] = 12  # SOF body: marker(2) len(2) prec(1)
+    with pytest.raises(ValueError, match="precision"):
+        jc.decode_pixels(bytes(data))
 
 
 def test_grayscale_with_declared_sampling_factors_decodes():

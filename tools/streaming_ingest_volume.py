@@ -39,7 +39,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from elb_log_to_mysql_spark.session import build_session  # noqa: E402
 from elb_log_to_mysql_spark.sinks.jdbc import write_jdbc_idempotent  # noqa: E402
-from elb_log_to_mysql_spark.functions.ua import classify_ua_join  # noqa: E402
+from elb_log_to_mysql_spark.functions.ua import (  # noqa: E402
+    HAVE_USER_AGENTS,
+    classify_ua_join,
+)
 from elb_log_to_mysql_spark.sources.alb import parse_alb_lines  # noqa: E402
 
 DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
@@ -99,7 +102,7 @@ def drain(
         parsed = parse_alb_lines(batch_df, ua_strategy="defer").persist()
         try:
             write_jdbc_idempotent(
-                classify_ua_join(parsed),
+                classify_ua_join(parsed, prefer_wrapper=HAVE_USER_AGENTS),
                 url, table=TABLE, driver=DERBY_DRIVER, num_partitions=4,
             )
         finally:
