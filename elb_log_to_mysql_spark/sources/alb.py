@@ -40,6 +40,8 @@ from pyspark.sql import functions as F
 from elb_log_to_mysql_spark.functions.casts import safe_float, safe_int
 from elb_log_to_mysql_spark.functions.ua import (
     HAVE_USER_AGENTS,
+    UA_PROBE_ROWS,
+    choose_ua_strategy,
     classify_ua_join,
     ua_browser_family_expr,
     ua_families_udf,
@@ -93,7 +95,15 @@ def parse_alb_lines(
     the caller (classify_ua_join on the returned frame) — for callers
     that persist the parsed batch first so the parse chain
     materializes exactly once under a multi-pass sink; the streaming
-    ingest does this per micro-batch (streaming/ingest.py).
+    ingest does this per micro-batch (streaming/ingest.py). "auto"
+    resolves to "expr" or "join" from a bounded probe of the input
+    (functions/ua.py:choose_ua_strategy — first UA_PROBE_ROWS agent
+    strings, count + approx distinct): small or low-duplication
+    inputs keep the zero-Python ladder, high-duplication corpora
+    (the normal log-data shape) get the dimension join. Streaming
+    frames can't be eagerly aggregated, so "auto" falls back to
+    "expr" there — foreachBatch callers hand in batch frames and get
+    the real chooser.
     """
     if exact_ua is None:
         exact_ua = HAVE_USER_AGENTS
@@ -135,6 +145,25 @@ def parse_alb_lines(
     arity_ok = F.col("ssl_cipher").isNotNull() & F.col("elb_status").rlike(
         "^[0-9-]+$"
     )
+
+    if ua_strategy == "auto":
+        # Probe BEFORE the observation is attached: Observation
+        # values come from the first completed action on the observed
+        # plan, and the bounded probe job must not consume the census.
+        if lines.isStreaming:
+            ua_strategy = "expr"
+        else:
+            stats = (
+                t.filter(arity_ok)
+                .select("user_agent")
+                .limit(UA_PROBE_ROWS)
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.approx_count_distinct("user_agent").alias("d"),
+                )
+                .collect()[0]
+            )
+            ua_strategy = choose_ua_strategy(stats["n"], stats["d"])
 
     if observation is not None:
         ts_ok = _parse_timestamp(F.col("raw_timestamp")).isNotNull()

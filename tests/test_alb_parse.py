@@ -387,3 +387,58 @@ def test_ua_join_plan_shape(spark):
     assert plan.count("rlike") <= 2
     # exactly one Python/Arrow eval (the evaluator over DISTINCT agents)
     assert rep["python_evals"] == 1
+
+
+def test_ua_strategy_chooser_selections():
+    """Pin the pure chooser's decision table (VERDICT r9 item 6):
+    tiny inputs and low-duplication corpora keep the codegen ladder;
+    a high duplication factor (rows >> distinct agents — the normal
+    log shape) dimension-izes. Boundary cases pin the exact
+    thresholds so a future retune is a deliberate diff."""
+    from elb_log_to_mysql_spark.functions.ua import choose_ua_strategy
+
+    # below min_rows: always the ladder, even at extreme duplication
+    assert choose_ua_strategy(100, 2) == "expr"
+    assert choose_ua_strategy(4_999, 1) == "expr"
+    # at/above min_rows: duplication factor decides
+    assert choose_ua_strategy(20_000, 50) == "join"       # dup 400x
+    assert choose_ua_strategy(20_000, 2_500) == "join"    # dup 8x exactly
+    assert choose_ua_strategy(20_000, 2_501) == "expr"    # dup <8x
+    assert choose_ua_strategy(20_000, 20_000) == "expr"   # all-unique
+
+
+def test_ua_strategy_auto_resolves_both_ways(spark):
+    """ua_strategy="auto" end-to-end: a high-duplication batch gets
+    the dimension join (broadcast join in the plan), an all-unique
+    batch keeps the in-plan ladder (no joins at all); both emit the
+    same 13-col schema and correct families."""
+    from elb_log_to_mysql_spark.plans.inspect import plan_report
+
+    def with_ua(ua: str) -> str:
+        return GOLDEN.replace(
+            "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+            "(KHTML, like Gecko) Chrome/136.0.0.0 Safari/537.36",
+            ua,
+        )
+
+    # 6000 rows over 3 agents: dup factor 2000x -> join
+    dup_lines = [with_ua(f"curl/8.{i % 3}.0") for i in range(6_000)]
+    df = spark.createDataFrame([(ln,) for ln in dup_lines], "value string")
+    out = parse_alb_lines(df, source_file=F.lit("t.gz"), ua_strategy="auto")
+    out.collect()
+    rep = plan_report(out)
+    assert rep["broadcast_joins"] >= 1
+    assert rep["python_evals"] == 1
+
+    # 6000 rows, every agent unique: dup factor 1x -> ladder
+    # (approx_count_distinct has ~2% error; 1x vs the 8x threshold
+    # leaves two orders of magnitude of margin)
+    uniq_lines = [with_ua(f"agent-{i}/1.0") for i in range(6_000)]
+    df = spark.createDataFrame([(ln,) for ln in uniq_lines], "value string")
+    out = parse_alb_lines(df, source_file=F.lit("t.gz"), ua_strategy="auto")
+    rows = out.collect()
+    rep = plan_report(out)
+    assert rep["broadcast_joins"] == 0
+    assert rep["python_evals"] == 0
+    assert len(rows) == 6_000
+    assert all(r.ua_browser_family is not None for r in rows)
