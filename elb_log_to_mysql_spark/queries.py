@@ -5244,6 +5244,111 @@ def q_sql_interface(spark, sf_dir):
     return spark.sql(ORACLE_SQL["sql_interface"])
 
 
+def _sql_interface_entry(name: str, sql: str, doc: str):
+    """Register one SQL-front-end battery entry (VERDICT r9 item 5):
+    the query string is submitted VERBATIM via spark.sql(...) and is
+    its own DuckDB oracle — a dialect-intersection proof that the SQL
+    surface (not just the DataFrame API) computes this shape
+    identically on both engines. Zero DataFrame calls."""
+
+    @_q(name, sql)
+    def q(spark, sf_dir):
+        from elb_log_to_mysql_spark.sources.tables import register_views
+
+        register_views(spark, sf_dir)
+        return spark.sql(ORACLE_SQL[name])
+
+    q.__doc__ = doc
+    q.__name__ = f"q_{name}"
+    return q
+
+
+_sql_interface_entry(
+    "sql_interface_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    "GROUPING SETS + GROUPING() markers through the SQL front end: "
+    "three aggregation granularities in one pass, the grouping-id "
+    "bit semantics proven identical across both parsers.",
+)
+
+_sql_interface_entry(
+    "sql_interface_rollup",
+    """
+    SELECT n_name, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, o_orderpriority)
+    """,
+    "ROLLUP over a two-join star through the SQL front end; the "
+    "DECIMAL(18,2) sum makes the rolled-up totals exact (not "
+    "float-order-dependent) so the hash comparison is meaningful.",
+)
+
+_sql_interface_entry(
+    "sql_interface_interval_join",
+    """
+    WITH bands AS (
+      SELECT * FROM (VALUES (0, 10, 'small'), (10, 25, 'mid'), (25, 51, 'large'))
+                AS b(lo, hi, band)
+    )
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+    "Non-equi interval join (VALUES inline dimension, half-open "
+    "band predicate) through the SQL front end — Spark plans this "
+    "as a broadcast nested-loop over the 3-row dim; the asof-style "
+    "range containment semantics match DuckDB's exactly.",
+)
+
+_sql_interface_entry(
+    "sql_interface_percentile",
+    """
+    SELECT l_returnflag,
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+             AS median_price,
+           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+             AS p90_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "Ordered-set aggregate PERCENTILE_CONT ... WITHIN GROUP through "
+    "the SQL front end: linear interpolation on the sorted group is "
+    "deterministic, so exact doubles must agree across engines.",
+)
+
+_sql_interface_entry(
+    "sql_interface_setops",
+    """
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+         urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT 'both' AS tag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent) t
+    UNION ALL
+    SELECT 'hi_only' AS tag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM hi EXCEPT SELECT * FROM urgent) t
+    UNION ALL
+    SELECT 'either' AS tag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM hi UNION SELECT * FROM urgent) t
+    """,
+    "INTERSECT / EXCEPT / UNION (set semantics, bag-dedup) through "
+    "the SQL front end, counted per branch so every set operator's "
+    "distinct handling is hash-checked.",
+)
+
+
 @_q(
     "countmin_freq",
     """
