@@ -32,6 +32,23 @@ def _ws_tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), " ")
 
 
+def _tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens as a CODEGEN-CAPABLE expression.
+
+    Exactly `filter(split(lower(text), '\\s+'), t -> t != '')`:
+    splitting on \\s+ can only produce empty strings at the two array
+    boundaries (any interior separator run is one match), so
+    array_remove(.., '') strips precisely those. The crucial
+    difference from the lambda-filter form: array_remove participates
+    in whole-stage codegen while a lambda HOF is a CodegenFallback
+    that forces the WHOLE enclosing stage into interpreted eval — the
+    Gopher gate measured 355 s cold / 28 s warm at 80x on the HOF
+    form purely from the interpreted tree's JIT/GC warm-up (SCALE.md
+    round-10); keeping the hot per-row path HOF-free is what fixes
+    it."""
+    return F.array_remove(F.split(F.lower(text), r"\s+"), "")
+
+
 def text_stats(documents: DataFrame) -> DataFrame:
     """Per-document quality metrics + a composite quality score.
 
@@ -327,20 +344,24 @@ def deterministic_sample(
     return df.filter(prefix < hex_threshold)
 
 
-def _word_ngrams(text: Column, n: int) -> Column:
-    """ALL word n-grams (with multiplicity — repetition is the signal
-    here, unlike the dedup shingles which dedupe)."""
-    toks = F.filter(
-        F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
-    )
-    n_g = F.size(toks) - (n - 1)
-    return F.when(
-        n_g > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_g),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+def _word_ngram_structs(text: Column, n: int) -> Column:
+    """ALL word n-grams (with multiplicity) as an array of n-field
+    STRUCTS — zero higher-order functions, so the producing stage
+    stays inside whole-stage codegen. The construction is the
+    slice-and-zip identity: the i-th n-gram is
+    (toks[i], toks[i+1], ..., toks[i+n-1]), i.e. element i of
+    arrays_zip(slice(toks,1,m), slice(toks,2,m), ..., slice(toks,n,m))
+    with m = max(size-n+1, 0) — all codegen-capable collection
+    expressions, unlike the transform/sequence lambda form this
+    replaces (CodegenFallback -> 355 s interpreted first-eval at 80x,
+    SCALE.md round-10). Consumers that only group/count gram
+    IDENTITIES hash the struct fields (tokens are \\S+ runs, so the
+    token tuple <-> "t1 t2 .. tn" string map is injective and counts
+    match the string form exactly); human-facing consumers concat_ws
+    the fields back to the gram string — same bytes as the old form."""
+    toks = _tokens(text)
+    m = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(n)])
 
 
 def repetition_filter(
@@ -372,11 +393,11 @@ def repetition_filter(
     def gram_stats(n: int):
         grams = docs.select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    _word_ngrams(F.col("text"), n), lambda g: F.xxhash64(g)
-                )
-            ).alias("g"),
+            F.explode(_word_ngram_structs(F.col("text"), n)).alias("gs"),
+        ).select(
+            "doc_id",
+            F.xxhash64(*[F.col("gs").getField(str(j)) for j in range(n)])
+            .alias("g"),
         )
         per_gram = grams.groupBy("doc_id", "g").agg(
             F.count(F.lit(1)).alias("c")
@@ -439,60 +460,53 @@ def quality_filter(
     All ratios are int/int IEEE divisions (bit-identical across
     engines, oracle-checkable); thresholds are literals, so rule
     booleans are bit-stable too.
+
+    Every metric is a CODEGEN-CAPABLE expression (round-10 rewrite):
+    the earlier formulation computed them with higher-order functions
+    (filter/transform/aggregate lambdas), which are CodegenFallback —
+    the metrics Project fell out of whole-stage codegen entirely and
+    the interpreted expression tree cost 355 s on first evaluation vs
+    28 s warm at 80x (JIT + GC warm-up of the interpreter paths,
+    SCALE.md round-10). The HOF-free equivalents, provably identical
+    per token-run semantics (tokens are maximal \\S+ runs):
+
+    - n_words:        size of the _tokens array (codegen CSE
+                      evaluates the shared split once per row).
+    - sum(len(tok)):  length(text with all \\s stripped) — removing
+                      whitespace leaves exactly the concatenated
+                      tokens.
+    - alpha words:    regexp_count of `\\S*[a-z]\\S*` — a match never
+                      crosses whitespace, and greedy \\S* consumes a
+                      whole token from its start, so each token with
+                      >= 1 letter yields exactly one match.
+    - stopword hits:  array_intersect/array_distinct over the token
+                      array — set ops have codegen; only lambdas
+                      don't.
     """
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
-    )
-
-    def metrics(toks_col):
-        n = F.size(toks_col)
-        n1 = F.greatest(n, F.lit(1))
-        sum_len = F.aggregate(
-            F.transform(toks_col, lambda t: F.length(t)),
-            F.lit(0),
-            lambda acc, v: acc + v,
+    lt = F.lower(F.col("text"))
+    toks = _tokens(F.col("text"))
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1))
+    sum_len = F.length(F.regexp_replace(lt, r"\s+", ""))
+    alpha = F.regexp_count(lt, F.lit(r"\S*[a-z]\S*"))
+    hashes = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    ellipses = (
+        F.length("text")
+        - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
+    ) / F.lit(3)
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
         )
-        alpha = F.size(F.filter(toks_col, lambda t: t.rlike("[a-z]")))
-        hashes = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
-        ellipses = (
-            F.length("text")
-            - F.length(F.regexp_replace(F.col("text"), r"\.\.\.", ""))
-        ) / F.lit(3)
-        stop_hits = F.size(
-            F.array_intersect(
-                F.array_distinct(toks_col),
-                F.array(*[F.lit(w) for w in STOPWORDS["en"]]),
-            )
-        )
-        return n, (sum_len / n1), (alpha / n1), ((hashes + ellipses) / n1), stop_hits
-
-    # Let-bind the token array (one element array + element_at) so the
-    # five metrics tokenize the document once, not five times — HOFs
-    # re-evaluate outer subtrees per reference (see word_shingles).
-    bound = F.element_at(
-        F.transform(
-            F.array(toks),
-            lambda t: F.struct(
-                *[
-                    m.alias(nm)
-                    for m, nm in zip(
-                        metrics(t),
-                        ["n_words", "mean_wl", "alpha_frac", "sym_ratio", "stops"],
-                    )
-                ]
-            ),
-        ),
-        1,
     )
     base = ensure_min_partitions(documents).select("doc_id", "text").select(
-        "doc_id", bound.alias("m")
-    ).select(
         "doc_id",
-        F.col("m.n_words").alias("n_words"),
-        F.col("m.mean_wl").alias("mean_word_len"),
-        F.col("m.alpha_frac").alias("alpha_word_frac"),
-        F.col("m.sym_ratio").alias("symbol_word_ratio"),
-        F.col("m.stops").alias("stopword_hits"),
+        n.alias("n_words"),
+        (sum_len / n1).alias("mean_word_len"),
+        (alpha / n1).alias("alpha_word_frac"),
+        ((hashes + ellipses) / n1).alias("symbol_word_ratio"),
+        stop_hits.alias("stopword_hits"),
     )
     rep = repetition_filter(documents).select(
         "doc_id", F.col("keep").alias("repetition_ok")
@@ -538,9 +552,16 @@ def corpus_ngrams(
     the shuffle carries one (gram, partial-count) per distinct gram
     per partition, not one row per occurrence) → global top-k with
     deterministic (count desc, gram) tiebreak. The gram STRING is
-    carried (not just a hash) because the output is human-facing."""
+    carried (not just a hash) because the output is human-facing —
+    rebuilt from the exploded token struct AFTER the Generate
+    (concat_ws is codegen; building gram strings inside a lambda
+    before the explode was a CodegenFallback, see _word_ngram_structs)."""
     grams = ensure_min_partitions(documents).select(
-        F.explode(_word_ngrams(F.col("text"), n)).alias("gram")
+        F.explode(_word_ngram_structs(F.col("text"), n)).alias("gs")
+    ).select(
+        F.concat_ws(
+            " ", *[F.col("gs").getField(str(j)) for j in range(n)]
+        ).alias("gram")
     )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occurrences"))
     return counts.orderBy(
