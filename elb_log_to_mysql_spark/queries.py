@@ -3407,6 +3407,26 @@ def q_elb_parse_ua_join(spark, sf_dir):
     )
 
 
+@_q("elb_parse_ua_auto", _ELB_PARSE_ORACLE)
+def q_elb_parse_ua_auto(spark, sf_dir):
+    """The flagship pipeline through ua_strategy="auto" (VERDICT r9
+    item 6): parse_alb_lines probes the input (bounded count +
+    approx-distinct over the first UA_PROBE_ROWS agents,
+    functions/ua.py:choose_ua_strategy) and picks the CASE ladder or
+    the dimension join from the measured duplication factor. The
+    synthetic corpus is 5000 rows over 3 distinct agents (dup factor
+    ~1667x), so the chooser selects the dimension join here — sharing
+    elb_parse's oracle makes probe + decision + chosen plan one
+    driver-certified identity; the decision table itself and the
+    ladder selection on low-duplication input are pinned by
+    tests/test_alb_parse.py."""
+    lines = _synthetic_alb_lines(spark)
+    parsed = parse_alb_lines(
+        lines, source_file=F.lit("synthetic://alb"), ua_strategy="auto"
+    )
+    return _elb_parse_rollup(parsed)
+
+
 @_q(
     "elb_url_stats",
     """
