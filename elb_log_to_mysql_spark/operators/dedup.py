@@ -83,12 +83,12 @@ def ws_tokens(text: Column) -> Column:
     """Whitespace tokenization shared by every text operator whose
     oracle replays `list_filter(string_split_regex(lower(text),
     '\\s+'), x -> x <> '')` — ONE definition so Spark and the SQL
-    twins cannot drift. Split then DROP empty tokens: F.trim strips
-    only ASCII spaces, so a leading tab/newline would otherwise leave
-    "" tokens that end up inside shingles (' g ' from '\tg\t')."""
-    return F.filter(
-        F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
-    )
+    twins cannot drift. Splitting on \\s+ only yields empty tokens at
+    the two array boundaries (any interior separator run is a single
+    match), so array_remove(.., '') strips exactly the lambda-
+    filtered set — and unlike the lambda HOF it participates in
+    whole-stage codegen (the round-10 cold-start finding, SCALE.md)."""
+    return F.array_remove(F.split(F.lower(text), r"\s+"), "")
 
 
 # internal alias (historical name)

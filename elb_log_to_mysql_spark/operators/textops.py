@@ -32,6 +32,22 @@ def _ws_tokens(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), " ")
 
 
+def _occurrence_hits(toks: Column, words: list[str]) -> Column:
+    """Count OCCURRENCES of `words` among `toks` (multiplicity kept)
+    as a codegen-capable expression: size(toks) minus size(toks with
+    every listed word removed). array_remove strips all copies of one
+    value, so chaining it over the list subtracts exactly the listed
+    words' occurrences — unlike array_intersect/array_except, which
+    dedupe and would undercount repeated stopwords. Replaces the
+    `size(filter(toks, t -> t.isin(...)))` lambda form, whose
+    CodegenFallback forced the enclosing stage into interpreted eval
+    (the round-10 cold-start finding, SCALE.md)."""
+    removed = toks
+    for w in words:
+        removed = F.array_remove(removed, w)
+    return F.size(toks) - F.size(removed)
+
+
 def _tokens(text: Column) -> Column:
     """Lower-cased whitespace tokens as a CODEGEN-CAPABLE expression.
 
@@ -60,9 +76,7 @@ def text_stats(documents: DataFrame) -> DataFrame:
     n_tok = F.size(toks)
     n_chars = F.length("text")
     punct = F.length(F.regexp_replace("text", "[A-Za-z0-9 ]", ""))
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
-    )
+    stop_hits = _occurrence_hits(toks, STOPWORDS["en"])
     avg_tok_len = F.when(
         n_tok > 0, (n_chars - (n_tok - 1)) / n_tok
     ).otherwise(F.lit(0.0))
@@ -119,12 +133,9 @@ def lang_id(documents: DataFrame) -> DataFrame:
     toks = _ws_tokens(F.col("text"))
     langs = list(STOPWORDS)
 
-    def stopword_hits(sw: list[str]) -> Column:
-        # NB: the HOF lambda must take exactly one arg — PySpark binds a
-        # Column to every lambda parameter, defaults included.
-        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
-
-    hits = {lang: stopword_hits(sw) for lang, sw in STOPWORDS.items()}
+    hits = {
+        lang: _occurrence_hits(toks, sw) for lang, sw in STOPWORDS.items()
+    }
     best = F.greatest(*[hits[lang] for lang in langs])
     pred = F.lit("unknown")
     # walk in reverse so earlier langs win ties (first-match priority)
