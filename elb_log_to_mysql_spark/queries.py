@@ -2403,6 +2403,52 @@ def q_tfidf(spark, sf_dir):
 
 
 @_q(
+    "chunk_documents",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n,
+             CAST(FLOOR((GREATEST(len(t) - 8, 1) + 23) / 24.0) AS BIGINT)
+               AS n_chunks
+      FROM toks WHERE len(t) >= 1
+    ), idx AS (
+      SELECT doc_id, t, n,
+             unnest(range(0, n_chunks)) AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id,
+           chunk_idx,
+           chunk_idx * 24 AS start_tok,
+           LEAST(n - chunk_idx * 24, 32) AS n_tokens,
+           array_to_string(t[chunk_idx*24 + 1 : chunk_idx*24 + 32], ' ')
+             AS chunk_text
+    FROM idx
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Sliding token-window chunking (here 32-token windows with
+    8-token overlap, stride 24, so the sf0.01 corpus — ~40-150-token
+    docs — genuinely produces multi-chunk documents, short final
+    windows, AND single-chunk short docs in one gate; the production
+    default is 128/16) — the pre-tokenization map every LLM corpus
+    build or RAG indexer applies before packing/embedding
+    (operators/textops.py:chunk_documents). The oracle rebuilds every
+    chunk STRING independently (DuckDB list slicing + join), so the
+    window arithmetic (ceil chunk count, short final window,
+    one-chunk short docs, token-less docs dropped) and the exact
+    chunk text are all hash-checked. Plan shape: pure map — codegen
+    tokenization bound to a column, one array-per-row HOF building
+    the windows, one Generate; no shuffle at any scale."""
+    return textops.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+@_q(
     "repetition_filter",
     r"""
     WITH toks AS (

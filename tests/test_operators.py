@@ -1446,3 +1446,37 @@ def test_ann_index_drift_trips_on_shifted_batch(spark):
         bi, similarity.ann_index_assign(moved, C, CB)
     ).first()
     assert bad.drift_tripped, (bad.base_err, bad.batch_err)
+
+
+def test_chunk_documents_window_arithmetic(spark):
+    """Pin the sliding-window edges: multi-chunk doc with short final
+    window, exactly-one-window doc, shorter-than-overlap doc,
+    token-less doc (dropped), and the overlap property (consecutive
+    chunks share exactly `overlap` tokens)."""
+    from elb_log_to_mysql_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks
+            (2, " ".join(f"w{i}" for i in range(4))),   # 4 = width
+            (3, "a"),                                    # 1 < overlap
+            (4, "   "),                                  # token-less
+            (5, " ".join(f"w{i}" for i in range(5))),   # 4 + 1 extra
+        ],
+        "doc_id int, text string",
+    )
+    out = textops.chunk_documents(docs, chunk_tokens=4, overlap=1)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: stride 3, n=10 -> ceil(9/3)=3 chunks at 0,3,6
+    assert [rows[(1, i)].start_tok for i in range(3)] == [0, 3, 6]
+    assert rows[(1, 2)].n_tokens == 4 and rows[(1, 2)].chunk_text == "w6 w7 w8 w9"
+    # overlap property: chunk i's last `overlap` tokens == chunk i+1's first
+    assert rows[(1, 0)].chunk_text.split()[-1:] == rows[(1, 1)].chunk_text.split()[:1]
+    # doc 2: exactly one window
+    assert rows[(2, 0)].n_tokens == 4 and (2, 1) not in rows
+    # doc 3: shorter than overlap -> still one (short) chunk
+    assert rows[(3, 0)].n_tokens == 1 and rows[(3, 0)].chunk_text == "a"
+    # doc 4: no tokens -> no rows
+    assert not any(k[0] == 4 for k in rows)
+    # doc 5: n=5, stride 3 -> 2 chunks; final covers tokens 3..4
+    assert rows[(5, 1)].start_tok == 3 and rows[(5, 1)].n_tokens == 2
