@@ -298,46 +298,64 @@ def tfidf(
 
 
 def chunk_documents(
-    documents: DataFrame, chunk_tokens: int = 64, overlap: int = 16
+    documents: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """Split documents into overlapping token-window chunks — the
-    standard pre-embedding segmentation of an LLM data pipeline.
+    """Sliding token-window chunking — the pre-tokenization step every
+    LLM training/RAG corpus build applies before packing or embedding:
+    split each document into windows of `chunk_tokens` whitespace
+    tokens advancing by `chunk_tokens - overlap` (so consecutive
+    chunks share `overlap` tokens of context).
 
-    One row per chunk with (doc_id, chunk_idx, chunk_text, n_tokens):
-    stride = chunk_tokens - overlap; chunk i covers tokens
-    [i*stride, i*stride + chunk_tokens). Pure array expressions
-    (sequence -> transform -> slice -> posexplode): the fan-out stays
-    JVM-side and the shuffle, if any, is whatever the caller does
-    next. Short docs yield exactly one chunk.
+    Emits one row per chunk: (doc_id, chunk_idx, start_tok, n_tokens,
+    chunk_text). The chunk count is ceil(max(n - overlap, 1) /
+    stride): every chunk past the first contributes at least one new
+    token, the final chunk may be short, and a document shorter than
+    one window still yields exactly one chunk. Token-less documents
+    yield no rows (explode of the empty chunk array).
+
+    Shape at scale: tokens come from the codegen `_tokens` expression,
+    bound to a real column so the chunk-building HOF (array-per-row —
+    the justified HOF class, see _word_ngram_structs) evaluates the
+    tokenization once per document; the explode is a Generate in the
+    scan stage, no shuffle anywhere — chunking 100 TB is a pure map.
+    (Round 10 unified the earlier stringy variant into this indexed,
+    codegen-tokenized form; both gate entries share it.)
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be < chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
     stride = chunk_tokens - overlap
-
-    # Bind the token array to a lambda variable (1-element-array
-    # transform) so the chunk loop slices a materialized array instead
-    # of re-tokenizing the document per chunk — HOF lambdas re-evaluate
-    # outer subtrees once per element (see dedup.word_shingles).
-    def _build(toks: Column) -> Column:
-        n_tok = F.size(toks)
-        # ceil((n - overlap) / stride) chunks, min 1
-        n_chunks = F.greatest(
-            F.ceil((n_tok - F.lit(overlap)).cast("double") / stride).cast("int"),
-            F.lit(1),
-        )
-        return F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * stride + 1, chunk_tokens)
-            ),
-        )
-
-    chunks = F.element_at(F.transform(F.array(_ws_tokens(F.col("text"))), _build), 1)
-    return ensure_min_partitions(documents).select(
+    base = ensure_min_partitions(documents).select(
+        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 1)
+    n = F.size("t")
+    n_chunks = F.floor(
+        (F.greatest(n - overlap, F.lit(1)) + (stride - 1)) / stride
+    ).cast("int")
+    sized = base.select("doc_id", "t", n_chunks.alias("n_chunks"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda i: F.struct(
+            (i * stride).cast("long").alias("start_tok"),
+            F.least(
+                F.size("t") - i * stride, F.lit(chunk_tokens)
+            ).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("t"), i * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        ),
+    )
+    return sized.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "ch")
+    ).select(
         "doc_id",
-        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
-    ).withColumn(
-        "n_tokens", F.size(F.split(F.col("chunk_text"), " "))
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("ch.start_tok").alias("start_tok"),
+        F.col("ch.n_tokens").alias("n_tokens"),
+        F.col("ch.chunk_text").alias("chunk_text"),
     )
 
 
@@ -1060,62 +1078,3 @@ def bpe_encode(
         .limit(k)
     )
 
-
-def chunk_documents(
-    documents: DataFrame,
-    chunk_tokens: int = 128,
-    overlap: int = 16,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Sliding token-window chunking — the pre-tokenization step every
-    LLM training/RAG corpus build applies before packing or embedding:
-    split each document into windows of `chunk_tokens` whitespace
-    tokens advancing by `chunk_tokens - overlap` (so consecutive
-    chunks share `overlap` tokens of context).
-
-    Emits one row per chunk: (doc_id, chunk_idx, start_tok, n_tokens,
-    chunk_text). The chunk count is ceil(max(n - overlap, 1) /
-    stride): every chunk past the first contributes at least one new
-    token, the final chunk may be short, and a document shorter than
-    one window still yields exactly one chunk. Token-less documents
-    yield no rows (explode of the empty chunk array).
-
-    Shape at scale: tokens come from the codegen `_tokens` expression,
-    bound to a real column so the chunk-building HOF (array-per-row —
-    the justified HOF class, see _word_ngram_structs) evaluates the
-    tokenization once per document; the explode is a Generate in the
-    scan stage, no shuffle anywhere — chunking 100 TB is a pure map.
-    """
-    if not 0 <= overlap < chunk_tokens:
-        raise ValueError("need 0 <= overlap < chunk_tokens")
-    stride = chunk_tokens - overlap
-    base = ensure_min_partitions(documents).select(
-        F.col(id_col).alias("doc_id"), _tokens(F.col(text_col)).alias("t")
-    ).filter(F.size("t") >= 1)
-    n = F.size("t")
-    n_chunks = F.floor(
-        (F.greatest(n - overlap, F.lit(1)) + (stride - 1)) / stride
-    ).cast("int")
-    sized = base.select("doc_id", "t", n_chunks.alias("n_chunks"))
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.col("n_chunks") - 1),
-        lambda i: F.struct(
-            (i * stride).cast("long").alias("start_tok"),
-            F.least(
-                F.size("t") - i * stride, F.lit(chunk_tokens)
-            ).cast("long").alias("n_tokens"),
-            F.concat_ws(
-                " ", F.slice(F.col("t"), i * stride + 1, chunk_tokens)
-            ).alias("chunk_text"),
-        ),
-    )
-    return sized.select(
-        "doc_id", F.posexplode(chunks).alias("chunk_idx", "ch")
-    ).select(
-        "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        F.col("ch.start_tok").alias("start_tok"),
-        F.col("ch.n_tokens").alias("n_tokens"),
-        F.col("ch.chunk_text").alias("chunk_text"),
-    )

@@ -1224,29 +1224,36 @@ def q_unpivot(spark, sf_dir):
 
 @_q(
     "text_chunking",
-    """
+    r"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
     ), sized AS (
-      SELECT doc_id, t,
-             GREATEST(CAST(ceil((len(t) - 16) / 48.0) AS INT), 1) AS k
-      FROM toks
-    ), exploded AS (
-      SELECT doc_id, t, unnest(generate_series(0, k - 1)) AS i FROM sized
+      SELECT doc_id, t, len(t) AS n,
+             CAST(FLOOR((GREATEST(len(t) - 16, 1) + 47) / 48.0) AS BIGINT)
+               AS n_chunks
+      FROM toks WHERE len(t) >= 1
+    ), idx AS (
+      SELECT doc_id, t, n,
+             unnest(range(0, n_chunks)) AS chunk_idx
+      FROM sized
     )
-    SELECT doc_id, i AS chunk_idx,
-           array_to_string(list_slice(t, i * 48 + 1, i * 48 + 64), ' ')
-             AS chunk_text,
-           len(string_split(
-             array_to_string(list_slice(t, i * 48 + 1, i * 48 + 64), ' '),
-             ' ')) AS n_tokens
-    FROM exploded
+    SELECT doc_id,
+           chunk_idx,
+           chunk_idx * 48 AS start_tok,
+           LEAST(n - chunk_idx * 48, 64) AS n_tokens,
+           array_to_string(t[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')
+             AS chunk_text
+    FROM idx
     """,
 )
 def q_text_chunking(spark, sf_dir):
-    """Overlapping token-window chunking (64-token windows, 16-token
-    overlap) — the pre-embedding segmentation step of an LLM corpus
-    pipeline, exact-checked chunk text included."""
+    """Overlapping token-window chunking at the pre-embedding
+    configuration (64-token windows, 16-token overlap, stride 48) —
+    same operator as chunk_documents' 32/8 gate entry, certified at a
+    second window geometry with exact chunk text."""
     return textops.chunk_documents(
         _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
