@@ -5500,6 +5500,55 @@ _sql_interface_entry(
 )
 
 _sql_interface_entry(
+    "sql_interface_window_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling3,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS BIGINT) AS rn
+    FROM orders
+    """,
+    "Explicit ROWS window frame (3-row rolling DECIMAL sum, unique "
+    "tiebreak) plus row numbering through the SQL front end — the "
+    "bounded-frame syntax and semantics proven identical across "
+    "engines on all 15k order rows.",
+)
+
+_sql_interface_entry(
+    "sql_interface_exists",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderpriority = '5-LOW')
+    GROUP BY c_mktsegment
+    """,
+    "Correlated EXISTS and NOT EXISTS predicates (Spark plans them "
+    "as left-semi / left-anti joins) through the SQL front end.",
+)
+
+_sql_interface_entry(
+    "sql_interface_having_case",
+    """
+    SELECT n_name,
+           CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_urgent,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name HAVING COUNT(*) > 50
+    """,
+    "Conditional aggregation (CASE inside SUM), LIKE predicates, and "
+    "a post-aggregation HAVING filter through the SQL front end.",
+)
+
+_sql_interface_entry(
     "sql_interface_setops",
     """
     WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
