@@ -442,3 +442,34 @@ def test_ua_strategy_auto_resolves_both_ways(spark):
     assert rep["python_evals"] == 0
     assert len(rows) == 6_000
     assert all(r.ua_browser_family is not None for r in rows)
+
+
+def test_ua_auto_probe_does_not_consume_observation(spark):
+    """The auto-strategy probe runs its own bounded job BEFORE the
+    census Observation attaches (alb.py): an Observation yields its
+    values from the first completed action on the observed plan, so a
+    probe that ran on the observed frame would satisfy the Observation
+    with the probe's partial counts. Pin that the census still reports
+    the FULL parse when ua_strategy="auto"."""
+    from pyspark.sql import Observation
+
+    good = (
+        'h2 2025-05-26T10:00:00.000123Z app/x/y 1.2.3.4:5678 5.6.7.8:80 '
+        '0.001 0.020 0.000 200 200 100 2000 "GET https://ex.com/p HTTP/2.0" '
+        '"UA" CIPHER TLSv1.3 arn'
+    )
+    bad_ts = good.replace("2025-05-26T10:00:00.000123Z", "badtimestamp")
+    lines = spark.createDataFrame(
+        [(good,), (good,), (bad_ts,), ("only this",)], "value string"
+    )
+    obs = Observation("alb_census_auto")
+    out = parse_alb_lines(
+        lines, source_file=F.lit("test"), observation=obs, ua_strategy="auto"
+    )
+    assert out.count() == 2
+    assert obs.get == {
+        "n_lines": 4,
+        "n_arity_dropped": 1,
+        "n_ts_dropped": 1,
+        "n_emitted": 2,
+    }
