@@ -6727,3 +6727,99 @@ def q_dataset_diff(spark, sf_dir):
         ).otherwise(F.col("text")),
     )
     return dataset_diff(old, new)
+
+
+# ===========================================================================
+# Table maintenance: compaction planning + block-stats pruning
+# ===========================================================================
+
+@_q(
+    "compaction_bins",
+    """
+    WITH binned AS (
+      SELECT source, doc_id, n_chars,
+             CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) / 2048.0) AS BIGINT) AS bin
+      FROM documents
+    )
+    SELECT source, bin,
+           CAST(COUNT(*) AS BIGINT) AS n_objects,
+           CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+           MIN(doc_id) AS first_key,
+           MAX(doc_id) AS last_key
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def q_compaction_bins(spark, sf_dir):
+    """Small-file compaction plan: scan-order bin-packing of each
+    table partition's objects into ~2 KiB output bins (the sf corpus
+    analogue of Delta OPTIMIZE's default 1 GiB target), one plan row
+    per rewrite task (operators/maintenance.py:compaction_plan). The
+    window is per-partition — the plan parallelizes across partitions
+    with no global sort — and the oracle re-derives every bin
+    boundary, so the exclusive-cumsum packing arithmetic (a bin may
+    overflow by one straddling object, never split one) is
+    value-checked end to end."""
+    from elb_log_to_mysql_spark.operators import maintenance
+
+    return maintenance.compaction_plan(
+        _t(spark, sf_dir, "documents"), target_bytes=2048
+    )
+
+
+@_q(
+    "stats_pruning",
+    """
+    WITH pos AS (
+      SELECT o_orderdate,
+             ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1 AS p
+      FROM orders
+    ), blocked AS (
+      SELECT o_orderdate, CAST(FLOOR(p / 512.0) AS BIGINT) AS block_id FROM pos
+    ), stats AS (
+      SELECT block_id, COUNT(*) AS n_rows,
+             MIN(o_orderdate) AS mn, MAX(o_orderdate) AS mx,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                       AND o_orderdate <  TIMESTAMP '1996-07-01'
+                      THEN 1 ELSE 0 END) AS n_matched
+      FROM blocked GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN mx >= TIMESTAMP '1996-01-01'
+                          AND mn <  TIMESTAMP '1996-07-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks_kept,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN mx >= TIMESTAMP '1996-01-01'
+                          AND mn <  TIMESTAMP '1996-07-01'
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_matched) AS BIGINT) AS rows_matched
+    FROM stats
+    """,
+)
+def q_stats_pruning(spark, sf_dir):
+    """Block-stats data-skipping report: build the min/max stats index
+    a date-clustered layout would persist per 512-row block, then
+    evaluate a 6-month range predicate against it — one row of
+    pruning effectiveness (blocks kept / rows a pruned scan reads /
+    rows actually matching). The clustered block ids come from the
+    bucketed two-pass prefix sum (operators/maintenance.py:
+    _clustered_position — no single-partition window at any size; the
+    year bucket is a monotone coarsening of the sort key so the ids
+    equal a global ORDER BY's), and the oracle recomputes the whole
+    index plus the keep/skip decision per block, value-checking the
+    interval-intersection test a parquet reader applies to row-group
+    statistics. Complements zorder_scan/partition_pruning (which
+    prove the PHYSICAL skip happens) by making the stats themselves
+    a queryable artifact."""
+    from elb_log_to_mysql_spark.operators import maintenance
+
+    return maintenance.stats_prune_report(
+        _t(spark, sf_dir, "orders"),
+        "o_orderdate",
+        "o_orderkey",
+        lo="1996-01-01",
+        hi="1996-07-01",
+        block_rows=512,
+    )
