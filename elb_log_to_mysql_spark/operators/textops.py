@@ -9,7 +9,7 @@ parallel, no shuffle except the final reporting aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from elb_log_to_mysql_spark.session import ensure_min_partitions
@@ -1078,3 +1078,80 @@ def bpe_encode(
         .limit(k)
     )
 
+
+
+def bm25_topk(
+    documents: DataFrame,
+    n_query_terms: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents per query term.
+
+    The lexical half of every retrieval/curation stack (hybrid search,
+    RAG grounding, dedup-aware sampling): Okapi BM25 with the standard
+    (k1, b) defaults, computed relationally — explode to a postings
+    list, aggregate tf/df/|d|, score, rank per term. Query terms are
+    derived from the corpus itself so the gate needs no external
+    fixture: the n most SELECTIVE terms (lowest document frequency,
+    df >= 2 so every query still ranks a real posting list) — the
+    terms BM25's idf actually rewards.
+
+    Scale shape: tf aggregates on (term, doc) — balanced keys with
+    map-side combine; the query-term list and the corpus scalars
+    (N, total length) broadcast; the only per-term state is the
+    top-k window over matching docs. Output is rank-checked (term,
+    doc_id, tf, dl, rank): tf/dl are exact ints and the float score
+    stays internal, mirroring the ANN entries' determinism contract.
+    """
+    toks = (
+        ensure_min_partitions(documents)
+        .select("doc_id", _tokens(F.col(text_col)).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df_ = (
+        toks.select("doc_id", F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qterms = (
+        df_.filter(F.col("df") >= 2)
+        .orderBy(F.col("df").asc(), "term")
+        .limit(n_query_terms)
+        .select("term", "df")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("term", "df", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    score = idf * (
+        (F.col("tf") * F.lit(k1 + 1))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("_score", score)
+    )
+    w = Window.partitionBy("term").orderBy(F.col("_score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("term", "doc_id", "tf", "dl", "rank")
+    )

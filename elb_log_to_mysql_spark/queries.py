@@ -6823,3 +6823,60 @@ def q_stats_pruning(spark, sf_dir):
         hi="1996-07-01",
         block_rows=512,
     )
+
+
+@_q(
+    "bm25_topk",
+    r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, t, CAST(len(t) AS BIGINT) AS dl FROM tk WHERE len(t) > 0
+    ), corpus AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl FROM sized
+    ), dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+      FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM sized)
+      GROUP BY 1
+    ), qterms AS (
+      SELECT term, df FROM dfreq
+      WHERE df >= 2
+      ORDER BY df ASC, term LIMIT 5
+    ), tf AS (
+      SELECT term, df, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM sized) e
+      JOIN qterms USING (term)
+      GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT tf.term, tf.doc_id, tf.tf, s.dl,
+             ln(1 + (c.n_docs - tf.df + 0.5) / (tf.df + 0.5))
+               * ((tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * s.dl
+                       / (CAST(c.sum_dl AS DOUBLE) / c.n_docs)))) AS s
+      FROM tf JOIN sized s USING (doc_id), corpus c
+    )
+    SELECT term, doc_id, tf, dl, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY term ORDER BY s DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-10 per query term over the document corpus
+    (operators/textops.py:bm25_topk — query terms self-derived: the 5
+    most selective terms with df >= 2, so the gate needs no external
+    fixture). The oracle recomputes the full scoring pipeline — tf,
+    df, doc length, the corpus scalars, the (k1=1.2, b=0.75) BM25
+    formula written token-for-token the same — and the checked output
+    is (term, doc_id, tf, dl, rank): exact ints plus the rank the
+    float score induces, per the ANN entries' determinism contract
+    (identical integer inputs + identical expression tree => identical
+    IEEE doubles => identical ranks; doc_id breaks exact ties)."""
+    from elb_log_to_mysql_spark.operators import textops
+
+    return textops.bm25_topk(_t(spark, sf_dir, "documents"))

@@ -1480,3 +1480,49 @@ def test_chunk_documents_window_arithmetic(spark):
     assert not any(k[0] == 4 for k in rows)
     # doc 5: n=5, stride 3 -> 2 chunks; final covers tokens 3..4
     assert rows[(5, 1)].start_tok == 3 and rows[(5, 1)].n_tokens == 2
+
+
+def test_bm25_topk_hand_corpus(spark):
+    """BM25 on a corpus small enough to score by hand: rare terms get
+    picked as queries, tf and shorter length rank docs up, ranks are
+    contiguous per term."""
+    import math
+
+    from elb_log_to_mysql_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common common"),
+            (2, "apple common common common common common"),
+            (3, "banana common common"),
+            (4, "common common common common"),
+            (5, "cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textops.bm25_topk(docs, n_query_terms=2, k=10)
+    rows = [r.asDict() for r in out.collect()]
+    # cherry has df=1 (excluded by df>=2); apple/banana df=2 tie ->
+    # alphabetical: both picked
+    assert {r["term"] for r in rows} == {"apple", "banana"}
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    for rs in by_term.values():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+    # apple: doc 1 has tf=2 (same dl as doc 2) -> ranks first
+    apple = by_term["apple"]
+    assert apple[0]["doc_id"] == 1 and apple[0]["tf"] == 2
+    assert apple[1]["doc_id"] == 2 and apple[1]["tf"] == 1
+    # banana: docs 1 and 3 both tf=1; doc 3 is SHORTER (dl=3 vs 6)
+    # -> length normalization ranks doc 3 first
+    banana = by_term["banana"]
+    assert [r["doc_id"] for r in banana] == [3, 1]
+    # closed-form sanity check of the formula's inputs: the winning
+    # apple doc's (tf, dl) must reproduce a positive BM25 score
+    n, df, tf, dl = 5, 2, apple[0]["tf"], apple[0]["dl"]
+    avgdl = (6 + 6 + 3 + 4 + 2) / 5
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    score = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert score > 0 and (tf, dl) == (2, 6)
