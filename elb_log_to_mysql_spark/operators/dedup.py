@@ -130,6 +130,29 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
 
     return F.element_at(F.transform(F.array(_tokens(c)), _build), 1)
 
+def band_hashes(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH band hashes as an array<long> column: element i is
+    xxhash64 of the signature slice [i*r, (i+1)*r) rendered as a
+    comma-joined string. Shared by the batch near-dedup join path and
+    the streaming stateful path so the two generate IDENTICAL bucket
+    keys — the property that makes stream-vs-batch candidate-set
+    equivalence testable."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        sig[i * rows_per_band + j].cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            )
+            for i in range(bands)
+        ]
+    )
+
+
 def near_dedup_minhash(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -176,22 +199,9 @@ def near_dedup_minhash(
     # band i = hash of signature slice [i*r, (i+1)*r)
     banded = sig.select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[i * rows_per_band + j].cast("string")
-                                for j in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
     )
     # The banded table is (doc_id, band_idx, band_hash) ONLY — three
     # longs per row. Shingle arrays stay out of the band self-join: at

@@ -6880,3 +6880,52 @@ def q_bm25_topk(spark, sf_dir):
     from elb_log_to_mysql_spark.operators import textops
 
     return textops.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+@_q("stream_near_dedup")
+def q_stream_near_dedup(spark, sf_dir):
+    """Streaming MinHash-LSH near-dedup: LSH bucket state streams
+    candidate pairs (streaming/neardedup.py:stream_band_collisions —
+    applyInPandasWithState keyed on (band_idx, band_hash), state =
+    bucket occupants), exact-Jaccard verification joins the shingle
+    sets back from the corpus store. Audited exactly like the batch
+    `near_dedup` entry and sharing its oracle verbatim: `n_exact`
+    (DuckDB recomputes the exact threshold-0.6 pair set), `false_pairs`
+    must be 0 (verification is structural), and the 0.9 recall floor
+    (the 64/16 S-curve; measured 1.0 at sf0.001/sf0.01 for the
+    seeded-xxhash64 family too)."""
+    from elb_log_to_mysql_spark.streaming.neardedup import (
+        stream_band_collisions,
+        verify_candidate_pairs,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = raw_parquet_schema(spark, path)
+    cand = run_stream_to_batch(
+        spark, path, stream_band_collisions, schema, output_mode="append"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    found = verify_candidate_pairs(cand, docs)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+    joined = exact.select("doc_id_a", "doc_id_b").join(
+        found.select("doc_id_a", "doc_id_b", F.lit(1).alias("f")),
+        ["doc_id_a", "doc_id_b"],
+        "left",
+    )
+    recall_stats = joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("f", F.lit(0))).alias("n_hit"),
+    )
+    found_stats = found.agg(F.count(F.lit(1)).alias("n_found"))
+    out = recall_stats.crossJoin(F.broadcast(found_stats)).select(
+        "n_exact",
+        (F.col("n_found") - F.col("n_hit")).alias("false_pairs"),
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_hit") >= F.lit(0.9) * F.col("n_exact"))
+        ).alias("recall_floor_met"),
+    )
+    return carry_caches(out, exact)
+
+
+ORACLE_SQL["stream_near_dedup"] = ORACLE_SQL["near_dedup"]
