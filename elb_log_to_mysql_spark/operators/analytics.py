@@ -388,3 +388,79 @@ def event_transitions(events: DataFrame) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w_from), 9).alias("p"),
     )
+
+
+def cdc_apply(events: DataFrame, split: str) -> DataFrame:
+    """CDC changelog apply WITH DELETES — the full merge semantics
+    scd1_merge (upsert-only) leaves out.
+
+    The pre-`split` stream is the base snapshot (latest state per
+    key); the post-`split` stream is an ordered changelog where an
+    `error` event is a tombstone (op=D) and anything else an upsert
+    (op=U). Last-writer-wins per key: the net effect of a key's
+    changelog is its maximum-(ts, event_id) operation — earlier ops
+    in the window are superseded, including Us before a final D.
+    That net op is one tie-safe `max(struct(...))` partial aggregate
+    (event_id unique), never a sort window, exactly like the
+    scd1_merge pattern — at 100 TB the changelog collapses map-side
+    before the merge join moves anything.
+
+    Output is the merge AUDIT: every key with its final state,
+    `action` in insert/update/delete/carry, and `in_snapshot` (false
+    only for deletes — filtering on it yields the applied snapshot;
+    deleted keys keep state/updated_at NULL because a tombstone
+    carries no payload)."""
+    ev = normalize_event_time(events)
+    latest = F.max(F.struct("ts", "event_id", "op", "event_type")).alias("s")
+
+    base = (
+        ev.filter(F.col("ts") < F.lit(split).cast("timestamp"))
+        .withColumn("op", F.lit("U"))
+        .groupBy("user_id")
+        .agg(latest)
+        .select(
+            "user_id",
+            F.col("s.ts").alias("b_ts"),
+            F.col("s.event_id").alias("b_id"),
+            F.col("s.event_type").alias("b_state"),
+        )
+    )
+    chg = (
+        ev.filter(F.col("ts") >= F.lit(split).cast("timestamp"))
+        .withColumn(
+            "op",
+            F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+                F.lit("U")
+            ),
+        )
+        .groupBy("user_id")
+        .agg(latest)
+        .select(
+            "user_id",
+            F.col("s.ts").alias("u_ts"),
+            F.col("s.event_id").alias("u_id"),
+            F.col("s.op").alias("u_op"),
+            F.col("s.event_type").alias("u_state"),
+        )
+    )
+    merged = base.join(chg, "user_id", "full_outer")
+    deleted = F.col("u_op") == "D"
+    return merged.select(
+        "user_id",
+        F.when(deleted, F.lit(None).cast("string"))
+        .otherwise(F.coalesce("u_state", "b_state"))
+        .alias("state"),
+        F.when(
+            deleted, F.lit(None).cast("string")
+        )
+        .otherwise(
+            F.date_format(F.coalesce("u_ts", "b_ts"), "yyyy-MM-dd HH:mm:ss")
+        )
+        .alias("updated_at"),
+        F.when(deleted, F.lit("delete"))
+        .when(F.col("b_id").isNull(), F.lit("insert"))
+        .when(F.col("u_id").isNull(), F.lit("carry"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+        (~deleted | F.col("u_op").isNull()).alias("in_snapshot"),
+    )

@@ -6929,3 +6929,49 @@ def q_stream_near_dedup(spark, sf_dir):
 
 
 ORACLE_SQL["stream_near_dedup"] = ORACLE_SQL["near_dedup"]
+
+
+@_q(
+    "cdc_apply",
+    """
+    WITH b AS (
+      SELECT user_id, ts, event_id, event_type FROM (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-20') WHERE rn = 1
+    ),
+    u AS (
+      SELECT user_id, ts, event_id, op, event_type FROM (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-20') WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, u.user_id) AS user_id,
+           CASE WHEN u.op = 'D' THEN NULL
+                ELSE COALESCE(u.event_type, b.event_type) END AS state,
+           CASE WHEN u.op = 'D' THEN NULL
+                ELSE strftime(COALESCE(u.ts, b.ts), '%Y-%m-%d %H:%M:%S')
+           END AS updated_at,
+           CASE WHEN u.op = 'D' THEN 'delete'
+                WHEN b.user_id IS NULL THEN 'insert'
+                WHEN u.user_id IS NULL THEN 'carry'
+                ELSE 'update' END AS action,
+           COALESCE(u.op, 'U') <> 'D' AS in_snapshot
+    FROM b FULL OUTER JOIN u ON b.user_id = u.user_id
+    """,
+)
+def q_cdc_apply(spark, sf_dir):
+    """CDC changelog apply WITH DELETES (operators/analytics.py:
+    cdc_apply): post-split events form an ordered changelog where
+    `error` is a tombstone; last-writer-wins per key via the tie-safe
+    max(struct) partial aggregate (no sort window), full-outer merge
+    against the pre-split snapshot, and the output is the merge audit
+    (final state, insert/update/delete/carry action, in_snapshot
+    flag). Completes the lakehouse merge surface next to scd1_merge
+    (upsert-only) and scd2_history (validity intervals): the oracle
+    replays net-op selection — including a U superseded by a later D
+    — and the tombstone's NULL payload, per key."""
+    return analytics.cdc_apply(_t(spark, sf_dir, "events"), "2024-01-20")

@@ -215,3 +215,45 @@ def test_event_transitions_rows_and_probs(spark):
     n_trans = out.agg(F.sum("n")).first()[0]
     assert n_trans == ev.count() - ev.select("user_id").distinct().count()
     out.unpersist()
+
+
+def test_cdc_apply_delete_semantics(spark):
+    """Last-writer-wins with tombstones: U superseded by a later D
+    deletes; D superseded by a later U resurrects; a tombstone for an
+    unknown key is a (no-op) delete; untouched base keys carry."""
+    from pyspark.sql import functions as F
+
+    from elb_log_to_mysql_spark.operators.analytics import cdc_apply
+
+    rows = [
+        # user 1: in base, then updated then DELETED after split
+        (1, "2024-01-10 00:00:00", 10, "view", 1.0, "{}"),
+        (1, "2024-01-21 00:00:00", 11, "click", 1.0, "{}"),
+        (1, "2024-01-22 00:00:00", 12, "error", 1.0, "{}"),
+        # user 2: in base, deleted then RE-INSERTED after split
+        (2, "2024-01-11 00:00:00", 20, "view", 1.0, "{}"),
+        (2, "2024-01-21 00:00:00", 21, "error", 1.0, "{}"),
+        (2, "2024-01-23 00:00:00", 22, "signup", 1.0, "{}"),
+        # user 3: never in base, only a tombstone arrives
+        (3, "2024-01-25 00:00:00", 30, "error", 1.0, "{}"),
+        # user 4: base only (carry)
+        (4, "2024-01-12 00:00:00", 40, "purchase", 1.0, "{}"),
+        # user 5: insert after split
+        (5, "2024-01-26 00:00:00", 50, "click", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        [(e, ts, u, t, v, p) for (u, ts, e, t, v, p) in rows],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["user_id"]: r.asDict() for r in
+           cdc_apply(events, "2024-01-20").collect()}
+    assert out[1]["action"] == "delete" and not out[1]["in_snapshot"]
+    assert out[1]["state"] is None and out[1]["updated_at"] is None
+    assert out[2]["action"] == "update" and out[2]["state"] == "signup"
+    assert out[2]["in_snapshot"]
+    assert out[3]["action"] == "delete" and not out[3]["in_snapshot"]
+    assert out[4]["action"] == "carry" and out[4]["state"] == "purchase"
+    assert out[5]["action"] == "insert" and out[5]["state"] == "click"
+    # the applied snapshot = in_snapshot filter: exactly users 2,4,5
+    assert {u for u, r in out.items() if r["in_snapshot"]} == {2, 4, 5}
