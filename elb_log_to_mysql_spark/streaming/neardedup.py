@@ -30,13 +30,17 @@ batch operator uses. Precision therefore stays STRUCTURAL (every
 reported pair is exact-verified); recall is the LSH S-curve, same
 contract as `near_dedup`.
 
-State size: O(occupied buckets × bucket occupancy), bounded by
+State size: O(occupied buckets × bucket occupancy), bounded two ways:
 `max_per_bucket` — a degenerate bucket (spam cluster) stops
 accumulating state and stops emitting pairs beyond the cap, the
-streaming twin of the batch `max_bucket` skew guard. On a real
-deployment you additionally scope bucket state with a watermark-based
-TTL (dedup horizon), which this module leaves to the caller's
-checkpoint policy.
+streaming twin of the batch `max_bucket` skew guard — and
+`idle_timeout_ms` — a bucket untouched for that long is evicted from
+the state store (the dedup HORIZON: a new document no longer pairs
+against occupants older than the horizon), the same
+processing-time-timeout pattern as stateful.py's profile operator.
+Without a timeout, state is a pure function of the input and the
+gate checks it bit-for-bit; production continuous ingest always sets
+one.
 """
 
 from __future__ import annotations
@@ -88,18 +92,27 @@ PAIR_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def make_bucket_update_fn(max_per_bucket: int = 1000):
+def make_bucket_update_fn(
+    max_per_bucket: int = 1000, idle_timeout_ms: int | None = None
+):
     """Per-bucket state update: emit (smaller_id, larger_id) for every
     (remembered occupant, new arrival) pair, then remember the
     arrival. Batch rows are processed in doc_id order so the emitted
     set is a pure function of the input corpus, not of Arrow batch
-    ordering."""
+    ordering. With `idle_timeout_ms`, a bucket idle that long is
+    dropped from the state store (emitting nothing — a dedup bucket
+    has no final aggregate to flush), bounding state to buckets
+    touched within the horizon."""
 
     def _update(
         key: tuple,
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # horizon passed: forget the bucket; nothing to emit
+            state.remove()
+            return
         seen: list[int] = list(state.get[0]) if state.exists else []
         out_a: list[int] = []
         out_b: list[int] = []
@@ -115,6 +128,8 @@ def make_bucket_update_fn(max_per_bucket: int = 1000):
                     out_b.append(hi)
                 seen.append(doc_id)
         state.update((seen,))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if out_a:
             yield pd.DataFrame({"doc_id_a": out_a, "doc_id_b": out_b})
 
@@ -129,13 +144,15 @@ def stream_band_collisions(
     num_hashes: int = 64,
     bands: int = 16,
     max_per_bucket: int = 1000,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming LSH candidate pairs over a documents stream.
 
     Returns an append-mode stream of (doc_id_a, doc_id_b) candidate
     pairs (doc_id_a < doc_id_b; the same pair may surface from
     several bands — dedupe downstream, where the verifier joins the
-    shingle sets anyway)."""
+    shingle sets anyway). `idle_timeout_ms` bounds bucket state to
+    the dedup horizon (see module docstring)."""
     rows_per_band = num_hashes // bands
     sh = documents.select(
         F.col(id_col).alias("doc_id"),
@@ -153,11 +170,15 @@ def stream_band_collisions(
         ),
     )
     return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
-        make_bucket_update_fn(max_per_bucket),
+        make_bucket_update_fn(max_per_bucket, idle_timeout_ms),
         outputStructType=PAIR_OUTPUT_SCHEMA,
         stateStructType=BUCKET_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if idle_timeout_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
 
 

@@ -121,3 +121,35 @@ def test_bucket_state_across_batches_and_redelivery():
     # skew cap: bucket is full (3) -> new doc neither pairs nor joins
     assert _run_update(fn, st, [9]) == []
     assert list(st.get[0]) == [2, 5, 1]
+
+
+def test_bucket_idle_timeout_evicts_state():
+    """A timed-out bucket is removed (nothing emitted); after
+    eviction a re-arrival starts a fresh bucket — the dedup horizon."""
+    fn = neardedup.make_bucket_update_fn(max_per_bucket=10, idle_timeout_ms=1000)
+
+    class _TimeoutState(_FakeState):
+        def __init__(self):
+            super().__init__()
+            self.removed = False
+            self.timeout_set = None
+
+        def remove(self):
+            self._v = None
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    st = _TimeoutState()
+    assert _run_update(fn, st, [1, 2]) == [(1, 2)]
+    assert st.timeout_set == 1000
+    # horizon passes
+    st.hasTimedOut = True
+    assert list(fn((0, 0), iter([]), st)) == []
+    assert st.removed and not st.exists
+    # re-arrival after eviction: fresh bucket, no pairing against
+    # the forgotten occupants
+    st.hasTimedOut = False
+    assert _run_update(fn, st, [3]) == []
+    assert list(st.get[0]) == [3]
