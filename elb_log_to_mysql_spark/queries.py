@@ -6975,3 +6975,68 @@ def q_cdc_apply(spark, sf_dir):
     replays net-op selection — including a U superseded by a later D
     — and the tombstone's NULL payload, per key."""
     return analytics.cdc_apply(_t(spark, sf_dir, "events"), "2024-01-20")
+
+
+@_q(
+    "hybrid_rrf",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                       x -> x <> '')) AS t
+      FROM documents
+    ), qt AS (
+      SELECT doc_id AS query_id, unnest(t) AS term FROM toks WHERE doc_id < 10
+    ), ct AS (
+      SELECT doc_id, unnest(t) AS term FROM toks
+    ), ov AS (
+      SELECT query_id, ct.doc_id, COUNT(*) AS overlap
+      FROM ct JOIN qt USING (term)
+      WHERE ct.doc_id <> qt.query_id
+      GROUP BY 1, 2
+    ), lex AS (
+      SELECT query_id, doc_id, CAST(rank_lex AS INTEGER) AS rank_lex FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY overlap DESC, doc_id) AS rank_lex
+        FROM ov) WHERE rank_lex <= 20
+    ), sem AS (
+      SELECT query_id, doc_id, CAST(rank_sem AS INTEGER) AS rank_sem FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, c.embedding)
+                          DESC, c.vec_id) AS rank_sem
+        FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 10) WHERE rank_sem <= 20
+    ), fused AS (
+      SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+             COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.rank_lex, sem.rank_sem,
+             COALESCE(1.0 / (60 + lex.rank_lex), 0.0)
+               + COALESCE(1.0 / (60 + sem.rank_sem), 0.0) AS rrf
+      FROM lex FULL OUTER JOIN sem
+        ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id
+    )
+    SELECT query_id, doc_id, rank_lex, rank_sem, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused) WHERE rank <= 10
+    """,
+)
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion (operators/
+    retrieval.py:hybrid_rrf): query-by-example over 10 query docs,
+    lexical leg = exact distinct-token-overlap top-20, semantic leg =
+    cosine top-20 over the aligned embedding column, fused by
+    RRF(k=60) into a final top-10. The oracle replays BOTH legs and
+    the fusion arithmetic; the hash-checked output is all-integer
+    (both nullable leg ranks + the fused rank) — only small-integer
+    ranks enter the RRF score, so its IEEE value (and hence the fused
+    order, doc_id tie-broken) is engine-independent."""
+    from elb_log_to_mysql_spark.operators import retrieval
+
+    return retrieval.hybrid_rrf(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )

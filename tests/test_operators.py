@@ -1526,3 +1526,63 @@ def test_bm25_topk_hand_corpus(spark):
     idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
     score = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
     assert score > 0 and (tf, dl) == (2, 6)
+
+
+def test_hybrid_rrf_fusion_semantics(spark):
+    """RRF fusion: a document strong in BOTH legs outranks documents
+    strong in one; leg ranks survive into the output; ranks dense."""
+    from elb_log_to_mysql_spark.operators import retrieval
+
+    # doc 0 is the query. doc 1: lexically identical AND embedded
+    # identically -> wins both legs. doc 2: lexical-only match.
+    # doc 3: embedding-only match. doc 4: unrelated.
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma epsilon"),
+            (3, "zeta eta theta iota"),
+            (4, "kappa lambda mu nu"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.05, 0.0]),
+            (2, [0.0, 0.0, 1.0]),
+            (3, [1.0, 0.1, 0.0]),
+            (4, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = retrieval.hybrid_rrf(docs, emb, n_queries=1, k_leg=3, k=4)
+    rows = sorted((r.asDict() for r in out.collect()), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in rows][0] == 1  # both-leg doc wins
+    d = {r["doc_id"]: r for r in rows}
+    assert d[1]["rank_lex"] == 1 and d[1]["rank_sem"] == 1
+    # doc 3 matches only by embedding: NULL lexical rank survives the
+    # outer join; doc 4 is in neither leg's top-k and is absent
+    assert d[3]["rank_lex"] is None and d[3]["rank_sem"] is not None
+    assert set(d) == {1, 2, 3}
+    ranks = [r["rank"] for r in rows]
+    assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_lexical_topk_overlap_counts(spark):
+    from elb_log_to_mysql_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),
+            (1, "a b c x"),   # overlap 3
+            (2, "a b y z"),   # overlap 2
+            (3, "p q r s"),   # overlap 0 -> absent
+        ],
+        "doc_id long, text string",
+    )
+    out = retrieval.lexical_topk(docs, docs.filter("doc_id = 0"), k=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["overlap"] == 3 and rows[1]["rank_lex"] == 1
+    assert rows[2]["overlap"] == 2 and rows[2]["rank_lex"] == 2
+    assert 3 not in rows and 0 not in rows
