@@ -310,3 +310,102 @@ def test_interval_join_bucketed_matches_naive(spark, probes, points, tol):
         for i, (u, s) in enumerate(probes)
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-10 continuation: maintenance + CDC properties
+# ---------------------------------------------------------------------------
+
+_SIZES = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(1, 900)),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(objects=_SIZES, target=st.integers(100, 1200))
+@settings(**_SETTINGS)
+def test_compaction_plan_matches_python_packer(spark, objects, target):
+    """compaction_plan must equal the sequential scan-order packer:
+    bin(i) = floor(sum(sizes before i in key order) / target), per
+    partition — conservation and never-split follow from equality."""
+    from elb_log_to_mysql_spark.operators import maintenance
+
+    rows = [(src, i, n) for i, (src, n) in enumerate(objects)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_chars long")
+    got = {
+        (r["source"], r["bin"]): (r["n_objects"], r["bin_bytes"])
+        for r in maintenance.compaction_plan(df, target_bytes=target).collect()
+    }
+    expected: dict = {}
+    for src in ("a", "b"):
+        cum = 0
+        for i, (s, n) in enumerate(objects):
+            if s != src:
+                continue
+            b = cum // target
+            cnt, byts = expected.get((src, b), (0, 0))
+            expected[(src, b)] = (cnt + 1, byts + n)
+            cum += n
+    assert got == expected
+
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 5),                      # user_id
+        st.integers(0, 59),                     # minute (unique-ified below)
+        st.sampled_from(["view", "click", "error", "signup"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=_EVENTS)
+@settings(**_SETTINGS)
+def test_cdc_apply_matches_python_replay(spark, evs):
+    """cdc_apply's merge audit must equal a literal sequential replay
+    of the changelog over the base snapshot."""
+    from elb_log_to_mysql_spark.operators.analytics import cdc_apply
+
+    # half the events land before the split, half after; event_id is
+    # the global sequence so (ts, event_id) ordering is total
+    rows = []
+    for i, (u, minute, et) in enumerate(evs):
+        day = 10 if i % 2 == 0 else 25
+        rows.append(
+            (i, f"2024-01-{day:02d} 00:{minute:02d}:00", u, et, 1.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts", "user_id", "event_type",
+        "value", "props",
+    )
+    got = {r["user_id"]: r.asDict() for r in
+           cdc_apply(df, "2024-01-20").collect()}
+
+    base: dict = {}
+    chg: dict = {}
+    for i, (u, minute, et) in enumerate(evs):
+        key = (f"2024-01-{10 if i % 2 == 0 else 25}", minute, i)
+        if i % 2 == 0:
+            if u not in base or key > base[u][0]:
+                base[u] = (key, et)
+        else:
+            op = "D" if et == "error" else "U"
+            if u not in chg or key > chg[u][0]:
+                chg[u] = (key, op, et)
+    for u in set(base) | set(chg):
+        g = got[u]
+        if u in chg and chg[u][1] == "D":
+            assert g["action"] == "delete" and not g["in_snapshot"]
+            assert g["state"] is None
+        elif u in chg:
+            assert g["state"] == chg[u][2] and g["in_snapshot"]
+            assert g["action"] == ("update" if u in base else "insert")
+        else:
+            assert g["action"] == "carry" and g["state"] == base[u][1]
+    assert set(got) == set(base) | set(chg)
