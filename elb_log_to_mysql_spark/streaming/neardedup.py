@@ -41,6 +41,15 @@ processing-time-timeout pattern as stateful.py's profile operator.
 Without a timeout, state is a pure function of the input and the
 gate checks it bit-for-bit; production continuous ingest always sets
 one.
+
+State-store provider: the operator keys state on (band_idx,
+band_hash) — O(corpus) DISTINCT groups (16 per doc), so the default
+in-heap HDFSBacked provider stops fitting long before the data does
+(measured: 1.6M buckets OOM an 8 GiB local JVM at the 20x probe
+scale). Set `spark.sql.streaming.stateStore.providerClass` to
+RocksDBStateStoreProvider for any real corpus — state then lives
+off-heap/on-disk and the probe exercises exactly that configuration
+(tools/scale_probe_newops.py).
 """
 
 from __future__ import annotations
