@@ -7040,3 +7040,45 @@ def q_hybrid_rrf(spark, sf_dir):
     return retrieval.hybrid_rrf(
         _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
     )
+
+
+_sql_interface_entry(
+    "sql_interface_tpch_q6",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(28,8))) AS STRING) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    "TPC-H Q6 submitted VERBATIM through the SQL front end (the "
+    "DataFrame twin is the tpch_q6 entry): date-range + band "
+    "predicates reach the scan and the revenue sum goes through the "
+    "exact-decimal contract, so the double is bit-identical across "
+    "engines.",
+)
+
+_sql_interface_entry(
+    "sql_interface_tpch_q4",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate
+                    AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    """,
+    "TPC-H Q4's shape through the SQL front end (the test schema "
+    "carries no commit/receipt dates, so the late-line predicate is "
+    "shipped-after-order + a quantity band): correlated EXISTS "
+    "(decorrelated to a semi-join by both planners) under a date "
+    "window, grouped count per priority — proven identical across "
+    "engines.",
+)
