@@ -464,3 +464,61 @@ def cdc_apply(events: DataFrame, split: str) -> DataFrame:
         .alias("action"),
         (~deleted | F.col("u_op").isNull()).alias("in_snapshot"),
     )
+
+
+def constraint_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ-style
+    check step a production table runs after every load), evaluated
+    in ONE pass over each table plus one anti-join:
+
+    - key uniqueness (o_orderkey duplicate count — exact distinct;
+      at extreme scale swap in approx_count_distinct and treat the
+      constraint as a bound),
+    - completeness (NULL o_custkey count),
+    - value ranges (non-positive o_totalprice; o_orderdate outside
+      the expected era),
+    - referential integrity (lineitem rows whose l_orderkey has no
+      parent order — left anti join, the relational NOT EXISTS).
+
+    All single-table metrics ride one aggregate (map-side combined);
+    the verdict table is a stack() unpivot of that row joined with
+    the orphan count. Output: (check_name, violations, passed) —
+    exact integers and a boolean, trivially oracle-checkable."""
+    local = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "bad_price"
+        ),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+                | (F.col("o_orderdate") >= F.lit("2010-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_date"),
+    )
+    orphans = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("orphan_lines"))
+    )
+    wide = local.crossJoin(F.broadcast(orphans))
+    stacked = wide.selectExpr(
+        "stack(5,"
+        " 'orderkey_unique', dup_keys,"
+        " 'custkey_complete', null_custkey,"
+        " 'totalprice_positive', bad_price,"
+        " 'orderdate_in_era', bad_date,"
+        " 'lineitem_fk_orders', orphan_lines"
+        ") AS (check_name, violations)"
+    )
+    return stacked.select(
+        "check_name",
+        F.col("violations").cast("long").alias("violations"),
+        (F.col("violations") == 0).alias("passed"),
+    )

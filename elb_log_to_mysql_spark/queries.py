@@ -7082,3 +7082,49 @@ _sql_interface_entry(
     "window, grouped count per priority — proven identical across "
     "engines.",
 )
+
+
+@_q(
+    "constraint_check",
+    """
+    WITH local AS (
+      SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_custkey,
+             CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS bad_price,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                             OR o_orderdate >= TIMESTAMP '2010-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS bad_date
+      FROM orders
+    ), orph AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lines
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey)
+    ), verdicts AS (
+      SELECT 'orderkey_unique' AS check_name, dup_keys AS violations
+        FROM local
+      UNION ALL
+      SELECT 'custkey_complete', null_custkey FROM local
+      UNION ALL
+      SELECT 'totalprice_positive', bad_price FROM local
+      UNION ALL
+      SELECT 'orderdate_in_era', bad_date FROM local
+      UNION ALL
+      SELECT 'lineitem_fk_orders', orphan_lines FROM orph
+    )
+    SELECT check_name, violations, violations = 0 AS passed FROM verdicts
+    """,
+)
+def q_constraint_check(spark, sf_dir):
+    """Declarative data-quality constraints over the fact tables
+    (operators/analytics.py:constraint_check): key uniqueness,
+    completeness, two value ranges, and lineitem->orders referential
+    integrity — one aggregate pass per table plus one anti-join,
+    unpivoted into a (constraint, violations, passed) verdict table.
+    The oracle recomputes every violation count, so the whole suite
+    is value-checked, not just its pass/fail bits."""
+    return analytics.constraint_check(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )

@@ -257,3 +257,35 @@ def test_cdc_apply_delete_semantics(spark):
     assert out[5]["action"] == "insert" and out[5]["state"] == "click"
     # the applied snapshot = in_snapshot filter: exactly users 2,4,5
     assert {u for u, r in out.items() if r["in_snapshot"]} == {2, 4, 5}
+
+
+def test_constraint_check_detects_violations(spark):
+    """Each constraint must actually fire on planted bad data."""
+    from elb_log_to_mysql_spark.operators.analytics import constraint_check
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, "1996-01-01"),
+            (1, 11, "O", 200.0, "1996-01-02"),      # duplicate key
+            (2, None, "O", 300.0, "1996-01-03"),    # null custkey
+            (3, 12, "O", -5.0, "1996-01-04"),       # non-positive price
+            (4, 13, "O", 400.0, "1985-01-01"),      # out-of-era date
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "CAST(o_orderdate AS TIMESTAMP) o_orderdate",
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 1), (99, 1)],  # 99 has no parent order
+        "l_orderkey long, l_linenumber long",
+    )
+    got = {r["check_name"]: r for r in
+           constraint_check(orders, lineitem).collect()}
+    assert got["orderkey_unique"]["violations"] == 1
+    assert got["custkey_complete"]["violations"] == 1
+    assert got["totalprice_positive"]["violations"] == 1
+    assert got["orderdate_in_era"]["violations"] == 1
+    assert got["lineitem_fk_orders"]["violations"] == 1
+    assert not any(r["passed"] for r in got.values())
