@@ -21,7 +21,11 @@ Checks:
 - stream_near_dedup: streamed candidate set == the relational band
   self-join twin (the stateful-operator-equals-join property at
   scale), plus the stream's wall time — the honest cost of the
-  interpreted JVM minhash vs the batch path's Arrow kernel.
+  interpreted JVM minhash vs the batch path's Arrow kernel. The
+  stream runs on the RocksDB state store (see the session conf
+  below): the in-heap HDFSBacked provider OOMs at factor>=20 with
+  the default local heap, and RocksDB is the production setting for
+  million-bucket state anyway.
 
 Usage: python tools/scale_probe_newops.py [factor] [out.json]
 """
@@ -53,7 +57,22 @@ def main() -> None:
     )
     out_dir = f"/tmp/scale_sweep_{factor}x"
 
-    spark = build_session(app_name="scale-newops")
+    # The HDFSBacked (in-JVM-heap) state store OOMs the default 8g
+    # local JVM at factor>=20: 100k docs x 16 bands = 1.6M stateful
+    # bucket groups, and the heap holds every maintained version. The
+    # production configuration for large stateful streams is RocksDB
+    # (state lives off-heap/on-disk, bounded by native block cache) —
+    # which is exactly the knob a 100 TB deployment sets, so the probe
+    # sets it too and records that it was exercised.
+    spark = build_session(
+        app_name="scale-newops",
+        extra_conf={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            ),
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from elb_log_to_mysql_spark.operators import analytics, dedup, maintenance, textops
