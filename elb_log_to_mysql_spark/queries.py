@@ -7128,3 +7128,30 @@ def q_constraint_check(spark, sf_dir):
     return analytics.constraint_check(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
     )
+
+
+@_q("stream_cdc_apply")
+def q_stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC changelog apply (streaming/cdc.py): the stateful
+    per-key fold that continuously maintains cdc_apply's merged view —
+    latest base state + latest net changelog op per key, tombstone
+    deletes, last-writer-wins by (ts, event_id). Bounded execution
+    emits each key's final merged row, which must be bit-equal to the
+    batch merge audit: the entry shares cdc_apply's DuckDB oracle
+    verbatim. Cross-batch delivery invariance is pinned by unit test
+    (rows fold in event order inside the state fn, so batch
+    boundaries cannot change the outcome)."""
+    from elb_log_to_mysql_spark.streaming.cdc import stream_cdc_apply
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = raw_parquet_schema(spark, path)
+    return run_stream_to_batch(
+        spark,
+        path,
+        lambda s: stream_cdc_apply(s, "2024-01-20"),
+        schema,
+        output_mode="update",
+    )
+
+
+ORACLE_SQL["stream_cdc_apply"] = ORACLE_SQL["cdc_apply"]

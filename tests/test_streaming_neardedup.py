@@ -153,3 +153,44 @@ def test_bucket_idle_timeout_evicts_state():
     st.hasTimedOut = False
     assert _run_update(fn, st, [3]) == []
     assert list(st.get[0]) == [3]
+
+
+def test_stream_cdc_fold_is_batch_boundary_invariant():
+    """Delivering the same events as one batch or as three batches
+    (out of order across batches) must produce the same final row —
+    the fold orders within each batch and last-writer-wins across
+    them via the stored (ts, event_id) watermark per side."""
+    from elb_log_to_mysql_spark.streaming import cdc
+
+    split_us = 1_000_000_000
+    fn = cdc.make_cdc_update_fn(split_us)
+
+    def run(batches):
+        st = _FakeState()
+        out = None
+        for b in batches:
+            pdf = pd.DataFrame(
+                b, columns=["ts_us", "event_id", "event_type"]
+            )
+            rows = list(fn((7,), iter([pdf]), st))
+            out = pd.concat(rows).iloc[-1].to_dict()
+        return out
+
+    events = [
+        (100, 1, "view"),                      # base
+        (200, 2, "error"),                     # later base (errors are U pre-split)
+        (1_000_000_100, 3, "click"),           # changelog U
+        (1_000_000_200, 4, "error"),           # changelog D (wins)
+    ]
+    one = run([events])
+    three = run([[events[3]], [events[0], events[2]], [events[1]]])
+    assert one == three
+    assert one["action"] == "delete" and not one["in_snapshot"]
+    # resurrect in a 4th batch: U after the tombstone
+    st = _FakeState()
+    for b in ([events], [[(1_000_000_300, 5, "signup")]]):
+        pdf = pd.DataFrame(b[0], columns=["ts_us", "event_id", "event_type"])
+        rows = list(fn((7,), iter([pdf]), st))
+    final = pd.concat(rows).iloc[-1].to_dict()
+    assert final["action"] == "update" and final["state"] == "signup"
+    assert final["in_snapshot"]
