@@ -183,3 +183,47 @@ def stats_prune_report(
         .alias("rows_scanned"),
         F.sum("n_matched").cast("long").alias("rows_matched"),
     )
+
+
+def file_compaction_plan(
+    spark,
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """Compaction plan over the REAL files of a (possibly
+    hive-partitioned) table directory: list files with the binaryFile
+    source (path + length only — content is never read; the listing
+    pushes the glob down), derive the partition directory from each
+    path, and bin-pack per partition in path order with the same
+    exclusive-cumsum packing as compaction_plan. Output bins name
+    their first/last member files — directly schedulable as rewrite
+    tasks.
+
+    The default 128 MiB target is the usual parquet sweet spot (one
+    comfortable HDFS/object-store block, several row groups). At
+    100 TB the listing itself is a distributed scan of the file
+    index, not a driver loop — binaryFile parallelizes it."""
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(table_dir)
+        .select(
+            F.col("path"),
+            F.col("length").cast("long").alias("length"),
+        )
+        .withColumn(
+            "partition",
+            F.regexp_replace(
+                F.col("path"), r"/[^/]+$", ""
+            ),
+        )
+    )
+    return compaction_plan(
+        listing,
+        part_col="partition",
+        order_col="path",
+        size_col="length",
+        target_bytes=target_bytes,
+    )

@@ -97,3 +97,45 @@ def test_stats_prune_report_invariants(spark, sf_dir):
         & (F.col("o_orderdate") < "1996-07-01")
     ).count()
     assert row["rows_matched"] == direct
+
+
+def test_file_compaction_plan_on_real_layout(spark, sf_dir, tmp_path):
+    """Plan over a real hive-partitioned multi-file layout: byte
+    conservation against the actual on-disk sizes, per-partition
+    plans, and a small-file layout that genuinely wants compaction."""
+    import os
+
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_hive")
+    events = load_table(spark, sf_dir, "events")
+    (
+        events.withColumn("event_date", F.to_date("ts"))
+        .repartition(4)
+        .write.partitionBy("event_date")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    from elb_log_to_mysql_spark.operators import maintenance
+
+    plan = maintenance.file_compaction_plan(
+        spark, out, target_bytes=1 << 20
+    ).collect()
+    # ground truth from the filesystem
+    truth_bytes, truth_files = 0, 0
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if f.endswith(".parquet"):
+                truth_bytes += os.path.getsize(os.path.join(root, f))
+                truth_files += 1
+    assert sum(r["bin_bytes"] for r in plan) == truth_bytes
+    assert sum(r["n_objects"] for r in plan) == truth_files
+    # every partition with multiple small files plans them into ONE
+    # target-size bin (4 files/partition, each far below 1 MiB)
+    parts = {r["partition"] for r in plan}
+    assert all("event_date=" in p for p in parts)
+    per_part: dict = {}
+    for r in plan:
+        per_part.setdefault(r["partition"], []).append(r)
+    assert all(len(bins) == 1 for bins in per_part.values())
+    assert all(bins[0]["n_objects"] >= 2 for bins in per_part.values())
