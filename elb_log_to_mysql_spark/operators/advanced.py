@@ -391,3 +391,38 @@ def countmin_estimates(
         "cms_est",
         (F.col("cms_est") >= F.col("exact_n")).alias("never_undercounts"),
     )
+
+
+def variant_funcs(events: DataFrame) -> DataFrame:
+    """Spark 4 VARIANT round trip over semi-structured payloads.
+
+    A nested JSON document (object + array) is constructed per event
+    from typed columns, parsed into a VARIANT with parse_json, and
+    read back through typed path extraction (try_variant_get with
+    '$.meta.ids[1]'-style paths) feeding a JVM aggregate. The oracle
+    recomputes the aggregate from the BASE columns, so the checked
+    property is exactly "the variant encode/extract round trip
+    preserves every value" — the property a semi-structured ingest
+    pipeline relies on. VARIANT beats from_json-with-schema when the
+    payload schema drifts: no upfront StructType, per-path typed
+    access, binary-encoded storage."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    doc = F.concat(
+        F.lit('{"meta":{"type":"'), F.col("event_type"),
+        F.lit('","ids":['), F.col("user_id").cast("string"),
+        F.lit(","), F.col("event_id").cast("string"),
+        F.lit(']},"k":'), k.cast("string"), F.lit("}"),
+    )
+    v = events.select(F.parse_json(doc).alias("v"))
+    extracted = v.select(
+        F.try_variant_get("v", "$.meta.type", "string").alias("vtype"),
+        F.try_variant_get("v", "$.meta.ids[0]", "long").alias("vuser"),
+        F.try_variant_get("v", "$.meta.ids[1]", "long").alias("vevent"),
+        F.try_variant_get("v", "$.k", "long").alias("vk"),
+    )
+    return extracted.groupBy("vtype").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("vk").alias("sum_k"),
+        F.max("vevent").alias("max_event"),
+        F.countDistinct("vuser").alias("n_users"),
+    )

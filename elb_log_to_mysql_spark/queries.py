@@ -7155,3 +7155,27 @@ def q_stream_cdc_apply(spark, sf_dir):
 
 
 ORACLE_SQL["stream_cdc_apply"] = ORACLE_SQL["cdc_apply"]
+
+
+@_q(
+    "variant_funcs",
+    """
+    SELECT event_type AS vtype,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(event_id) AS max_event,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_funcs(spark, sf_dir):
+    """Spark 4 VARIANT round trip (operators/advanced.py:
+    variant_funcs): a nested JSON document built from typed columns is
+    parsed into a VARIANT and read back via typed path extraction
+    ('$.meta.ids[1]') into a JVM aggregate. The oracle recomputes the
+    aggregate from the base columns directly, so equality proves the
+    variant encode/extract round trip preserved every value — the
+    schema-drift-tolerant semi-structured path next to the classic
+    json_funcs entry."""
+    return advanced.variant_funcs(_t(spark, sf_dir, "events"))

@@ -1586,3 +1586,21 @@ def test_lexical_topk_overlap_counts(spark):
     assert rows[1]["overlap"] == 3 and rows[1]["rank_lex"] == 1
     assert rows[2]["overlap"] == 2 and rows[2]["rank_lex"] == 2
     assert 3 not in rows and 0 not in rows
+
+
+def test_variant_roundtrip_preserves_types_and_nulls(spark):
+    """VARIANT path extraction: typed hits, missing-path NULLs, and
+    nested array indexing."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"a": {"xs": [10, 20]}, "s": "hi"}',), ('{"a": {}}',)],
+        "j string",
+    ).select(F.parse_json("j").alias("v"))
+    rows = df.select(
+        F.try_variant_get("v", "$.a.xs[1]", "long").alias("x1"),
+        F.try_variant_get("v", "$.s", "string").alias("s"),
+        F.try_variant_get("v", "$.missing", "long").alias("m"),
+    ).collect()
+    assert rows[0]["x1"] == 20 and rows[0]["s"] == "hi" and rows[0]["m"] is None
+    assert rows[1]["x1"] is None and rows[1]["s"] is None
