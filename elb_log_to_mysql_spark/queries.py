@@ -7179,3 +7179,47 @@ def q_variant_funcs(spark, sf_dir):
     schema-drift-tolerant semi-structured path next to the classic
     json_funcs entry."""
     return advanced.variant_funcs(_t(spark, sf_dir, "events"))
+
+
+@_q(
+    "python_datasource",
+    """
+    WITH synth AS (
+      SELECT i AS event_id,
+             i % 97 AS user_id,
+             ['view','click','purchase','signup','error'][(i % 5) + 1]
+               AS event_type,
+             (i * 31) % 10000 AS cents
+      FROM range(10000) t(i)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           MAX(event_id) AS max_id
+    FROM synth GROUP BY event_type
+    """,
+)
+def q_python_datasource(spark, sf_dir):
+    """Custom Python Data Source (Spark 4 pyspark.sql.datasource API —
+    sources/pysource.py): a deterministic synthetic-events generator
+    with partition-parallel reads (8 InputPartitions of contiguous
+    ids). The aggregate over the source must equal the oracle's
+    independent replay of the generator formula over DuckDB's
+    range(): closed-form fields make the whole custom-source read
+    path value-checkable end to end."""
+    from elb_log_to_mysql_spark.sources import pysource
+
+    pysource.register(spark)
+    df = (
+        spark.read.format("synth_events")
+        .option("n", "10000")
+        .option("parts", "8")
+        .load()
+    )
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("event_id").alias("max_id"),
+    )

@@ -209,3 +209,30 @@ def test_jsonl_deadletter_routes_corrupt_lines_verbatim(spark, tmp_path):
     assert sorted(r["k"] for r in good.collect()) == [1, 3]
     raws = {r["raw_line"] for r in dead.collect()}
     assert raws == {'{"k": 2', "not json at all"}
+
+
+def test_python_datasource_partition_invariance(spark):
+    """The custom Python source yields the identical table at any
+    parallelism (contiguous id slices), and validates its options."""
+    import pytest
+
+    from elb_log_to_mysql_spark.sources import pysource
+
+    pysource.register(spark)
+
+    def table(parts):
+        return {
+            tuple(r)
+            for r in spark.read.format("synth_events")
+            .option("n", "200")
+            .option("parts", str(parts))
+            .load()
+            .collect()
+        }
+
+    assert table(1) == table(4) == table(8)
+    assert len(table(4)) == 200
+    with pytest.raises(Exception, match="divisible"):
+        spark.read.format("synth_events").option("n", "10").option(
+            "parts", "3"
+        ).load().collect()
