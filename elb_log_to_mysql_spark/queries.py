@@ -7223,3 +7223,51 @@ def q_python_datasource(spark, sf_dir):
         F.countDistinct("user_id").alias("n_users"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@_q("python_datasource_stream")
+def q_python_datasource_stream(spark, sf_dir):
+    """STREAMING half of the custom Python data source
+    (sources/pysource.py:SynthEventsStreamReader — the Spark 4
+    SimpleDataSourceStreamReader API): offset-based micro-batches of
+    1000 ids each; redelivered offset ranges regenerate identical
+    rows because the generator is a pure function of the index, so
+    the source is exactly-once by construction. Bounded execution
+    drains the generator (10 micro-batches), and the aggregate shares
+    `python_datasource`'s oracle — stream ≡ batch ≡ independent SQL
+    replay."""
+    import time
+    import uuid
+
+    from elb_log_to_mysql_spark.sources import pysource
+
+    pysource.register(spark)
+    name = "synth_stream_" + uuid.uuid4().hex[:8]
+    n = 10000
+    q = (
+        spark.readStream.format("synth_events")
+        .option("n", str(n))
+        .option("chunk", "1000")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    # content-bounded drain: the generator is finite (offsets stop
+    # advancing at n), so poll the sink until all rows landed
+    deadline = time.time() + 300
+    while time.time() < deadline and spark.table(name).count() < n:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+    df = spark.table(name)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+ORACLE_SQL["python_datasource_stream"] = ORACLE_SQL["python_datasource"]

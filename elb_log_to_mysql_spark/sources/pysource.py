@@ -60,7 +60,46 @@ class SynthEventsDataSource(DataSource):
     def reader(self, schema):
         return SynthEventsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SynthEventsStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Idempotent per-session registration."""
     spark.dataSource.register(SynthEventsDataSource)
+
+
+class SynthEventsStreamReader:
+    """SimpleDataSourceStreamReader over the same generator: offsets
+    are row indices; each micro-batch emits the next `chunk` ids.
+    Exactly-once comes from the offset contract — a redelivered
+    (start, end) range regenerates identical rows because the
+    generator is a pure function of the index."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 10000))
+        self.chunk = int(options.get("chunk", 1000))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    @staticmethod
+    def _rows(lo, hi):
+        # a concrete list (wrapped in iter() by callers): the
+        # simple-reader API pickles the prefetched batch to ship it
+        # to executors, so a lazy generator cannot cross the boundary
+        return [
+            (i, i % 97, EVENT_TYPES[i % 5], (i * 31) % 10000)
+            for i in range(lo, hi)
+        ]
+
+    def read(self, start):
+        lo = start["i"]
+        hi = min(lo + self.chunk, self.n)
+        return iter(self._rows(lo, hi)), {"i": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["i"], end["i"]))
+
+    def commit(self, end):
+        pass
