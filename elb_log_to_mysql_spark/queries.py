@@ -7271,3 +7271,20 @@ def q_python_datasource_stream(spark, sf_dir):
 
 
 ORACLE_SQL["python_datasource_stream"] = ORACLE_SQL["python_datasource"]
+
+
+_sql_interface_entry(
+    "sql_interface_lateral",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, t.top_price, t.n_orders
+    FROM customer c,
+    LATERAL (SELECT MAX(o.o_totalprice) AS top_price,
+                    CAST(COUNT(*) AS BIGINT) AS n_orders
+             FROM orders o WHERE o.o_custkey = c.c_custkey) t
+    WHERE c.c_custkey < 50 AND t.n_orders > 0
+    """,
+    "Correlated LATERAL subquery through the SQL front end: the "
+    "per-row dependent aggregate (both planners decorrelate it to a "
+    "join) proven identical across engines — MAX over doubles is "
+    "order-independent, counts are exact.",
+)
