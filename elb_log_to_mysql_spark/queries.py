@@ -7288,3 +7288,24 @@ _sql_interface_entry(
     "join) proven identical across engines — MAX over doubles is "
     "order-independent, counts are exact.",
 )
+
+
+@_q(
+    "multimodal_meta_arrow",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           text LIKE 'the%' AS starts_the
+    FROM documents
+    """,
+)
+def q_multimodal_meta_arrow(spark, sf_dir):
+    """mapInArrow metadata extraction (operators/multimodal.py:
+    binary_metadata_arrow): RecordBatches transformed with
+    pyarrow.compute kernels only — no pandas materialization between
+    Arrow and Python, the zero-copy fast path for wide binary
+    columns. Values are checked against the SQL recomputation, and
+    the mapInPandas sibling (`multimodal_meta`) checks the same
+    byte-length arithmetic, so the two Python-crossing APIs are
+    mutually pinned."""
+    return multimodal.binary_metadata_arrow(_t(spark, sf_dir, "documents"))
