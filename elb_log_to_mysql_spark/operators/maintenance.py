@@ -79,8 +79,16 @@ def _clustered_position(
     without a single-partition window: per-bucket counts -> broadcast
     exclusive offsets -> per-bucket local row_number. Correct whenever
     `bucket` is a monotone coarsening of the order key (equal-order
-    rows share a bucket boundary ordering)."""
-    keyed = df.withColumn("_ckb", bucket)
+    rows share a bucket boundary ordering).
+
+    NULL bucket values (NULL cluster column) map to a LOW sentinel so
+    the equi-join keeps them — NULL join keys never match, and the
+    rows would otherwise vanish from the index, understating
+    rows_total. The sentinel sorts first, matching Spark's ASC NULLS
+    FIRST window ordering of the cluster column itself."""
+    keyed = df.withColumn(
+        "_ckb", F.coalesce(bucket, F.lit(-(1 << 62)).cast("long"))
+    )
     counts = keyed.groupBy("_ckb").agg(F.count(F.lit(1)).alias("_n"))
     offsets = counts.withColumn(
         "_off",

@@ -139,3 +139,25 @@ def test_file_compaction_plan_on_real_layout(spark, sf_dir, tmp_path):
         per_part.setdefault(r["partition"], []).append(r)
     assert all(len(bins) == 1 for bins in per_part.values())
     assert all(bins[0]["n_objects"] >= 2 for bins in per_part.values())
+
+
+def test_stats_prune_keeps_null_cluster_rows(spark):
+    """NULL cluster values must stay IN the index (sentinel bucket),
+    not silently vanish through the bucket equi-join: rows_total
+    counts every row, and a NULL-stats block is never 'kept' for a
+    range predicate (NULL min/max fail the interval test)."""
+    rows = [(i, f"2000-01-{(i % 27) + 1:02d}") for i in range(40)] + [
+        (100 + i, None) for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    rep = maintenance.stats_prune_report(
+        df, "o_orderdate", "o_orderkey",
+        lo="2000-01-01", hi="2000-01-10", block_rows=16,
+    ).collect()[0]
+    assert rep["rows_total"] == 45
+    assert rep["rows_matched"] == sum(
+        1 for _i, d in rows if d is not None and d < "2000-01-10"
+    )
+    assert rep["rows_matched"] <= rep["rows_scanned"] <= rep["rows_total"]
