@@ -23,7 +23,12 @@ parallelism.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 
@@ -69,7 +74,7 @@ def register(spark) -> None:
     spark.dataSource.register(SynthEventsDataSource)
 
 
-class SynthEventsStreamReader:
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
     """SimpleDataSourceStreamReader over the same generator: offsets
     are row indices; each micro-batch emits the next `chunk` ids.
     Exactly-once comes from the offset contract — a redelivered
