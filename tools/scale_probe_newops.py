@@ -231,5 +231,91 @@ def main() -> None:
         json.dump(report, f, indent=2)
 
 
+def probe_round2(factor: int = 10) -> dict:
+    """Second probe section: the operators the main() section does not
+    cover — constraint_check (anti-join over the replicated facts),
+    variant_funcs (VARIANT round trip over replicated events),
+    hybrid_rrf (both retrieval legs over the replicated corpus), and
+    the custom Python source at 100x its gate size. Invoked with
+    `--round2 [factor]`."""
+    import json as _json
+
+    out_dir = f"/tmp/scale_sweep_{factor}x"
+    spark = build_session(app_name="scale-newops-2")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from elb_log_to_mysql_spark.operators import advanced, analytics, retrieval
+    from elb_log_to_mysql_spark.sources import pysource
+
+    if not os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        replicate(factor, out_dir)
+    docs = load_table(spark, out_dir, "documents")
+    orders = load_table(spark, out_dir, "orders")
+    lineitem = load_table(spark, out_dir, "lineitem")
+    events = load_table(spark, out_dir, "events")
+    report: dict = {"factor": factor, "section": "round2"}
+
+    rows, w = timed(
+        lambda: analytics.constraint_check(orders, lineitem).collect()
+    )
+    report["constraint_check"] = {
+        "wall_s": w,
+        "all_passed": all(r["passed"] for r in rows),
+        "n_constraints": len(rows),
+    }
+
+    agg, w = timed(lambda: advanced.variant_funcs(events).collect())
+    report["variant_funcs"] = {
+        "wall_s": w,
+        "n_types": len(agg),
+        "rows_covered": sum(r["n_events"] for r in agg),
+    }
+
+    out, w = timed(
+        lambda: retrieval.hybrid_rrf(docs, load_table(spark, out_dir, "embeddings"))
+        .collect()
+    )
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    report["hybrid_rrf"] = {
+        "wall_s": w,
+        "n_rows": len(out),
+        "ranks_dense": all(
+            sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values()
+        ),
+    }
+
+    pysource.register(spark)
+    n = 1_000_000
+    df = (
+        spark.read.format("synth_events")
+        .option("n", str(n))
+        .option("parts", "64")
+        .load()
+    )
+    agg, w = timed(
+        lambda: df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .collect()
+    )
+    report["python_datasource_1m"] = {
+        "wall_s": w,
+        "rows": sum(r["n"] for r in agg),
+        "rows_ok": sum(r["n"] for r in agg) == n,
+    }
+    print(_json.dumps(report, indent=2))
+    return report
+
+
 if __name__ == "__main__":
-    main()
+    if "--round2" in sys.argv:
+        i = sys.argv.index("--round2")
+        f = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 10
+        r = probe_round2(f)
+        with open(f"SCALE_PROBE_NEWOPS2_{f}x.json", "w") as fh:
+            import json as _j
+            _j.dump(r, fh, indent=2)
+    else:
+        main()
