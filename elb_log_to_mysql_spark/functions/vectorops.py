@@ -85,27 +85,49 @@ def minhash_signatures(
     Rows with no shingles get the all-max signature (callers filter
     empty docs anyway).
     """
-    rng = np.random.RandomState(seed)
-    a_co = (rng.randint(0, 2**63, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
-    b_co = rng.randint(0, 2**63, size=num_hashes).astype(np.uint64)
+    a_co, b_co = minhash_coefficients(num_hashes, seed)
 
     @pandas_udf("array<long>")
     def _mh(sh: pd.Series) -> pd.Series:
-        n = len(sh)
-        rows = [np.asarray(x, dtype=np.int64) for x in sh]
-        lens = np.array([len(r) for r in rows], dtype=np.int64)
-        out = np.full((n, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
-        nonempty = lens > 0
-        if nonempty.any():
-            flat = np.concatenate([r for r in rows if len(r)]).view(np.uint64)
-            h_all = flat[:, None] * a_co[None, :] + b_co[None, :]  # mod 2^64
-            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(lens[nonempty][:-1], out=starts[1:])
-            mins = np.minimum.reduceat(h_all, starts, axis=0)
-            out[nonempty] = mins.view(np.int64)
-        return pd.Series(list(out))
+        return pd.Series(list(minhash_matrix(sh, num_hashes, a_co, b_co)))
 
     return _mh(shingle_hashes)
+
+
+def minhash_coefficients(
+    num_hashes: int = 64, seed: int = 42
+) -> tuple[np.ndarray, np.ndarray]:
+    """The multiply-shift family's (a, b) coefficient vectors. Shared
+    by the batch pandas_udf and the streaming mapInPandas signer so
+    both produce BIT-IDENTICAL signatures for the same shingles."""
+    rng = np.random.RandomState(seed)
+    a_co = (
+        rng.randint(0, 2**63, size=num_hashes).astype(np.uint64) << np.uint64(1)
+    ) | np.uint64(1)
+    b_co = rng.randint(0, 2**63, size=num_hashes).astype(np.uint64)
+    return a_co, b_co
+
+
+def minhash_matrix(
+    sh, num_hashes: int, a_co: np.ndarray, b_co: np.ndarray
+) -> np.ndarray:
+    """The raw signature kernel: an iterable of int64 shingle-hash
+    arrays -> (n, num_hashes) int64 signature matrix (all-max rows for
+    empty inputs). One flattened outer product + segment-min per call —
+    the vectorized core both Arrow entry points share."""
+    rows = [np.asarray(x, dtype=np.int64) for x in sh]
+    n = len(rows)
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    out = np.full((n, num_hashes), np.iinfo(np.int64).max, dtype=np.int64)
+    nonempty = lens > 0
+    if nonempty.any():
+        flat = np.concatenate([r for r in rows if len(r)]).view(np.uint64)
+        h_all = flat[:, None] * a_co[None, :] + b_co[None, :]  # mod 2^64
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        mins = np.minimum.reduceat(h_all, starts, axis=0)
+        out[nonempty] = mins.view(np.int64)
+    return out
 
 
 def pairwise_cosine(a: Column, b: Column) -> Column:

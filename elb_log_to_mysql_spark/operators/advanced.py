@@ -407,11 +407,18 @@ def variant_funcs(events: DataFrame) -> DataFrame:
     payload schema drifts: no upfront StructType, per-path typed
     access, binary-encoded storage."""
     k = F.get_json_object("props", "$.k").cast("long")
-    doc = F.concat(
-        F.lit('{"meta":{"type":"'), F.col("event_type"),
-        F.lit('","ids":['), F.col("user_id").cast("string"),
-        F.lit(","), F.col("event_id").cast("string"),
-        F.lit(']},"k":'), k.cast("string"), F.lit("}"),
+    # build the document structurally (to_json handles quote/backslash
+    # escaping and null fields; hand-concatenated literals would emit
+    # malformed JSON for a quoted event_type and collapse NULL k rows
+    # into a NULL document via concat's null propagation)
+    doc = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.array(F.col("user_id"), F.col("event_id")).alias("ids"),
+            ).alias("meta"),
+            k.alias("k"),
+        )
     )
     v = events.select(F.parse_json(doc).alias("v"))
     extracted = v.select(

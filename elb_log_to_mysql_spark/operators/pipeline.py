@@ -810,6 +810,50 @@ def corpus_pipeline(
     return unpersist_on_gc(out, kept_ids, surv_ids, clean_ids)
 
 
+def prewarm(spark, build, documents: DataFrame, sample_rows: int = 20000) -> float:
+    """Session pre-warm: pay the per-JVM codegen/JIT/worker ramp on a
+    SMALL sample so the first big evaluation runs near warm speed.
+
+    The expression-dense pipelines (the Gopher gate, gram builders)
+    spend their first evaluation on scale-INDEPENDENT session costs:
+    Janino compilation of the whole-stage-codegen classes, HotSpot
+    tiers ramping the generated methods, and Python/Arrow worker
+    startup (measured ~74 s of the 80x corpus build's 98.8 s cold
+    cell, SCALE.md round-10). Evaluating the SAME plan over a sample
+    pays those once: the sample is written to scratch parquet so the
+    plan shape (parquet scan -> identical operator tree, identical
+    input schema) generates the identical codegen classes — the big
+    run then hits the Janino cache and already-JIT'd methods, and the
+    Python worker pool is up.
+
+    `build` maps a documents-shaped DataFrame to the pipeline to
+    warm; its result is evaluated with .count() and discarded.
+    Returns the pre-warm's wall seconds (callers record it — the warm
+    time is bought, not free). A long-running production job calls
+    this once per session before the first heavy action; at 100 TB
+    the sample cost is noise and the saving is per-executor-JVM.
+    """
+    import gc
+    import shutil
+    import tempfile
+    import time
+
+    t0 = time.monotonic()
+    scratch = tempfile.mkdtemp(prefix="graft_prewarm_")
+    sample = None
+    try:
+        documents.limit(sample_rows).write.mode("overwrite").parquet(scratch)
+        sample = spark.read.parquet(scratch)
+        build(sample).count()
+    finally:
+        # drop plan references so unpersist_on_gc finalizers release
+        # any stage caches before the scratch files disappear
+        sample = None
+        gc.collect()
+        shutil.rmtree(scratch, ignore_errors=True)
+    return time.monotonic() - t0
+
+
 def incremental_accept(
     new_docs: DataFrame,
     existing_corpus: DataFrame | None,

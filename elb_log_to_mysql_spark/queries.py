@@ -6770,6 +6770,78 @@ def q_compaction_bins(spark, sf_dir):
 
 
 @_q(
+    "file_compaction_plan",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             'part=' || CAST(doc_id % 4 AS VARCHAR) AS partition,
+             'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.bin'
+               AS fname,
+             CAST(200 + (doc_id * 37) % 400 AS BIGINT) AS length
+      FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 48)
+    ), binned AS (
+      SELECT partition, fname, length,
+             COALESCE(SUM(length) OVER (
+                 PARTITION BY partition ORDER BY fname
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM f
+    )
+    SELECT partition,
+           CAST(FLOOR(cb / 1000.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_objects,
+           CAST(SUM(length) AS BIGINT) AS bin_bytes,
+           MIN(fname) AS first_key,
+           MAX(fname) AS last_key
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def q_file_compaction_plan(spark, sf_dir):
+    """Compaction plan over a REAL on-disk hive layout (operators/
+    maintenance.py:file_compaction_plan): fixture files with
+    table-derived names and byte sizes are written under
+    part=K/doc_NNNNNN.bin, listed with the distributed binaryFile
+    source (path + length only, glob pushed down, recursive lookup),
+    and bin-packed per partition directory in path order. The oracle
+    replays the layout derivation (partition, zero-padded file name,
+    size formula) AND every bin boundary from the same doc_ids, so
+    the whole listing→partition-derivation→packing chain is
+    value-checked — the gate-certified twin of the library-level
+    byte-conservation test (tests/test_maintenance.py). Paths are
+    reduced to their table-relative tails so the plan is independent
+    of the scratch directory."""
+    from elb_log_to_mysql_spark.operators import maintenance
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(48)
+        .collect()
+    )
+    out_dir = _work_dir("compaction-layout")
+    for r in docs:
+        part_dir = os.path.join(out_dir, f"part={r.doc_id % 4}")
+        os.makedirs(part_dir, exist_ok=True)
+        size = 200 + (r.doc_id * 37) % 400
+        with open(
+            os.path.join(part_dir, f"doc_{r.doc_id:06d}.bin"), "wb"
+        ) as fh:
+            fh.write(b"x" * size)
+    plan = maintenance.file_compaction_plan(
+        spark, out_dir, target_bytes=1000, glob="*.bin"
+    )
+    tail = lambda c: F.regexp_extract(c, r"([^/]+)$", 1)  # noqa: E731
+    return plan.select(
+        tail(F.col("partition")).alias("partition"),
+        "bin",
+        "n_objects",
+        "bin_bytes",
+        tail(F.col("first_key")).alias("first_key"),
+        tail(F.col("last_key")).alias("last_key"),
+    )
+
+
+@_q(
     "stats_pruning",
     """
     WITH pos AS (
@@ -7083,6 +7155,113 @@ _sql_interface_entry(
     "engines.",
 )
 
+_sql_interface_entry(
+    "sql_interface_tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity')} AS sum_qty,
+           {_dsum('l_extendedprice')} AS sum_base_price,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+             AS sum_charge,
+           {_dsum('l_quantity')} / COUNT(*) AS avg_qty,
+           {_dsum('l_extendedprice')} / COUNT(*) AS avg_price,
+           {_dsum('l_discount')} / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 submitted VERBATIM through the SQL front end (the "
+    "DataFrame twin is hash_agg/tpch_q1): the wide pricing-summary "
+    "aggregate with every sum routed through the exact-decimal "
+    "contract, so all seven measures are bit-identical across both "
+    "parsers and both execution engines.",
+)
+
+_sql_interface_entry(
+    "sql_interface_tpch_q3",
+    f"""
+    SELECT o_orderkey,
+           SUBSTRING(CAST(o_orderdate AS STRING), 1, 10) AS order_date,
+           o_orderpriority,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '1996-01-01'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3 through the SQL front end (DataFrame twin: tpch_q3): "
+    "dim-filtered double join, exact-decimal revenue, deterministic "
+    "top-10 via the o_orderkey tiebreak; the date renders through "
+    "SUBSTRING(CAST(.. AS STRING)) — the dialect-intersecting "
+    "spelling both engines format identically.",
+)
+
+_sql_interface_entry(
+    "sql_interface_tpch_q10",
+    f"""
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           {_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 submitted VERBATIM through the SQL front end "
+    "(DataFrame twin: tpch_q10): returned-item revenue ranking over "
+    "a three-join star, exact-decimal revenue, deterministic top-20.",
+)
+
+_sql_interface_entry(
+    "sql_interface_tpch_q12",
+    """
+    SELECT l_linestatus AS ship_mode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_shipdate >= o_orderdate
+    GROUP BY ship_mode
+    """,
+    "TPC-H Q12's shape submitted VERBATIM through the SQL front end "
+    "(DataFrame twin: tpch_q12; l_linestatus stands in for the "
+    "absent l_shipmode): priority-classified line counts under a "
+    "date window with a cross-table residual predicate, plus a "
+    "GROUP BY on a select-list alias — both parsers resolve it.",
+)
+
+_sql_interface_entry(
+    "sql_interface_tpch_q14",
+    f"""
+    SELECT 100.0 * {_dsum(
+        "CASE WHEN p_type = 'PROMO' "
+        "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END"
+    )}
+           / {_dsum('l_extendedprice * (1 - l_discount)')}
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    "TPC-H Q14 submitted VERBATIM through the SQL front end "
+    "(DataFrame twin: tpch_q14): promo revenue share — a ratio of "
+    "two exact-decimal sums, so the single double survives the "
+    "stringified hash bit-for-bit on both engines.",
+)
+
 
 @_q(
     "constraint_check",
@@ -7140,18 +7319,26 @@ def q_stream_cdc_apply(spark, sf_dir):
     batch merge audit: the entry shares cdc_apply's DuckDB oracle
     verbatim. Cross-batch delivery invariance is pinned by unit test
     (rows fold in event order inside the state fn, so batch
-    boundaries cannot change the outcome)."""
-    from elb_log_to_mysql_spark.streaming.cdc import stream_cdc_apply
+    boundaries cannot change the outcome). The update-mode sink holds
+    one row per touched key per micro-batch; latest_cdc_rows reduces
+    to the final emission per key (max_by over the per-key emit_seq),
+    so the entry stays correct even if the bounded run splits into
+    many micro-batches (multi-file dirs, maxFilesPerTrigger)."""
+    from elb_log_to_mysql_spark.streaming.cdc import (
+        latest_cdc_rows,
+        stream_cdc_apply,
+    )
 
     path = os.path.join(sf_dir, "events.parquet")
     schema = raw_parquet_schema(spark, path)
-    return run_stream_to_batch(
+    emissions = run_stream_to_batch(
         spark,
         path,
         lambda s: stream_cdc_apply(s, "2024-01-20"),
         schema,
         output_mode="update",
     )
+    return latest_cdc_rows(emissions)
 
 
 ORACLE_SQL["stream_cdc_apply"] = ORACLE_SQL["cdc_apply"]
@@ -7255,12 +7442,24 @@ def q_python_datasource_stream(spark, sf_dir):
         .start()
     )
     # content-bounded drain: the generator is finite (offsets stop
-    # advancing at n), so poll the sink until all rows landed
+    # advancing at n), so poll the sink until all rows landed. A
+    # failed stream would otherwise poll to the deadline and hand the
+    # gate a partial table — surface the real error instead.
     deadline = time.time() + 300
     while time.time() < deadline and spark.table(name).count() < n:
+        exc = q.exception()
+        if exc is not None:
+            q.stop()
+            raise exc
         time.sleep(0.5)
+    landed = spark.table(name).count()
     q.stop()
     q.awaitTermination()
+    if landed < n:
+        raise TimeoutError(
+            f"python_datasource_stream drained {landed}/{n} rows "
+            "before the 300 s deadline"
+        )
     df = spark.table(name)
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from elb_log_to_mysql_spark.functions.eventtime import event_time_micros_col
+
 CDC_STATE_SCHEMA = T.StructType(
     [
         T.StructField("b_us", T.LongType()),     # latest pre-split (ts, id)
@@ -42,6 +44,7 @@ CDC_STATE_SCHEMA = T.StructType(
         T.StructField("u_id", T.LongType()),
         T.StructField("u_op", T.StringType()),
         T.StructField("u_state", T.StringType()),
+        T.StructField("n_seen", T.LongType()),   # rows folded (emission ordinal)
     ]
 )
 
@@ -52,10 +55,15 @@ CDC_OUTPUT_SCHEMA = T.StructType(
         T.StructField("updated_at", T.StringType()),
         T.StructField("action", T.StringType()),
         T.StructField("in_snapshot", T.BooleanType()),
+        # cumulative rows folded for this key — strictly increases with
+        # every emission (a key only appears in a micro-batch group when
+        # it has rows), so max_by(emit_seq) per key IS the final merged
+        # row even when the bounded run splits into many micro-batches
+        T.StructField("emit_seq", T.LongType()),
     ]
 )
 
-_EMPTY = (-1, -1, None, -1, -1, None, None)
+_EMPTY = (-1, -1, None, -1, -1, None, None, 0)
 
 
 def _fmt_us(us: int) -> str:
@@ -76,7 +84,7 @@ def make_cdc_update_fn(split_us: int):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        b_us, b_id, b_state, u_us, u_id, u_op, u_state = (
+        b_us, b_id, b_state, u_us, u_id, u_op, u_state, n_seen = (
             state.get if state.exists else _EMPTY
         )
         for pdf in batches:
@@ -85,6 +93,7 @@ def make_cdc_update_fn(split_us: int):
                 pdf["ts_us"], pdf["event_id"], pdf["event_type"]
             ):
                 ts_us, event_id = int(ts_us), int(event_id)
+                n_seen += 1
                 if ts_us < split_us:
                     if (ts_us, event_id) > (b_us, b_id):
                         b_us, b_id, b_state = ts_us, event_id, str(etype)
@@ -92,7 +101,7 @@ def make_cdc_update_fn(split_us: int):
                     if (ts_us, event_id) > (u_us, u_id):
                         u_op = "D" if str(etype) == "error" else "U"
                         u_us, u_id, u_state = ts_us, event_id, str(etype)
-        state.update((b_us, b_id, b_state, u_us, u_id, u_op, u_state))
+        state.update((b_us, b_id, b_state, u_us, u_id, u_op, u_state, n_seen))
 
         deleted = u_op == "D"
         has_base, has_chg = b_id >= 0, u_id >= 0
@@ -110,6 +119,7 @@ def make_cdc_update_fn(split_us: int):
                 "updated_at": [out_at],
                 "action": [action],
                 "in_snapshot": [not deleted],
+                "emit_seq": [n_seen],
             }
         )
 
@@ -130,7 +140,11 @@ def stream_cdc_apply(events, split: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        (F.unix_micros(F.col("ts").cast("timestamp_ltz"))).alias("ts_us"),
+        # event_time_micros_col handles all three physical ts layouts
+        # (int64-nanos bigint, TIMESTAMP_NTZ, native TIMESTAMP); a raw
+        # bigint->timestamp cast would read nanos as SECONDS and
+        # misclassify every event against split_us.
+        event_time_micros_col(events, "ts", "ts_us"),
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         make_cdc_update_fn(split_us),
@@ -138,4 +152,23 @@ def stream_cdc_apply(events, split: str) -> DataFrame:
         stateStructType=CDC_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def latest_cdc_rows(emissions: DataFrame) -> DataFrame:
+    """Reduce an update-mode CDC emission table (one row per touched
+    key per micro-batch) to each key's FINAL merged row: max_by over
+    the strictly-increasing per-key emit_seq. This is the sink-side
+    upsert a production deployment does on user_id — applied here as
+    a batch reduce so a bounded run stays correct whatever the
+    micro-batch split (multi-file source dirs, maxFilesPerTrigger)."""
+    return (
+        emissions.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("state", "updated_at", "action", "in_snapshot"),
+                F.col("emit_seq"),
+            ).alias("_final")
+        )
+        .select("user_id", "_final.*")
     )

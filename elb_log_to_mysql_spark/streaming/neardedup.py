@@ -6,18 +6,20 @@ continuous ingest stream the same bucket keys become STATE: each LSH
 bucket remembers the doc ids it has seen, and a new document that
 lands in a non-empty bucket emits a candidate pair against every
 remembered occupant. Band-key derivation is the identical column
-expression as the batch path (dedup.band_hashes); the signature
-kernel is a JVM-expression minhash (`minhash_signatures_expr`)
-rather than the batch path's Arrow-vectorized kernel, because a
-scalar pandas UDF cannot be planned upstream of
-applyInPandasWithState inside one micro-batch (Spark plans the UDF
-into the stateful operator's child Project, where it cannot
-evaluate — verified empirically). Seeded-xxhash64 min is an equally
-valid minhash family with the same LSH S-curve, so the recall
-contract is unchanged; the stream-vs-batch candidate-set equivalence
-test derives the batch twin from the SAME expressions
-(tests pin this), it just isn't bit-compatible with
-vectorops.minhash_signatures' multiply-shift family.
+expression as the batch path (dedup.band_hashes), and the signature
+kernel is the SAME Arrow-vectorized multiply-shift minhash the batch
+operator uses (vectorops.minhash_matrix) — applied per micro-batch
+via `mapInPandas`, which plans as its own physical operator and is
+therefore legal upstream of applyInPandasWithState. (A *scalar*
+pandas UDF is not: Spark plans it into the stateful operator's child
+Project, where it cannot evaluate — verified empirically in round 9;
+round 11 replaced the interpreted 64-pass JVM-HOF workaround with
+the mapInPandas signer, eliminating the stream path's dominant
+per-row cost and making stream and batch signatures BIT-IDENTICAL.)
+`band_rows` builds the (doc_id, band_idx, band_hash) stream and
+works on batch and streaming frames alike, so the stream-vs-batch
+candidate-set equivalence test derives its batch twin from the same
+function (tests pin this).
 
 Design split — candidates stream, verification is a join:
 the stream ships (doc_id, band_idx, band_hash) rows only (three
@@ -63,21 +65,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from elb_log_to_mysql_spark.functions.vectorops import (
+    minhash_coefficients,
+    minhash_matrix,
+)
 from elb_log_to_mysql_spark.operators.dedup import band_hashes, word_shingles
 
 
 def minhash_signatures_expr(
     shingle_hashes, num_hashes: int = 64
 ) -> "F.Column":
-    """JVM-expression minhash over an array<long> of shingle hashes:
-    sig_i = min over shingles of xxhash64(shingle, i). Seeding each
-    hash function by its index gives an independent family; signed
-    min is a valid total order for the argmin (any consistent order
-    over a uniform hash works). Interpreted HOF per row (64 passes) —
-    acceptable at streaming ingest rates; the batch operator keeps
-    its Arrow-vectorized multiply-shift kernel which this
-    deliberately does NOT replicate (ANSI mode forbids the JVM
-    wraparound arithmetic that family needs)."""
+    """LEGACY JVM-expression minhash (sig_i = min over shingles of
+    xxhash64(shingle, i)): 64 interpreted HOF passes per row — the
+    pre-round-11 stream path, kept only as a pure-JVM fallback for
+    environments without Arrow Python workers. The production stream
+    path is `band_rows`' mapInPandas signer (same Arrow kernel as the
+    batch operator)."""
     return F.array(
         *[
             F.array_min(
@@ -87,6 +90,59 @@ def minhash_signatures_expr(
             )
             for i in range(num_hashes)
         ]
+    )
+
+
+def band_rows(
+    documents,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band rows for a documents
+    frame — batch OR streaming (every node here is streamable).
+
+    Shingling + shingle hashing + band hashing are JVM codegen
+    expressions (shared with operators/dedup.py); the minhash
+    signature is the Arrow-vectorized multiply-shift kernel applied
+    via mapInPandas — one numpy outer-product + segment-min per Arrow
+    batch, bit-identical to the batch operator's pandas_udf signer
+    (same minhash_coefficients seed). mapInPandas is its own physical
+    operator, so unlike a scalar pandas UDF it plans cleanly upstream
+    of applyInPandasWithState within one micro-batch."""
+    rows_per_band = num_hashes // bands
+    a_co, b_co = minhash_coefficients(num_hashes)
+    sh = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sigs = minhash_matrix(pdf["shingles"], num_hashes, a_co, b_co)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "sig": list(sigs)}
+            )
+
+    sig = sh.mapInPandas(_sign, schema=sig_schema)
+    return sig.select(
+        "doc_id",
+        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
     )
 
 BUCKET_STATE_SCHEMA = T.StructType(
@@ -123,11 +179,16 @@ def make_bucket_update_fn(
             state.remove()
             return
         seen: list[int] = list(state.get[0]) if state.exists else []
+        # set mirror for O(1) redelivery checks; the list keeps the
+        # ordered state representation (a list-only membership test is
+        # O(occupancy) per arrival -> O(max_per_bucket^2) per batch on
+        # a degenerate bucket)
+        seen_set: set[int] = set(seen)
         out_a: list[int] = []
         out_b: list[int] = []
         for pdf in batches:
             for doc_id in sorted(int(d) for d in pdf["doc_id"]):
-                if doc_id in seen:
+                if doc_id in seen_set:
                     continue  # redelivered input: exactly-once emission
                 if len(seen) >= max_per_bucket:
                     break  # skew guard: degenerate bucket stops pairing
@@ -136,6 +197,7 @@ def make_bucket_update_fn(
                     out_a.append(lo)
                     out_b.append(hi)
                 seen.append(doc_id)
+                seen_set.add(doc_id)
         state.update((seen,))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
@@ -162,21 +224,13 @@ def stream_band_collisions(
     several bands — dedupe downstream, where the verifier joins the
     shingle sets anyway). `idle_timeout_ms` bounds bucket state to
     the dedup horizon (see module docstring)."""
-    rows_per_band = num_hashes // bands
-    sh = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
-        ).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sig = sh.withColumn(
-        "sig", minhash_signatures_expr(F.col("shingles"), num_hashes)
-    )
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
-            "band_idx", "band_hash"
-        ),
+    banded = band_rows(
+        documents,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
     )
     return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
         make_bucket_update_fn(max_per_bucket, idle_timeout_ms),

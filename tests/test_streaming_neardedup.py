@@ -22,23 +22,10 @@ from elb_log_to_mysql_spark.streaming.windows import run_stream_to_batch
 
 
 def _batch_twin_candidates(docs):
-    """Relational twin of the stateful operator: identical shingle /
-    signature / band expressions, candidates from a band self-join."""
-    sh = docs.select(
-        F.col("doc_id"),
-        F.transform(dedup.word_shingles("text", 3), lambda s: F.xxhash64(s)).alias(
-            "shingles"
-        ),
-    ).filter(F.size("shingles") > 0)
-    sig = sh.withColumn(
-        "sig", neardedup.minhash_signatures_expr(F.col("shingles"), 64)
-    )
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(dedup.band_hashes(F.col("sig"), 16, 4)).alias(
-            "band_idx", "band_hash"
-        ),
-    )
+    """Relational twin of the stateful operator: the SAME band_rows
+    builder (shingle/signature/band pipeline) run in batch mode,
+    candidates from a band self-join."""
+    banded = neardedup.band_rows(docs)
     left = banded.select("band_idx", "band_hash", F.col("doc_id").alias("doc_id_a"))
     right = banded.select("band_idx", "band_hash", F.col("doc_id").alias("doc_id_b"))
     return (
@@ -153,6 +140,77 @@ def test_bucket_idle_timeout_evicts_state():
     st.hasTimedOut = False
     assert _run_update(fn, st, [3]) == []
     assert list(st.get[0]) == [3]
+
+
+def test_latest_cdc_rows_reduces_to_final_emission(spark):
+    """An update-mode sink holds one row per touched key per
+    micro-batch; latest_cdc_rows must keep exactly the max-emit_seq
+    row per key (the final merged state), dropping the ordinal."""
+    from elb_log_to_mysql_spark.streaming.cdc import latest_cdc_rows
+
+    emissions = spark.createDataFrame(
+        [
+            (1, "view", "t1", "insert", True, 1),
+            (1, "click", "t2", "update", True, 3),   # final for key 1
+            (1, "view", "t1b", "update", True, 2),
+            (2, None, None, "delete", False, 2),     # final for key 2
+            (2, "signup", "t0", "insert", True, 1),
+        ],
+        "user_id long, state string, updated_at string, action string, "
+        "in_snapshot boolean, emit_seq long",
+    )
+    rows = {r.user_id: r for r in latest_cdc_rows(emissions).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].state == "click" and rows[1].action == "update"
+    assert rows[2].action == "delete" and not rows[2].in_snapshot
+    assert "emit_seq" not in latest_cdc_rows(emissions).columns
+
+
+def test_stream_cdc_multi_microbatch_equals_batch(spark, sf_dir, tmp_path):
+    """Force the bounded run to split into MANY micro-batches
+    (maxFilesPerTrigger=1 over a multi-file source) and check the
+    reduced result still equals the batch cdc_apply merge — the
+    regression the emission-ordinal reduce exists to prevent."""
+    import os
+
+    from elb_log_to_mysql_spark.operators import analytics
+    from elb_log_to_mysql_spark.sources.tables import load_table
+    from elb_log_to_mysql_spark.streaming.cdc import (
+        latest_cdc_rows,
+        stream_cdc_apply,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "events_split")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    name = "cdc_multi_mb_test"
+    stream = (
+        spark.readStream.schema(load_table(spark, sf_dir, "events").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream_cdc_apply(stream, "2024-01-20")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(name)
+    # the split genuinely produced multiple emissions for some keys
+    assert emissions.count() > emissions.select("user_id").distinct().count()
+    got = {
+        r.user_id: (r.state, r.action, r.in_snapshot)
+        for r in latest_cdc_rows(emissions).collect()
+    }
+    want = {
+        r.user_id: (r.state, r.action, r.in_snapshot)
+        for r in analytics.cdc_apply(events, "2024-01-20").collect()
+    }
+    assert got == want
 
 
 def test_stream_cdc_fold_is_batch_boundary_invariant():

@@ -75,7 +75,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from elb_log_to_mysql_spark.operators import analytics, dedup, maintenance, textops
+    from elb_log_to_mysql_spark.operators import analytics, maintenance, textops
     from elb_log_to_mysql_spark.streaming import neardedup
     from elb_log_to_mysql_spark.streaming.windows import run_stream_to_batch
 
@@ -184,21 +184,9 @@ def main() -> None:
     n_stream, w_stream2 = timed(cand.count)
 
     def twin():
-        sh = docs.select(
-            "doc_id",
-            F.transform(
-                dedup.word_shingles("text", 3), lambda s: F.xxhash64(s)
-            ).alias("shingles"),
-        ).filter(F.size("shingles") > 0)
-        sig = sh.withColumn(
-            "sig", neardedup.minhash_signatures_expr(F.col("shingles"), 64)
-        )
-        banded = sig.select(
-            "doc_id",
-            F.posexplode(dedup.band_hashes(F.col("sig"), 16, 4)).alias(
-                "band_idx", "band_hash"
-            ),
-        ).persist()
+        # the SAME band_rows builder the stream path uses (round-11:
+        # Arrow-vectorized mapInPandas signer in both), batch mode
+        banded = neardedup.band_rows(docs).persist()
         left = banded.select(
             "band_idx", "band_hash", F.col("doc_id").alias("doc_id_a")
         )
@@ -221,6 +209,9 @@ def main() -> None:
     report["stream_near_dedup"] = {
         "stream_wall_s": round(w_stream + w_stream2, 2),
         "twin_wall_s": w_twin,
+        "stream_over_twin": round((w_stream + w_stream2) / w_twin, 2)
+        if w_twin
+        else None,
         "candidates": n_stream,
         "twin_candidates": n_twin,
         "stream_equals_twin": sym_diff == 0,
