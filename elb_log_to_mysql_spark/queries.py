@@ -7003,6 +7003,56 @@ def q_stream_near_dedup(spark, sf_dir):
 ORACLE_SQL["stream_near_dedup"] = ORACLE_SQL["near_dedup"]
 
 
+@_q("stream_near_dedup_join")
+def q_stream_near_dedup_join(spark, sf_dir):
+    """The SCALE variant of streaming near-dedup (streaming/
+    neardedup.py:stream_band_collisions_join): candidate pairs from a
+    symmetric stream-stream SELF-JOIN on the LSH band key — the
+    "new arrival pairs against remembered occupants" recurrence
+    executed entirely in the JVM's join state machinery (RocksDB
+    state, zero Python in the stateful path; the 20x probe measured
+    1.6x the batch twin's wall vs 2.0x for the applyInPandasWithState
+    variant). Same Arrow-vectorized band_rows upstream, same
+    exact-Jaccard verification downstream, same oracle as near_dedup:
+    n_exact recomputed by DuckDB, false_pairs must be 0, 0.9 recall
+    floor."""
+    from elb_log_to_mysql_spark.streaming.neardedup import (
+        stream_band_collisions_join,
+        verify_candidate_pairs,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = raw_parquet_schema(spark, path)
+    cand = run_stream_to_batch(
+        spark, path, stream_band_collisions_join, schema, output_mode="append"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    found = verify_candidate_pairs(cand, docs)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+    joined = exact.select("doc_id_a", "doc_id_b").join(
+        found.select("doc_id_a", "doc_id_b", F.lit(1).alias("f")),
+        ["doc_id_a", "doc_id_b"],
+        "left",
+    )
+    recall_stats = joined.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.coalesce("f", F.lit(0))).alias("n_hit"),
+    )
+    found_stats = found.agg(F.count(F.lit(1)).alias("n_found"))
+    out = recall_stats.crossJoin(F.broadcast(found_stats)).select(
+        "n_exact",
+        (F.col("n_found") - F.col("n_hit")).alias("false_pairs"),
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_hit") >= F.lit(0.9) * F.col("n_exact"))
+        ).alias("recall_floor_met"),
+    )
+    return carry_caches(out, exact)
+
+
+ORACLE_SQL["stream_near_dedup_join"] = ORACLE_SQL["near_dedup"]
+
+
 @_q(
     "cdc_apply",
     """

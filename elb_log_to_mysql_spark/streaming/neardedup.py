@@ -245,6 +245,61 @@ def stream_band_collisions(
     )
 
 
+def stream_band_collisions_join(
+    documents,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """JVM-only streaming LSH candidate pairs: a symmetric
+    stream-stream SELF-JOIN on (band_idx, band_hash) instead of the
+    per-bucket Python stateful operator.
+
+    Spark's stream-stream inner join keeps each side's arrivals in
+    the state store (RocksDB under the engine default) and probes the
+    opposite side's state per micro-batch — exactly the "new arrival
+    pairs against remembered occupants" recurrence, executed entirely
+    in the JVM: zero Python crossings in the stateful path, which is
+    what makes it the SCALE variant (the applyInPandasWithState
+    operator pays ~1 ms of Python per state group per batch; at 1.6M
+    buckets that is the whole wall — measured 95 s vs the batch
+    twin's 18 s at the 20x probe).
+
+    Trade-offs vs `stream_band_collisions` (kept as the
+    semantics-rich variant): the join emits a pair once per shared
+    band PER DIRECTION-match rather than exactly once (downstream
+    dropDuplicates — which the verifier applies anyway — restores set
+    semantics; the candidate SET is identical), there is no
+    max_per_bucket skew cap (a degenerate bucket pairs quadratically;
+    production pairs this with an upstream hot-key blocklist), and
+    state eviction is by watermark policy rather than idle timeout.
+    Without a watermark, inner-join state grows with the corpus —
+    the same contract as the batch operator's unbounded history, and
+    the bounded gate run's pure-function property.
+    """
+    banded = band_rows(
+        documents,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+    left = banded.select(
+        "band_idx", "band_hash", F.col("doc_id").alias("doc_id_a")
+    )
+    right = banded.select(
+        "band_idx", "band_hash", F.col("doc_id").alias("doc_id_b")
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+    )
+
+
 def verify_candidate_pairs(
     candidates: DataFrame,
     documents: DataFrame,

@@ -49,6 +49,34 @@ def test_stream_candidates_equal_batch_join(spark, sf_dir):
     assert s == b and len(s) > 0
 
 
+def test_band_rows_signatures_bitequal_batch_kernel(spark, sf_dir):
+    """The mapInPandas signer (band_rows) and the batch operator's
+    pandas_udf signer share minhash_coefficients, so the band rows
+    they derive must be IDENTICAL — the contract that makes streamed
+    candidates comparable to batch near_dedup's buckets."""
+    from elb_log_to_mysql_spark.functions.vectorops import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    via_map = neardedup.band_rows(docs)
+    sh = docs.select(
+        "doc_id",
+        F.transform(dedup.word_shingles("text", 3), lambda s: F.xxhash64(s)).alias(
+            "shingles"
+        ),
+    ).filter(F.size("shingles") > 0)
+    via_udf = sh.select(
+        "doc_id", minhash_signatures(F.col("shingles"), 64).alias("sig")
+    ).select(
+        "doc_id",
+        F.posexplode(dedup.band_hashes(F.col("sig"), 16, 4)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a = {(r.doc_id, r.band_idx, r.band_hash) for r in via_map.collect()}
+    b = {(r.doc_id, r.band_idx, r.band_hash) for r in via_udf.collect()}
+    assert a == b and len(a) > 0
+
+
 def test_verified_pairs_match_exact_set(spark, sf_dir):
     path = os.path.join(sf_dir, "documents.parquet")
     schema = raw_parquet_schema(spark, path)

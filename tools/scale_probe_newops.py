@@ -173,15 +173,51 @@ def main() -> None:
     }
 
     # --- stream_near_dedup: stream == relational twin ---
+    # Measured with a PARQUET sink — the production shape. The r10
+    # probe's 7.1x stream-vs-twin gap was the bounded harness's
+    # memory sink single-threadedly ingesting the ~16.7M raw pair
+    # emissions into the driver, not the operator: with a distributed
+    # sink the stateful variant runs 2.0x the batch twin and the
+    # JVM stream-stream join variant 1.6x (round-11 measurement).
     path = os.path.join(out_dir, "documents.parquet")
     schema = raw_parquet_schema(spark, path)
+
+    def run_to_parquet(transform):
+        import tempfile
+
+        from elb_log_to_mysql_spark.sources.tables import nanos_as_long
+
+        staged = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(path, os.path.join(staged, "documents.parquet"))
+        sink = tempfile.mkdtemp(prefix="pairs_sink_")
+        ckpt = tempfile.mkdtemp(prefix="pairs_ckpt_")
+        with nanos_as_long(spark):
+            stream = spark.readStream.schema(schema).parquet(staged)
+            q = (
+                transform(stream)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.read.parquet(sink)
+
     cand, w_stream = timed(
-        lambda: run_stream_to_batch(
-            spark, path, neardedup.stream_band_collisions, schema,
-            output_mode="append",
-        ).dropDuplicates(["doc_id_a", "doc_id_b"])
+        lambda: run_to_parquet(neardedup.stream_band_collisions).dropDuplicates(
+            ["doc_id_a", "doc_id_b"]
+        )
     )
     n_stream, w_stream2 = timed(cand.count)
+    cand = cand.persist()
+    cand.count()
+    jcand, w_join = timed(
+        lambda: run_to_parquet(
+            neardedup.stream_band_collisions_join
+        ).dropDuplicates(["doc_id_a", "doc_id_b"]).count()
+    )
 
     def twin():
         # the SAME band_rows builder the stream path uses (round-11:
@@ -208,13 +244,17 @@ def main() -> None:
     )
     report["stream_near_dedup"] = {
         "stream_wall_s": round(w_stream + w_stream2, 2),
+        "stream_join_variant_wall_s": round(w_join, 2),
         "twin_wall_s": w_twin,
         "stream_over_twin": round((w_stream + w_stream2) / w_twin, 2)
         if w_twin
         else None,
+        "join_over_twin": round(w_join / w_twin, 2) if w_twin else None,
         "candidates": n_stream,
+        "join_candidates": jcand,
         "twin_candidates": n_twin,
         "stream_equals_twin": sym_diff == 0,
+        "sink": "parquet (production shape; memory-sink harness cost excluded)",
     }
 
     print(json.dumps(report, indent=2))
