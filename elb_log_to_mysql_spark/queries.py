@@ -7558,3 +7558,50 @@ def q_multimodal_meta_arrow(spark, sf_dir):
     byte-length arithmetic, so the two Python-crossing APIs are
     mutually pinned."""
     return multimodal.binary_metadata_arrow(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Verbatim SQL-front-end battery: the full TPC-H suite (round 11)
+# ===========================================================================
+# Every adapted TPC-H oracle text whose SQL is dialect-intersecting is
+# ALSO submitted verbatim through spark.sql(...) — the string is its
+# own DuckDB oracle, so each entry proves parser+analyzer+execution
+# parity on that shape with zero DataFrame calls. The remaining texts
+# (q3/q18's strftime date rendering) get a SUBSTRING(CAST(..)) spelling
+# both engines format identically (q3 above; q18 here).
+
+for _qn in (
+    "q2", "q5", "q7", "q8", "q9", "q11", "q13",
+    "q15", "q16", "q17", "q19", "q20", "q21", "q22",
+):
+    _sql_interface_entry(
+        f"sql_interface_tpch_{_qn}",
+        ORACLE_SQL[f"tpch_{_qn}"],
+        f"TPC-H {_qn.upper()} (the adapted tpch_{_qn} oracle text) "
+        "submitted VERBATIM through the SQL front end: the identical "
+        "string runs on both parsers/engines and must hash-match — "
+        "the DataFrame twin is the tpch_" + _qn + " entry.",
+    )
+
+_sql_interface_entry(
+    "sql_interface_tpch_q18",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, {_dsum('l_quantity')} AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING {_dsum('l_quantity')} > 180.0
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           SUBSTRING(CAST(o_orderdate AS STRING), 1, 10) AS order_date,
+           o_totalprice, sum_qty
+    FROM orders
+    JOIN big ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    "TPC-H Q18 through the SQL front end (DataFrame twin: tpch_q18): "
+    "large-quantity orders via a HAVING'd CTE aggregate joined back to "
+    "the facts; the date renders through SUBSTRING(CAST(.. AS STRING)) "
+    "— the dialect-intersecting spelling.",
+)
