@@ -100,6 +100,7 @@ def band_rows(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """(doc_id, band_idx, band_hash) LSH band rows for a documents
     frame — batch OR streaming (every node here is streamable).
@@ -111,21 +112,29 @@ def band_rows(
     batch, bit-identical to the batch operator's pandas_udf signer
     (same minhash_coefficients seed). mapInPandas is its own physical
     operator, so unlike a scalar pandas UDF it plans cleanly upstream
-    of applyInPandasWithState within one micro-batch."""
+    of applyInPandasWithState within one micro-batch.
+
+    `carry_cols`: extra source columns (e.g. an ingest timestamp for
+    watermarking) passed through the signer untouched and kept on
+    every output band row."""
     rows_per_band = num_hashes // bands
     a_co, b_co = minhash_coefficients(num_hashes)
+    carry = list(carry_cols or [])
     sh = documents.select(
         F.col(id_col).alias("doc_id"),
         F.transform(
             word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
         ).alias("shingles"),
+        *[F.col(c) for c in carry],
     ).filter(F.size("shingles") > 0)
 
+    src_fields = {f.name: f.dataType for f in documents.schema.fields}
     sig_schema = T.StructType(
         [
             T.StructField("doc_id", T.LongType()),
             T.StructField("sig", T.ArrayType(T.LongType())),
         ]
+        + [T.StructField(c, src_fields[c]) for c in carry]
     )
 
     def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -133,9 +142,10 @@ def band_rows(
             if len(pdf) == 0:
                 continue
             sigs = minhash_matrix(pdf["shingles"], num_hashes, a_co, b_co)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"].astype("int64"), "sig": list(sigs)}
-            )
+            out = {"doc_id": pdf["doc_id"].astype("int64"), "sig": list(sigs)}
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     sig = sh.mapInPandas(_sign, schema=sig_schema)
     return sig.select(
@@ -143,6 +153,7 @@ def band_rows(
         F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
             "band_idx", "band_hash"
         ),
+        *[F.col(c) for c in carry],
     )
 
 BUCKET_STATE_SCHEMA = T.StructType(
@@ -252,6 +263,8 @@ def stream_band_collisions_join(
     shingle_n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    event_time: str | None = None,
+    horizon: str = "24 hours",
 ) -> DataFrame:
     """JVM-only streaming LSH candidate pairs: a symmetric
     stream-stream SELF-JOIN on (band_idx, band_hash) instead of the
@@ -274,29 +287,56 @@ def stream_band_collisions_join(
     semantics; the candidate SET is identical), there is no
     max_per_bucket skew cap (a degenerate bucket pairs quadratically;
     production pairs this with an upstream hot-key blocklist), and
-    state eviction is by watermark policy rather than idle timeout.
-    Without a watermark, inner-join state grows with the corpus —
-    the same contract as the batch operator's unbounded history, and
-    the bounded gate run's pure-function property.
+    state eviction is by WATERMARK policy rather than idle timeout:
+    pass `event_time` (an ingest-timestamp column) and `horizon` and
+    both join sides are watermarked with a |t_a - t_b| <= horizon
+    range condition — Spark then evicts band-row state older than the
+    horizon, the streaming twin of the stateful variant's
+    idle_timeout_ms dedup horizon, and exactly how a continuous
+    100 TB ingest bounds this join. Without `event_time`, inner-join
+    state grows with the corpus — the same contract as the batch
+    operator's unbounded history, and the bounded gate run's
+    pure-function property.
     """
+    keep = [id_col, text_col] + ([event_time] if event_time else [])
+    src = documents.select(*keep)
     banded = band_rows(
-        documents,
+        src,
         id_col=id_col,
         text_col=text_col,
         shingle_n=shingle_n,
         num_hashes=num_hashes,
         bands=bands,
+        carry_cols=[event_time] if event_time else None,
     )
+    if event_time is not None:
+        banded = banded.withWatermark(event_time, horizon)
     left = banded.select(
-        "band_idx", "band_hash", F.col("doc_id").alias("doc_id_a")
+        "band_idx",
+        "band_hash",
+        F.col("doc_id").alias("doc_id_a"),
+        *([F.col(event_time).alias("_t_a")] if event_time else []),
     )
     right = banded.select(
-        "band_idx", "band_hash", F.col("doc_id").alias("doc_id_b")
+        "band_idx",
+        "band_hash",
+        F.col("doc_id").alias("doc_id_b"),
+        *([F.col(event_time).alias("_t_b")] if event_time else []),
     )
-    return (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b")
+    if event_time is not None:
+        joined = left.join(
+            right,
+            [
+                left["band_idx"] == right["band_idx"],
+                left["band_hash"] == right["band_hash"],
+                F.col("_t_b") >= F.col("_t_a") - F.expr(f"INTERVAL {horizon}"),
+                F.col("_t_b") <= F.col("_t_a") + F.expr(f"INTERVAL {horizon}"),
+            ],
+        )
+    else:
+        joined = left.join(right, ["band_idx", "band_hash"])
+    return joined.filter(F.col("doc_id_a") < F.col("doc_id_b")).select(
+        "doc_id_a", "doc_id_b"
     )
 
 

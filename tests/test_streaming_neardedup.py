@@ -170,6 +170,62 @@ def test_bucket_idle_timeout_evicts_state():
     assert list(st.get[0]) == [3]
 
 
+def test_stream_join_variant_equals_twin(spark, sf_dir):
+    """The JVM stream-stream self-join variant must produce exactly
+    the relational twin's candidate set (it IS the same join, with
+    arrivals staged through the state store)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    from elb_log_to_mysql_spark.sources.tables import raw_parquet_schema as rps
+
+    cand = run_stream_to_batch(
+        spark, path, neardedup.stream_band_collisions_join, rps(spark, path),
+        output_mode="append",
+    ).dropDuplicates(["doc_id_a", "doc_id_b"])
+    docs = load_table(spark, sf_dir, "documents")
+    twin = _batch_twin_candidates(docs)
+    s = {(r.doc_id_a, r.doc_id_b) for r in cand.collect()}
+    b = {(r.doc_id_a, r.doc_id_b) for r in twin.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_stream_join_watermark_horizon_bounds_pairs(spark, tmp_path):
+    """With event_time + horizon, the watermarked join pairs only
+    documents whose ingest times are within the horizon — the dedup
+    horizon the stateful variant expresses as idle_timeout_ms, here
+    enforced by the time-range join condition (which is also what
+    lets Spark evict band-row state older than the watermark)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today", base),
+        (2, "the quick brown fox jumps over the lazy dog today",
+         base + dt.timedelta(minutes=10)),
+        (3, "the quick brown fox jumps over the lazy dog today",
+         base + dt.timedelta(hours=3)),
+        (4, "the quick brown fox jumps over the lazy dog today",
+         base + dt.timedelta(hours=3, minutes=5)),
+    ]
+    src = str(tmp_path / "docs_wm")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    cand = run_stream_to_batch(
+        spark,
+        src,
+        lambda s: neardedup.stream_band_collisions_join(
+            s, event_time="ingest_ts", horizon="1 hour"
+        ),
+        schema,
+        output_mode="append",
+    ).dropDuplicates(["doc_id_a", "doc_id_b"])
+    got = {(r.doc_id_a, r.doc_id_b) for r in cand.collect()}
+    # within-horizon pairs only: (1,2) at 10 min apart, (3,4) at 5 min;
+    # the 3-hour gaps (1,3),(1,4),(2,3),(2,4) are outside the horizon
+    assert got == {(1, 2), (3, 4)}
+
+
 def test_latest_cdc_rows_reduces_to_final_emission(spark):
     """An update-mode sink holds one row per touched key per
     micro-batch; latest_cdc_rows must keep exactly the max-emit_seq
