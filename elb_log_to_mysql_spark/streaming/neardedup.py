@@ -256,6 +256,46 @@ def stream_band_collisions(
     )
 
 
+def hot_bucket_blocklist(
+    documents,
+    max_bucket: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """(band_idx, band_hash) keys whose occupancy exceeds
+    `max_bucket` over a reference corpus — the static skew guard for
+    `stream_band_collisions_join`, which (being a plain symmetric
+    join) would otherwise pair a degenerate bucket quadratically.
+
+    Computed batch-side with the same band_rows pipeline (one shuffle
+    on the band key), so the stream and the blocklist agree on bucket
+    identity bit-for-bit. Hot buckets are rare by construction (they
+    are the pathology), so the result broadcasts: the stream-side
+    anti-join costs no shuffle. Production refreshes it on a cadence
+    from the landed corpus — the batch twin of the stateful variant's
+    in-state max_per_bucket cap. Spam clusters large enough to trip it
+    are near-duplicates of each other by definition; route them to the
+    batch dedup (which caps per-bucket work) rather than the
+    incremental stream."""
+    return (
+        band_rows(
+            documents,
+            id_col=id_col,
+            text_col=text_col,
+            shingle_n=shingle_n,
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("occupancy"))
+        .filter(F.col("occupancy") > max_bucket)
+        .select("band_idx", "band_hash")
+    )
+
+
 def stream_band_collisions_join(
     documents,
     id_col: str = "doc_id",
@@ -265,6 +305,7 @@ def stream_band_collisions_join(
     bands: int = 16,
     event_time: str | None = None,
     horizon: str = "24 hours",
+    blocklist: DataFrame | None = None,
 ) -> DataFrame:
     """JVM-only streaming LSH candidate pairs: a symmetric
     stream-stream SELF-JOIN on (band_idx, band_hash) instead of the
@@ -284,9 +325,11 @@ def stream_band_collisions_join(
     semantics-rich variant): the join emits a pair once per shared
     band PER DIRECTION-match rather than exactly once (downstream
     dropDuplicates — which the verifier applies anyway — restores set
-    semantics; the candidate SET is identical), there is no
-    max_per_bucket skew cap (a degenerate bucket pairs quadratically;
-    production pairs this with an upstream hot-key blocklist), and
+    semantics; the candidate SET is identical), the skew guard is the
+    STATIC `blocklist` (a (band_idx, band_hash) frame from
+    `hot_bucket_blocklist`, broadcast-anti-joined before the stateful
+    join — a degenerate bucket would otherwise pair quadratically)
+    rather than the stateful variant's in-state cap, and
     state eviction is by WATERMARK policy rather than idle timeout:
     pass `event_time` (an ingest-timestamp column) and `horizon` and
     both join sides are watermarked with a |t_a - t_b| <= horizon
@@ -309,6 +352,10 @@ def stream_band_collisions_join(
         bands=bands,
         carry_cols=[event_time] if event_time else None,
     )
+    if blocklist is not None:
+        banded = banded.join(
+            F.broadcast(blocklist), ["band_idx", "band_hash"], "left_anti"
+        )
     if event_time is not None:
         banded = banded.withWatermark(event_time, horizon)
     left = banded.select(

@@ -226,6 +226,37 @@ def test_stream_join_watermark_horizon_bounds_pairs(spark, tmp_path):
     assert got == {(1, 2), (3, 4)}
 
 
+def test_hot_bucket_blocklist_guards_join_variant(spark, tmp_path):
+    """A degenerate bucket (spam cluster) must be excludable from the
+    join variant via the static blocklist: with max_bucket below the
+    cluster size the blocklist names its band keys, the anti-join
+    drops those band rows, and the spam docs stop pairing — while an
+    unrelated normal pair still surfaces."""
+    spam = "buy cheap pills online now best price guaranteed today"
+    normal = "the quick brown fox jumps over the lazy dog again"
+    rows = [(i, spam) for i in range(20)] + [(100, normal), (101, normal)]
+    src = str(tmp_path / "docs_spam")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    docs = spark.read.parquet(src)
+
+    bl = neardedup.hot_bucket_blocklist(docs, max_bucket=5)
+    assert bl.count() > 0  # the spam cluster trips every one of its bands
+
+    schema = docs.schema
+    cand = run_stream_to_batch(
+        spark,
+        src,
+        lambda s: neardedup.stream_band_collisions_join(s, blocklist=bl),
+        schema,
+        output_mode="append",
+    ).dropDuplicates(["doc_id_a", "doc_id_b"])
+    got = {(r.doc_id_a, r.doc_id_b) for r in cand.collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 and b < 100 for a, b in got)
+
+
 def test_latest_cdc_rows_reduces_to_final_emission(spark):
     """An update-mode sink holds one row per touched key per
     micro-batch; latest_cdc_rows must keep exactly the max-emit_seq
