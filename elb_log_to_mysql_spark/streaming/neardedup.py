@@ -72,27 +72,6 @@ from elb_log_to_mysql_spark.functions.vectorops import (
 from elb_log_to_mysql_spark.operators.dedup import band_hashes, word_shingles
 
 
-def minhash_signatures_expr(
-    shingle_hashes, num_hashes: int = 64
-) -> "F.Column":
-    """LEGACY JVM-expression minhash (sig_i = min over shingles of
-    xxhash64(shingle, i)): 64 interpreted HOF passes per row — the
-    pre-round-11 stream path, kept only as a pure-JVM fallback for
-    environments without Arrow Python workers. The production stream
-    path is `band_rows`' mapInPandas signer (same Arrow kernel as the
-    batch operator)."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingle_hashes, lambda h, i=i: F.xxhash64(h, F.lit(i))
-                )
-            )
-            for i in range(num_hashes)
-        ]
-    )
-
-
 def band_rows(
     documents,
     id_col: str = "doc_id",
