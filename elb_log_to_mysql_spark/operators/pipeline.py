@@ -832,14 +832,22 @@ def prewarm(spark, build, documents: DataFrame, sample_rows: int = 20000) -> flo
     time is bought, not free). A long-running production job calls
     this once per session before the first heavy action; at 100 TB
     the sample cost is noise and the saving is per-executor-JVM.
+
+    The scratch sample lives under `spark.sql.warehouse.dir` — a
+    location every executor AND the driver can read — not a
+    driver-local tempdir, which on a multi-node cluster would leave
+    each executor's part files on its own machine and make the
+    read-back fail or warm on an empty sample.
     """
     import gc
-    import shutil
-    import tempfile
     import time
+    import uuid
 
     t0 = time.monotonic()
-    scratch = tempfile.mkdtemp(prefix="graft_prewarm_")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/spark-graft-warehouse"
+    )
+    scratch = f"{warehouse.rstrip('/')}/_prewarm_{uuid.uuid4().hex[:12]}"
     sample = None
     try:
         documents.limit(sample_rows).write.mode("overwrite").parquet(scratch)
@@ -850,8 +858,23 @@ def prewarm(spark, build, documents: DataFrame, sample_rows: int = 20000) -> flo
         # any stage caches before the scratch files disappear
         sample = None
         gc.collect()
-        shutil.rmtree(scratch, ignore_errors=True)
+        _rm_path(spark, scratch)
     return time.monotonic() - t0
+
+
+def _rm_path(spark, path: str) -> None:
+    """Delete a (possibly remote) filesystem path through Hadoop's
+    FileSystem API — works for local dirs, URIs, and object stores
+    alike, so scratch cleanup matches wherever the warehouse lives.
+    Best-effort: a leaked scratch dir is cheap; a crashed pre-warm is
+    not."""
+    try:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+    except Exception:
+        pass
 
 
 def incremental_accept(

@@ -1769,6 +1769,21 @@ def q_near_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
     found = dedup.near_dedup_minhash(docs)
+    out = _near_dedup_audit(exact, found)
+    # Keep both operators' shingle caches alive until this derived
+    # audit plan executes (unpersist_on_gc parents would otherwise be
+    # released at plan-build time).
+    return carry_caches(out, exact, found)
+
+
+def _near_dedup_audit(exact, found):
+    """The near-dedup family's shared audit frame: `n_exact` (the
+    oracle recomputes it independently), `false_pairs` (must be 0 —
+    precision is structural), and the 0.9 recall floor. ONE
+    definition, reused by `near_dedup`, `stream_near_dedup`, and
+    `stream_near_dedup_join` (all three share
+    ORACLE_SQL["near_dedup"]), so a change to the audit contract can
+    never silently diverge between the batch and stream entries."""
     joined = exact.select("doc_id_a", "doc_id_b").join(
         found.select("doc_id_a", "doc_id_b", F.lit(1).alias("f")),
         ["doc_id_a", "doc_id_b"],
@@ -1779,7 +1794,7 @@ def q_near_dedup(spark, sf_dir):
         F.sum(F.coalesce("f", F.lit(0))).alias("n_hit"),
     )
     found_stats = found.agg(F.count(F.lit(1)).alias("n_found"))
-    out = recall_stats.crossJoin(F.broadcast(found_stats)).select(
+    return recall_stats.crossJoin(F.broadcast(found_stats)).select(
         "n_exact",
         (F.col("n_found") - F.col("n_hit")).alias("false_pairs"),
         (
@@ -1787,10 +1802,6 @@ def q_near_dedup(spark, sf_dir):
             | (F.col("n_hit") >= F.lit(0.9) * F.col("n_exact"))
         ).alias("recall_floor_met"),
     )
-    # Keep both operators' shingle caches alive until this derived
-    # audit plan executes (unpersist_on_gc parents would otherwise be
-    # released at plan-build time).
-    return carry_caches(out, exact, found)
 
 
 @_q(
@@ -6979,24 +6990,7 @@ def q_stream_near_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     found = verify_candidate_pairs(cand, docs)
     exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
-    joined = exact.select("doc_id_a", "doc_id_b").join(
-        found.select("doc_id_a", "doc_id_b", F.lit(1).alias("f")),
-        ["doc_id_a", "doc_id_b"],
-        "left",
-    )
-    recall_stats = joined.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.sum(F.coalesce("f", F.lit(0))).alias("n_hit"),
-    )
-    found_stats = found.agg(F.count(F.lit(1)).alias("n_found"))
-    out = recall_stats.crossJoin(F.broadcast(found_stats)).select(
-        "n_exact",
-        (F.col("n_found") - F.col("n_hit")).alias("false_pairs"),
-        (
-            (F.col("n_exact") == 0)
-            | (F.col("n_hit") >= F.lit(0.9) * F.col("n_exact"))
-        ).alias("recall_floor_met"),
-    )
+    out = _near_dedup_audit(exact, found)
     return carry_caches(out, exact)
 
 
@@ -7029,24 +7023,7 @@ def q_stream_near_dedup_join(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     found = verify_candidate_pairs(cand, docs)
     exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
-    joined = exact.select("doc_id_a", "doc_id_b").join(
-        found.select("doc_id_a", "doc_id_b", F.lit(1).alias("f")),
-        ["doc_id_a", "doc_id_b"],
-        "left",
-    )
-    recall_stats = joined.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.sum(F.coalesce("f", F.lit(0))).alias("n_hit"),
-    )
-    found_stats = found.agg(F.count(F.lit(1)).alias("n_found"))
-    out = recall_stats.crossJoin(F.broadcast(found_stats)).select(
-        "n_exact",
-        (F.col("n_found") - F.col("n_hit")).alias("false_pairs"),
-        (
-            (F.col("n_exact") == 0)
-            | (F.col("n_hit") >= F.lit(0.9) * F.col("n_exact"))
-        ).alias("recall_floor_met"),
-    )
+    out = _near_dedup_audit(exact, found)
     return carry_caches(out, exact)
 
 

@@ -259,7 +259,7 @@ def hot_bucket_blocklist(
     are near-duplicates of each other by definition; route them to the
     batch dedup (which caps per-bucket work) rather than the
     incremental stream."""
-    return (
+    bl = (
         band_rows(
             documents,
             id_col=id_col,
@@ -273,6 +273,12 @@ def hot_bucket_blocklist(
         .filter(F.col("occupancy") > max_bucket)
         .select("band_idx", "band_hash")
     )
+    # Band keys are opaque hashes: a blocklist built under different
+    # band parameters would anti-join NOTHING and silently disable the
+    # skew guard. Tag the frame so the join variant can verify the
+    # configs agree.
+    bl._graft_band_config = (shingle_n, num_hashes, bands)
+    return bl
 
 
 def stream_band_collisions_join(
@@ -332,6 +338,14 @@ def stream_band_collisions_join(
         carry_cols=[event_time] if event_time else None,
     )
     if blocklist is not None:
+        cfg = getattr(blocklist, "_graft_band_config", None)
+        if cfg is not None and cfg != (shingle_n, num_hashes, bands):
+            raise ValueError(
+                "blocklist was built with band config "
+                f"(shingle_n, num_hashes, bands)={cfg} but the stream uses "
+                f"{(shingle_n, num_hashes, bands)} — its opaque band keys "
+                "would never match and the skew guard would silently no-op"
+            )
         banded = banded.join(
             F.broadcast(blocklist), ["band_idx", "band_hash"], "left_anti"
         )

@@ -144,15 +144,22 @@ def run_stream_to_batch(
     transform,
     schema,
     output_mode: str = "complete",
+    parquet_sink_dir: str | None = None,
 ) -> DataFrame:
     """Execute a streaming transform over a bounded source and return
     the final result as a batch DataFrame.
 
-    readStream(parquet dir) -> transform -> memory sink, complete
-    mode, Trigger.AvailableNow (process everything currently in the
-    source, then stop). This is the bounded-execution harness for
-    correctness checks; a production deployment keeps the identical
-    plan with a continuous trigger and a real sink.
+    readStream(parquet dir) -> transform -> sink, Trigger.AvailableNow
+    (process everything currently in the source, then stop). Default
+    sink is an in-memory table — fine for the gate's result sizes, but
+    it ingests every emission into the driver single-threaded, so for
+    HIGH-CARDINALITY outputs (millions of rows — the 20x probe's 16.7M
+    pair emissions inflated the stream wall 4x through it) pass
+    `parquet_sink_dir`: the stream then writes a distributed parquet
+    sink (append mode, checkpoint alongside) — the production shape —
+    and the returned frame reads it back. This is the
+    bounded-execution harness for correctness checks; a production
+    deployment keeps the identical plan with a continuous trigger.
     """
     from elb_log_to_mysql_spark.sources.tables import nanos_as_long
 
@@ -168,15 +175,30 @@ def run_stream_to_batch(
     # is restored after (harmless for non-NANOS sources).
     with nanos_as_long(spark):
         stream = spark.readStream.schema(schema).parquet(source_dir)
-        q = (
-            transform(stream)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
+        writer = transform(stream).writeStream
+        if parquet_sink_dir is not None:
+            q = (
+                writer.format("parquet")
+                .option("path", parquet_sink_dir)
+                .option(
+                    "checkpointLocation",
+                    tempfile.mkdtemp(prefix="stream_ckpt_"),
+                )
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        else:
+            q = (
+                writer.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
+    if parquet_sink_dir is not None:
+        return spark.read.parquet(parquet_sink_dir)
     return spark.table(name)
 
 

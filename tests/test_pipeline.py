@@ -748,3 +748,25 @@ def test_corpus_pipeline_explicit_benchmark(spark, sf_dir):
     assert all(r.is_bench is False for r in rows)
     assert {r.doc_id for r in rows if r.selected} == got
     assert {r.doc_id for r in rows if r.decontaminated} == clean
+
+
+def test_prewarm_runs_build_and_cleans_scratch(spark, sf_dir):
+    """prewarm must evaluate the build over a real parquet sample
+    staged under the SHARED warehouse dir (driver-local tempdirs break
+    multi-node reads) and remove the scratch afterwards."""
+    import glob
+    import os
+
+    docs = load_table(spark, sf_dir, "documents")
+    calls = []
+
+    def build(sample):
+        calls.append(sample)
+        return sample.groupBy("source").count()
+
+    secs = pipeline.prewarm(spark, build, docs, sample_rows=100)
+    assert secs > 0 and len(calls) == 1
+    # the sample the build saw was a parquet scan, not the original frame
+    assert calls[0] is not docs
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    assert not glob.glob(os.path.join(wh, "_prewarm_*"))

@@ -205,6 +205,12 @@ def test_stream_join_watermark_horizon_bounds_pairs(spark, tmp_path):
          base + dt.timedelta(hours=3)),
         (4, "the quick brown fox jumps over the lazy dog today",
          base + dt.timedelta(hours=3, minutes=5)),
+        # inside doc 1/2's horizon but with UNRELATED text: pairs with
+        # nothing — pins that the band-key equalities of the
+        # conditioned self-join actually discriminate (a trivially-true
+        # key match would pair this with 1 and 2)
+        (5, "completely different unrelated content about gardening tools",
+         base + dt.timedelta(minutes=20)),
     ]
     src = str(tmp_path / "docs_wm")
     spark.createDataFrame(
@@ -243,6 +249,13 @@ def test_hot_bucket_blocklist_guards_join_variant(spark, tmp_path):
 
     bl = neardedup.hot_bucket_blocklist(docs, max_bucket=5)
     assert bl.count() > 0  # the spam cluster trips every one of its bands
+
+    # a blocklist built under DIFFERENT band params must be rejected at
+    # plan build (its opaque keys would never match — silent no-op guard)
+    import pytest
+
+    with pytest.raises(ValueError, match="band config"):
+        neardedup.stream_band_collisions_join(docs, bands=32, blocklist=bl)
 
     schema = docs.schema
     cand = run_stream_to_batch(

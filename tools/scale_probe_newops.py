@@ -185,34 +185,21 @@ def main() -> None:
     def run_to_parquet(transform):
         import tempfile
 
-        from elb_log_to_mysql_spark.sources.tables import nanos_as_long
-
-        staged = tempfile.mkdtemp(prefix="stream_src_")
-        os.symlink(path, os.path.join(staged, "documents.parquet"))
         sink = tempfile.mkdtemp(prefix="pairs_sink_")
-        ckpt = tempfile.mkdtemp(prefix="pairs_ckpt_")
-        with nanos_as_long(spark):
-            stream = spark.readStream.schema(schema).parquet(staged)
-            q = (
-                transform(stream)
-                .writeStream.format("parquet")
-                .option("path", sink)
-                .option("checkpointLocation", ckpt)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        return spark.read.parquet(sink)
+        shutil.rmtree(sink)  # the parquet sink wants to create it
+        return run_stream_to_batch(
+            spark, path, transform, schema,
+            output_mode="append", parquet_sink_dir=sink,
+        )
 
     cand, w_stream = timed(
-        lambda: run_to_parquet(neardedup.stream_band_collisions).dropDuplicates(
-            ["doc_id_a", "doc_id_b"]
-        )
+        lambda: run_to_parquet(neardedup.stream_band_collisions)
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        .persist()
     )
+    # one scan: the count both times the dedup and populates the cache
+    # the sym-diff below reuses
     n_stream, w_stream2 = timed(cand.count)
-    cand = cand.persist()
-    cand.count()
     jcand, w_join = timed(
         lambda: run_to_parquet(
             neardedup.stream_band_collisions_join
