@@ -341,6 +341,46 @@ def test_stream_cdc_multi_microbatch_equals_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stream_cdc_tws_equals_batch(spark, sf_dir):
+    """transformWithState twin of stream_cdc_apply: same fold, new
+    stateful API (named ValueState, TTL-capable, RocksDB-required) —
+    must reduce to exactly the batch cdc_apply merge. Skips where the
+    protobuf package (the tws state-server protocol) is absent."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # no 'google' namespace package at all
+        has_protobuf = False
+    if not has_protobuf:
+        pytest.skip("transformWithState needs the protobuf package")
+
+    from elb_log_to_mysql_spark.operators import analytics
+    from elb_log_to_mysql_spark.streaming.cdc import (
+        latest_cdc_rows,
+        stream_cdc_apply_tws,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    emissions = run_stream_to_batch(
+        spark, path, lambda s: stream_cdc_apply_tws(s, "2024-01-20"),
+        raw_parquet_schema(spark, path), output_mode="update",
+    )
+    got = {
+        r.user_id: (r.state, r.action, r.in_snapshot)
+        for r in latest_cdc_rows(emissions).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.state, r.action, r.in_snapshot)
+        for r in analytics.cdc_apply(events, "2024-01-20").collect()
+    }
+    assert got == want
+
+
 def test_stream_cdc_fold_is_batch_boundary_invariant():
     """Delivering the same events as one batch or as three batches
     (out of order across batches) must produce the same final row —
