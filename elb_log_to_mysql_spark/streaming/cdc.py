@@ -228,8 +228,21 @@ def stream_cdc_apply_tws(events, split: str, state_ttl_ms: int | None = None) ->
         _CdcProcessor(),
         outputStructType=CDC_OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode=_tws_time_mode(state_ttl_ms),
     )
+
+
+def _tws_time_mode(state_ttl_ms: int | None) -> str:
+    """TTL-configured state is only legal under a clock: Spark rejects
+    ttlDurationMs with timeMode="None" at query start
+    (STATEFUL_PROCESSOR_CANNOT_ASSIGN_TTL_IN_NO_TTL_MODE), so the time
+    mode follows the TTL request. Non-positive TTLs are rejected here
+    rather than at query start."""
+    if state_ttl_ms is None:
+        return "None"
+    if state_ttl_ms <= 0:
+        raise ValueError(f"state_ttl_ms must be positive, got {state_ttl_ms}")
+    return "ProcessingTime"
 
 
 def latest_cdc_rows(emissions: DataFrame) -> DataFrame:

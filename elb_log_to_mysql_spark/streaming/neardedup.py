@@ -271,13 +271,22 @@ def hot_bucket_blocklist(
         .groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("occupancy"))
         .filter(F.col("occupancy") > max_bucket)
-        .select("band_idx", "band_hash")
+        # Band keys are opaque hashes: a blocklist built under
+        # different band parameters would anti-join NOTHING and
+        # silently disable the skew guard. The band config rides IN
+        # the frame as literal columns — unlike a Python attribute,
+        # they survive DataFrame transformations and the
+        # write-to-storage / refresh-on-a-cadence round trip that
+        # production does, so the join variant can always verify the
+        # configs agree (ADVICE r11).
+        .select(
+            "band_idx",
+            "band_hash",
+            F.lit(int(shingle_n)).alias("_cfg_shingle_n"),
+            F.lit(int(num_hashes)).alias("_cfg_num_hashes"),
+            F.lit(int(bands)).alias("_cfg_bands"),
+        )
     )
-    # Band keys are opaque hashes: a blocklist built under different
-    # band parameters would anti-join NOTHING and silently disable the
-    # skew guard. Tag the frame so the join variant can verify the
-    # configs agree.
-    bl._graft_band_config = (shingle_n, num_hashes, bands)
     return bl
 
 
@@ -338,16 +347,35 @@ def stream_band_collisions_join(
         carry_cols=[event_time] if event_time else None,
     )
     if blocklist is not None:
-        cfg = getattr(blocklist, "_graft_band_config", None)
-        if cfg is not None and cfg != (shingle_n, num_hashes, bands):
+        cfg_cols = ("_cfg_shingle_n", "_cfg_num_hashes", "_cfg_bands")
+        if not set(cfg_cols) <= set(blocklist.columns):
             raise ValueError(
-                "blocklist was built with band config "
-                f"(shingle_n, num_hashes, bands)={cfg} but the stream uses "
-                f"{(shingle_n, num_hashes, bands)} — its opaque band keys "
-                "would never match and the skew guard would silently no-op"
+                "blocklist lacks the band-config columns "
+                f"{cfg_cols} — build it with hot_bucket_blocklist (or a "
+                "round trip of its output), which embeds the band "
+                "parameters so a mismatched blocklist fails loudly "
+                "instead of anti-joining nothing"
             )
+        # The config columns are literals (one distinct value); a
+        # limit(1) on the broadcast-small blocklist is a cheap batch
+        # action at plan-build time. An EMPTY blocklist carries no
+        # config to check — and also guards nothing, so any mismatch
+        # is harmless by construction.
+        head = blocklist.select(*cfg_cols).limit(1).collect()
+        if head:
+            cfg = (head[0][0], head[0][1], head[0][2])
+            if cfg != (shingle_n, num_hashes, bands):
+                raise ValueError(
+                    "blocklist was built with band config "
+                    f"(shingle_n, num_hashes, bands)={cfg} but the stream "
+                    f"uses {(shingle_n, num_hashes, bands)} — its opaque "
+                    "band keys would never match and the skew guard would "
+                    "silently no-op"
+                )
         banded = banded.join(
-            F.broadcast(blocklist), ["band_idx", "band_hash"], "left_anti"
+            F.broadcast(blocklist.select("band_idx", "band_hash")),
+            ["band_idx", "band_hash"],
+            "left_anti",
         )
     if event_time is not None:
         banded = banded.withWatermark(event_time, horizon)

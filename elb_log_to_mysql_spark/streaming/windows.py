@@ -14,6 +14,7 @@ run continuously; only the source/trigger differ.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -164,42 +165,56 @@ def run_stream_to_batch(
     from elb_log_to_mysql_spark.sources.tables import nanos_as_long
 
     name = f"stream_result_{uuid.uuid4().hex[:8]}"
+    # Scratch dirs this bounded run allocates (staged source symlink
+    # dir, parquet-sink checkpoint) are removed once the query
+    # terminates — repeated probe/bench runs must not accumulate
+    # checkpoint state on disk (ADVICE r11). The caller-passed
+    # parquet_sink_dir is the caller's to clean.
+    scratch: list[str] = []
     # FileStreamSource requires a *directory*; when handed a single
     # parquet file (the test layout), stage a symlink dir for it.
     if os.path.isfile(source_dir):
         staged = tempfile.mkdtemp(prefix="stream_src_")
+        scratch.append(staged)
         os.symlink(source_dir, os.path.join(staged, os.path.basename(source_dir)))
         source_dir = staged
-    # The micro-batch file scans consult the nanos conf at execution;
-    # this bounded run finishes inside the scope, and the caller's conf
-    # is restored after (harmless for non-NANOS sources).
-    with nanos_as_long(spark):
-        stream = spark.readStream.schema(schema).parquet(source_dir)
-        writer = transform(stream).writeStream
-        if parquet_sink_dir is not None:
-            q = (
-                writer.format("parquet")
-                .option("path", parquet_sink_dir)
-                .option(
-                    "checkpointLocation",
-                    tempfile.mkdtemp(prefix="stream_ckpt_"),
+    try:
+        # The micro-batch file scans consult the nanos conf at
+        # execution; this bounded run finishes inside the scope, and
+        # the caller's conf is restored after (harmless for non-NANOS
+        # sources).
+        with nanos_as_long(spark):
+            stream = spark.readStream.schema(schema).parquet(source_dir)
+            writer = transform(stream).writeStream
+            if parquet_sink_dir is not None:
+                ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+                scratch.append(ckpt)
+                q = (
+                    writer.format("parquet")
+                    .option("path", parquet_sink_dir)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode(output_mode)
+                    .trigger(availableNow=True)
+                    .start()
                 )
-                .outputMode(output_mode)
-                .trigger(availableNow=True)
-                .start()
-            )
-        else:
-            q = (
-                writer.format("memory")
-                .queryName(name)
-                .outputMode(output_mode)
-                .trigger(availableNow=True)
-                .start()
-            )
-        q.awaitTermination()
-    if parquet_sink_dir is not None:
-        return spark.read.parquet(parquet_sink_dir)
-    return spark.table(name)
+            else:
+                q = (
+                    writer.format("memory")
+                    .queryName(name)
+                    .outputMode(output_mode)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+            q.awaitTermination()
+        if parquet_sink_dir is not None:
+            # materialize before the checkpoint vanishes: the read is
+            # a plain batch parquet scan of the sink, so only the
+            # scratch dirs in `scratch` are still referenced here
+            return spark.read.parquet(parquet_sink_dir)
+        return spark.table(name)
+    finally:
+        for d in scratch:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def stream_exact_dedup(

@@ -257,6 +257,22 @@ def test_hot_bucket_blocklist_guards_join_variant(spark, tmp_path):
     with pytest.raises(ValueError, match="band config"):
         neardedup.stream_band_collisions_join(docs, bands=32, blocklist=bl)
 
+    # the guard must survive the production flow — blocklist landed to
+    # storage and re-read on a refresh cadence (ADVICE r11: a Python
+    # attribute dies here; the literal config COLUMNS do not)
+    bl_path = str(tmp_path / "blocklist")
+    bl.write.mode("overwrite").parquet(bl_path)
+    bl_rt = spark.read.parquet(bl_path)
+    with pytest.raises(ValueError, match="band config"):
+        neardedup.stream_band_collisions_join(docs, bands=32, blocklist=bl_rt)
+
+    # and a frame WITHOUT the config columns (hand-built key list) is
+    # rejected up front rather than trusted blindly
+    with pytest.raises(ValueError, match="band-config columns"):
+        neardedup.stream_band_collisions_join(
+            docs, blocklist=bl_rt.select("band_idx", "band_hash")
+        )
+
     schema = docs.schema
     cand = run_stream_to_batch(
         spark,
@@ -367,6 +383,66 @@ def test_stream_cdc_tws_equals_batch(spark, sf_dir):
     path = os.path.join(sf_dir, "events.parquet")
     emissions = run_stream_to_batch(
         spark, path, lambda s: stream_cdc_apply_tws(s, "2024-01-20"),
+        raw_parquet_schema(spark, path), output_mode="update",
+    )
+    got = {
+        r.user_id: (r.state, r.action, r.in_snapshot)
+        for r in latest_cdc_rows(emissions).collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    want = {
+        r.user_id: (r.state, r.action, r.in_snapshot)
+        for r in analytics.cdc_apply(events, "2024-01-20").collect()
+    }
+    assert got == want
+
+
+def test_tws_time_mode_follows_ttl():
+    """ADVICE r11: TTL-configured state requires a clock — the tws
+    wrapper must pick ProcessingTime whenever a TTL is requested
+    (timeMode="None" + ttlDurationMs fails at query start with
+    STATEFUL_PROCESSOR_CANNOT_ASSIGN_TTL_IN_NO_TTL_MODE) and reject
+    nonsense TTLs up front. Pure-Python, so it runs even where the
+    protobuf-backed query itself cannot."""
+    import pytest
+
+    from elb_log_to_mysql_spark.streaming.cdc import _tws_time_mode
+
+    assert _tws_time_mode(None) == "None"
+    assert _tws_time_mode(60_000) == "ProcessingTime"
+    with pytest.raises(ValueError):
+        _tws_time_mode(0)
+    with pytest.raises(ValueError):
+        _tws_time_mode(-5)
+
+
+def test_stream_cdc_tws_ttl_equals_batch(spark, sf_dir):
+    """The TTL-configured branch of stream_cdc_apply_tws (timeMode=
+    ProcessingTime): with a TTL far longer than the run, results must
+    still equal the batch cdc_apply merge. Protobuf-gated like its
+    no-TTL twin above."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+    if not has_protobuf:
+        pytest.skip("transformWithState needs the protobuf package")
+
+    from elb_log_to_mysql_spark.operators import analytics
+    from elb_log_to_mysql_spark.streaming.cdc import (
+        latest_cdc_rows,
+        stream_cdc_apply_tws,
+    )
+
+    path = os.path.join(sf_dir, "events.parquet")
+    emissions = run_stream_to_batch(
+        spark, path,
+        lambda s: stream_cdc_apply_tws(s, "2024-01-20", state_ttl_ms=3_600_000),
         raw_parquet_schema(spark, path), output_mode="update",
     )
     got = {
