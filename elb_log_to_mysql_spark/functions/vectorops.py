@@ -94,6 +94,61 @@ def minhash_signatures(
     return _mh(shingle_hashes)
 
 
+def minhash_sig_rows(
+    frame,
+    num_hashes: int = 64,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    carry: tuple[str, ...] = (),
+):
+    """(id, sig[, carry...]) frame via a mapInPandas signer — the
+    SAME minhash_matrix kernel and coefficients as
+    `minhash_signatures`, so signatures are bit-identical, but
+    packaged as its OWN physical operator (MapInPandas) instead of a
+    PythonUDF *expression*.
+
+    Why both exist: a scalar pandas UDF is an expression inside a
+    projection, and under heavy concurrent planning Spark's
+    codegen-fallback path has been seen handing the raw PythonUDF to
+    an InterpretedUnsafeProjection in a shuffle-write stage before
+    ExtractPythonUDFs lifts it (THROUGHPUT_r11 known_flake —
+    '[INTERNAL_ERROR] Cannot evaluate expression: _mh(...)'). A
+    mapInPandas stage leaves NO Python expression in any projection —
+    downstream operators only ever see its output attributes — so
+    that failure mode is structurally impossible. It is also the form
+    that plans upstream of applyInPandasWithState in streaming, which
+    is why the streaming signer always used it; batch `near_dedup`
+    now shares this path.
+
+    `frame` must contain `id_col`, an array<long> `shingles_col`, and
+    any `carry` columns, which pass through untouched. Rows reach the
+    kernel exactly as Arrow batches; empty batches are skipped.
+    """
+    from pyspark.sql import types as T
+
+    a_co, b_co = minhash_coefficients(num_hashes, seed)
+    fields = {f.name: f for f in frame.schema.fields}
+    schema = T.StructType(
+        [fields[id_col], T.StructField("sig", T.ArrayType(T.LongType()))]
+        + [fields[c] for c in carry]
+    )
+
+    def _sign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sigs = minhash_matrix(pdf[shingles_col], num_hashes, a_co, b_co)
+            out = {id_col: pdf[id_col], "sig": list(sigs)}
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return frame.select(id_col, shingles_col, *carry).mapInPandas(
+        _sign, schema=schema
+    )
+
+
 def minhash_coefficients(
     num_hashes: int = 64, seed: int = 42
 ) -> tuple[np.ndarray, np.ndarray]:

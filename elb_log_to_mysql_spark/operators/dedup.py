@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from elb_log_to_mysql_spark.functions.vectorops import minhash_signatures
+from elb_log_to_mysql_spark.functions.vectorops import minhash_sig_rows
 from elb_log_to_mysql_spark.session import ensure_min_partitions, unpersist_on_gc
 
 
@@ -192,9 +192,12 @@ def near_dedup_minhash(
     # Signature via the Arrow-vectorized multiply-shift kernel: the
     # HOF formulation (k × array_min(transform(...)) passes) is
     # interpreted per row and was the operator's dominant cost.
-    sig = sh.withColumn(
-        "sig", minhash_signatures(F.col("shingles"), num_hashes)
-    )
+    # mapInPandas (its own physical operator) rather than the scalar
+    # pandas_udf expression: structurally immune to the concurrent-
+    # planning race where a shuffle-write projection received the raw
+    # `_mh` PythonUDF (THROUGHPUT_r11 known_flake; vectorops.py:
+    # minhash_sig_rows). Same kernel + seed — signatures bit-equal.
+    sig = minhash_sig_rows(sh, num_hashes)
 
     # band i = hash of signature slice [i*r, (i+1)*r)
     banded = sig.select(

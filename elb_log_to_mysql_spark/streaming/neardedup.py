@@ -65,10 +65,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from elb_log_to_mysql_spark.functions.vectorops import (
-    minhash_coefficients,
-    minhash_matrix,
-)
+from elb_log_to_mysql_spark.functions.vectorops import minhash_sig_rows
 from elb_log_to_mysql_spark.operators.dedup import band_hashes, word_shingles
 
 
@@ -86,18 +83,18 @@ def band_rows(
 
     Shingling + shingle hashing + band hashing are JVM codegen
     expressions (shared with operators/dedup.py); the minhash
-    signature is the Arrow-vectorized multiply-shift kernel applied
-    via mapInPandas — one numpy outer-product + segment-min per Arrow
-    batch, bit-identical to the batch operator's pandas_udf signer
-    (same minhash_coefficients seed). mapInPandas is its own physical
-    operator, so unlike a scalar pandas UDF it plans cleanly upstream
-    of applyInPandasWithState within one micro-batch.
+    signature is vectorops.minhash_sig_rows — the SAME mapInPandas
+    signer instance the batch operator uses since round 12, so
+    stream/batch signatures are bit-identical by construction (one
+    numpy outer-product + segment-min per Arrow batch). mapInPandas
+    is its own physical operator, so unlike a scalar pandas UDF it
+    plans cleanly upstream of applyInPandasWithState within one
+    micro-batch.
 
     `carry_cols`: extra source columns (e.g. an ingest timestamp for
     watermarking) passed through the signer untouched and kept on
     every output band row."""
     rows_per_band = num_hashes // bands
-    a_co, b_co = minhash_coefficients(num_hashes)
     carry = list(carry_cols or [])
     sh = documents.select(
         F.col(id_col).alias("doc_id"),
@@ -107,26 +104,10 @@ def band_rows(
         *[F.col(c) for c in carry],
     ).filter(F.size("shingles") > 0)
 
-    src_fields = {f.name: f.dataType for f in documents.schema.fields}
-    sig_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("sig", T.ArrayType(T.LongType())),
-        ]
-        + [T.StructField(c, src_fields[c]) for c in carry]
-    )
-
-    def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            sigs = minhash_matrix(pdf["shingles"], num_hashes, a_co, b_co)
-            out = {"doc_id": pdf["doc_id"].astype("int64"), "sig": list(sigs)}
-            for c in carry:
-                out[c] = pdf[c]
-            yield pd.DataFrame(out)
-
-    sig = sh.mapInPandas(_sign, schema=sig_schema)
+    # the engine-wide mapInPandas signer — one implementation shared
+    # with the batch operator, so stream/batch signatures are
+    # bit-identical by construction
+    sig = minhash_sig_rows(sh, num_hashes, carry=tuple(carry))
     return sig.select(
         "doc_id",
         F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
