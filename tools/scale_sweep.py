@@ -47,7 +47,7 @@ from elb_log_to_mysql_spark.sources.tables import load_table  # noqa: E402
 SRC = "/root/testdata/sf0.1"
 
 
-def replicate(factor: int, out_dir: str) -> None:
+def replicate(factor: int, out_dir: str, tables: set[str] | None = None) -> None:
     """Concat `factor` key-shifted copies of each table (pyarrow:
     preserves the source's physical layouts, e.g. events' naive-µs ts,
     so the replica stresses the same loader paths the real testdata
@@ -61,6 +61,11 @@ def replicate(factor: int, out_dir: str) -> None:
     referential query valid against the original dimensions, which are
     copied through as-is. l_orderkey and o_orderkey shift by the same
     offset so the order⋈lineitem relationship is preserved per replica.
+
+    `tables` restricts which FACT tables are replicated (default: all
+    five) — a probe that only reads documents/embeddings/events should
+    not pay the pyarrow concat RAM for a 320x lineitem it never scans.
+    Dimensions are always copied through.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -78,6 +83,8 @@ def replicate(factor: int, out_dir: str) -> None:
         "orders": {"o_orderkey": order_max},
         "lineitem": {"l_orderkey": order_max},
     }
+    if tables is not None:
+        specs = {n: k for n, k in specs.items() if n in tables}
     for name, keys in specs.items():
         t = pq.read_table(os.path.join(SRC, f"{name}.parquet"))
         offs = {
