@@ -58,13 +58,15 @@ from tools.scale_sweep import replicate, timed  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 # SPARK_GRAFT_PROBE_SCALE divides every octave (smoke-testing the
-# tool at /8 or /16 before paying for the real run)
+# tool at /8 or /16 before paying for the real run);
+# SPARK_GRAFT_PROBE_F_<SECTION> pins one section's factor outright
+# (e.g. F_SIMHASH=320 once the 160x cell proves the octave is cheap)
 _DIV = int(os.environ.get("SPARK_GRAFT_PROBE_SCALE", "1"))
 FACTORS = {
-    "near_dedup": 320 // _DIV,
-    "simhash": 160 // _DIV,
-    "ngram": 80 // _DIV,
-    "chooser": 320 // _DIV,
+    k: int(os.environ.get(f"SPARK_GRAFT_PROBE_F_{k.upper()}", v // _DIV))
+    for k, v in {
+        "near_dedup": 320, "simhash": 160, "ngram": 80, "chooser": 320,
+    }.items()
 }
 DOC_TABLES = {"documents"}
 
@@ -140,7 +142,8 @@ def main() -> None:
         max_h = sp.agg(F.max("hamming")).first()[0]
         sp.unpersist()
         clone_floor = n_base * math.comb(f, 2)
-        report["simhash"] = {
+        key = "simhash" if f == 160 // _DIV else f"simhash_{f}x"
+        report[key] = {
             "factor": f,
             "docs": docs.count(),
             "found_pairs": n_sp,
