@@ -72,10 +72,23 @@ def build_noisy_replica(factor: int, out_path: str, noise: float = 0.05) -> int:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 40
     out_json = sys.argv[2] if len(sys.argv) > 2 else "ANN_SCALE_PROBE.json"
+    # rerank_factor: the exact-rerank shortlist is k*rerank_factor per
+    # query. On a near-dup-dense corpus ADC scores TIE across a clone
+    # cluster, so the shortlist must be at least the duplicate
+    # multiplicity or the true top-k (an id-tiebroken subset of the
+    # cluster) falls outside it — the 320x probe measured recall 0.65
+    # at the default depth 4 (top-40 vs 320-wide tie clusters) and
+    # the depth-64 rerun adjudicates the recovery.
+    rerank_factor = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     work = f"/tmp/ann_probe_{factor}x"
     os.makedirs(work, exist_ok=True)
     emb_path = os.path.join(work, "embeddings.parquet")
-    n_vec = build_noisy_replica(factor, emb_path)
+    if os.path.exists(emb_path):
+        import pyarrow.parquet as _pq
+
+        n_vec = _pq.read_metadata(emb_path).num_rows
+    else:
+        n_vec = build_noisy_replica(factor, emb_path)
 
     from pyspark.sql import functions as F
 
@@ -92,6 +105,7 @@ def main() -> None:
         "vectors": n_vec,
         "queries": 20,
         "k": 10,
+        "rerank_factor": rerank_factor,
         "paths": {},
     }
 
@@ -109,7 +123,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     pq_rows = similarity.similarity_topk_pq(
-        emb, q, k=10, codebooks=codebooks
+        emb, q, k=10, rerank_factor=rerank_factor, codebooks=codebooks
     ).collect()
     pq_set = {(r.query_id, r.neighbor_id) for r in pq_rows}
     report["paths"]["pq_adc"] = {
@@ -125,6 +139,7 @@ def main() -> None:
     t0 = time.perf_counter()
     ivfpq_rows = similarity.similarity_topk_ivfpq(
         emb, q, k=10, n_centroids=64, nprobe=8,
+        rerank_factor=rerank_factor,
         centroids=centroids, codebooks=codebooks,
     ).collect()
     ivfpq_set = {(r.query_id, r.neighbor_id) for r in ivfpq_rows}
