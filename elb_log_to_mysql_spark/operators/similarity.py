@@ -545,11 +545,49 @@ def train_pq_codebooks(
     return cb
 
 
+def derive_pq_rerank_factor(
+    codes: DataFrame, k: int, floor: int = 4, cap: int = 256
+) -> int:
+    """Size the exact-rerank depth from the corpus's PQ-code tie
+    structure (the 320x-probe law, SCALE.md round-12): two corpus
+    vectors with the SAME code sequence get identical ADC scores, so
+    within a tie cluster the shortlist cut is by neighbor_id — if the
+    cluster is wider than k*rerank_factor, members of the id-tiebroken
+    true top-k fall outside the shortlist and recall collapses
+    (measured 0.65 at depth 4 under 320-wide near-dup clusters;
+    1.0/0.995 at depth 64, ANN_SCALE_PROBE_320x*.json). The largest
+    code multiplicity is therefore the worst-case tie width the
+    rerank must see past:
+
+        rerank_factor = clamp(ceil((max_multiplicity + k) / k),
+                              floor, cap)
+
+    Cost: one scalar aggregation over the (id, codes) frame — the
+    same frame the ADC scan reads, so on a stored index this is a
+    metadata-cheap groupBy. NOTE this makes the calling operator
+    EAGER at plan-build time (one Spark job), the same contract as
+    simhash's density-derived cap. `cap` bounds the shortlist a
+    pathological million-clone corpus could demand — past it, dedup
+    the corpus first (the engine ships near_dedup/exact_dedup for
+    exactly this).
+    """
+    import math
+
+    row = (
+        codes.groupBy("codes")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()
+    )
+    max_mult = int(row[0] or 1)
+    return max(floor, min(cap, math.ceil((max_mult + k) / k)))
+
+
 def similarity_topk_pq(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    rerank_factor: int = 4,
+    rerank_factor: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks=None,
@@ -599,6 +637,12 @@ def similarity_topk_pq(
         F.col(id_col).alias("neighbor_id"),
         pq_codes(F.col(vec_col), cb).alias("codes"),
     )
+    derived_cache = None
+    if rerank_factor is None:
+        # near-dup-aware depth (eager: one agg over the codes frame);
+        # persist because the derivation and the ADC scan both read it
+        codes = derived_cache = codes.persist()
+        rerank_factor = derive_pq_rerank_factor(codes, k)
     qside = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -632,7 +676,7 @@ def similarity_topk_pq(
     w_cos = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
-    return (
+    out = (
         fetched.join(
             F.broadcast(qside.select("query_id", "q_vec")), "query_id"
         )
@@ -641,6 +685,11 @@ def similarity_topk_pq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+    if derived_cache is not None:
+        from elb_log_to_mysql_spark.session import unpersist_on_gc
+
+        out = unpersist_on_gc(out, derived_cache)
+    return out
 
 
 def similarity_topk_ivfpq(
@@ -649,7 +698,7 @@ def similarity_topk_ivfpq(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 8,
-    rerank_factor: int = 4,
+    rerank_factor: int | None = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
@@ -716,6 +765,15 @@ def similarity_topk_ivfpq(
             .alias("cell"),
         )
     )
+    derived_cache = None
+    if rerank_factor is None:
+        # near-dup-aware depth from the stored index's code ties
+        # (derive_pq_rerank_factor; eager, one agg); persist — the
+        # derivation and the probed ADC scan both read the index
+        indexed = derived_cache = indexed.persist()
+        rerank_factor = derive_pq_rerank_factor(
+            indexed.select("codes"), k
+        )
     qside = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -766,7 +824,7 @@ def similarity_topk_ivfpq(
     w_cos = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
-    return (
+    out = (
         fetched.join(
             F.broadcast(qside.select("query_id", "q_vec")), "query_id"
         )
@@ -775,6 +833,11 @@ def similarity_topk_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
     )
+    if derived_cache is not None:
+        from elb_log_to_mysql_spark.session import unpersist_on_gc
+
+        out = unpersist_on_gc(out, derived_cache)
+    return out
 
 
 def ann_index_assign(

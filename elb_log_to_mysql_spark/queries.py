@@ -2057,6 +2057,69 @@ def q_similarity_topk_ivfpq(spark, sf_dir):
     return carry_caches(out, exact, approx)
 
 
+_ANN_DENSE_ORACLE = """
+    WITH dense AS (
+      SELECT e.vec_id * 100 + (c.copy * 37) % 80 AS vec_id,
+             list_transform(e.embedding, x -> x + c.copy * 0.0001)
+               AS embedding
+      FROM embeddings e, (SELECT unnest(range(80)) AS copy) c
+    ), topk AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS rank
+      FROM dense q JOIN dense c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000
+    )
+    SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_floor_met
+    FROM topk WHERE rank <= 10
+"""
+
+
+@_q("ann_rerank_auto", _ANN_DENSE_ORACLE)
+def q_ann_rerank_auto(spark, sf_dir):
+    """Near-dup-aware exact-rerank depth, the 320x-probe law as a gate
+    entry (SCALE.md round-12; operators/similarity.py:
+    derive_pq_rerank_factor). The corpus is the embeddings table made
+    DELIBERATELY duplicate-dense in-plan: 80 copies per vector, each
+    shifted by copy*1e-4 per element — far below the PQ quantization
+    cell size, so every clone cluster shares one code word and ADC
+    ties 80 wide, while exact cosines stay distinct; copy ids are
+    permuted (x37 mod 80) so id order is decorrelated from proximity.
+    At the frozen default depth 4 the shortlist (k*4=40) cannot cover
+    an 80-wide tie cluster; rerank_factor=None derives the depth from
+    the measured max code multiplicity and the shortlist covers the
+    cluster, so the audit's 0.95 floor holds. The oracle recomputes
+    the exact neighbor-set counts over the SAME constructed corpus in
+    DuckDB. Codebooks are the BASE corpus's memoized artifacts — the
+    production shape, where the index is trained before the dup-flood
+    arrives."""
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = spark.range(80).select(F.col("id").cast("int").alias("copy"))
+    dense = emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") * 100 + (F.col("copy") * 37) % 80).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x + F.col("copy") * F.lit(1e-4)
+        ).alias("embedding"),
+    )
+    q = dense.filter(
+        ((F.col("vec_id") % 100) == 0) & (F.col("vec_id") < 2000)
+    )
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = similarity.train_pq_codebooks(emb)
+    exact = similarity.similarity_topk_bruteforce(dense, q, k=10)
+    approx = similarity.similarity_topk_pq(
+        dense, q, k=10, rerank_factor=None, codebooks=_PQ_CODEBOOKS[sf_dir]
+    )
+    out = _ann_recall_audit(
+        exact.select("query_id", "neighbor_id"), approx, floor=0.95
+    )
+    return carry_caches(out, exact, approx)
+
+
 @_q(
     "incremental_ann_index",
     """

@@ -1604,3 +1604,87 @@ def test_variant_roundtrip_preserves_types_and_nulls(spark):
     ).collect()
     assert rows[0]["x1"] == 20 and rows[0]["s"] == "hi" and rows[0]["m"] is None
     assert rows[1]["x1"] is None and rows[1]["s"] is None
+
+
+def test_pq_rerank_depth_derivation_covers_tie_clusters(spark):
+    """The 320x-probe law productized (SCALE.md round-12): ADC scores
+    tie across vectors sharing a code sequence, so the exact-rerank
+    shortlist must cover the widest tie cluster. Construct a corpus of
+    8 spread base vectors x 40 near-clones whose perturbations are far
+    below the quantization cell size (codebooks trained on the bases
+    alone), with clone ids PERMUTED so id order is decorrelated from
+    exact-cosine proximity. Then:
+      - every clone cluster shares one code word -> max multiplicity 40,
+        derive_pq_rerank_factor sizes the shortlist past it;
+      - rerank_factor=None recovers the exact top-k (recall 1.0);
+      - the fixed default depth 4 (shortlist 20 < cluster 40) provably
+        cannot (recall strictly lower)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n_base, n_clone, k = 4, 8, 40, 5
+    base = rng.normal(0, 10.0, size=(n_base, dim))  # spread: cells far apart
+    perm = rng.permutation(n_clone)
+    u = rng.normal(0, 1.0, size=dim)
+    u /= np.linalg.norm(u)
+    rows = []
+    for i in range(n_base):
+        for j in range(n_clone):
+            # perturbation ~1e-3: orders of magnitude under the
+            # inter-base distance, so the nearest sub-centroid (and
+            # hence the PQ code) is the base's for every clone
+            vec = base[i] + (j + 1) * 1e-3 * u
+            rows.append((int(i * 1000 + perm[j]), [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base_df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n_base)],
+        "vec_id long, embedding array<double>",
+    )
+    cb = similarity.train_pq_codebooks(base_df, m=2, n_codes=8)
+
+    from elb_log_to_mysql_spark.functions.vectorops import pq_codes
+    from elb_log_to_mysql_spark.operators.similarity import (
+        derive_pq_rerank_factor,
+    )
+
+    codes = emb.select(pq_codes(F.col("embedding"), cb).alias("codes"))
+    assert codes.distinct().count() == n_base  # one code word per cluster
+    rf = derive_pq_rerank_factor(codes, k)
+    assert rf * k >= n_clone  # shortlist covers the widest tie cluster
+    assert rf > 4
+
+    q = emb.filter(F.col("vec_id") % 1000 == 0)  # one query per cluster
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(emb, q, k=k).collect()
+    }
+    got_auto = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_pq(
+            emb, q, k=k, rerank_factor=None, codebooks=cb
+        ).collect()
+    }
+    got_fixed = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_pq(
+            emb, q, k=k, rerank_factor=4, codebooks=cb
+        ).collect()
+    }
+    recall_auto = len(exact & got_auto) / len(exact)
+    recall_fixed = len(exact & got_fixed) / len(exact)
+    assert recall_auto == 1.0, f"auto depth must recover: {recall_auto}"
+    assert recall_fixed < recall_auto, (
+        f"fixed depth 4 vs 40-wide tie clusters should lose recall "
+        f"({recall_fixed} vs {recall_auto}) - if not, the fixture no "
+        f"longer builds tie clusters"
+    )
+
+    # IVFPQ: same derivation through the stored-index path
+    got_ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_ivfpq(
+            emb, q, k=k, n_centroids=4, nprobe=4,
+            rerank_factor=None, codebooks=cb,
+        ).collect()
+    }
+    assert len(exact & got_ivf) / len(exact) == 1.0
