@@ -7093,6 +7093,87 @@ def q_stream_near_dedup_join(spark, sf_dir):
 ORACLE_SQL["stream_near_dedup_join"] = ORACLE_SQL["near_dedup"]
 
 
+@_q("stream_near_dedup_blocklist")
+def q_stream_near_dedup_blocklist(spark, sf_dir):
+    """The static skew guard of the streaming join variant,
+    gate-certified (streaming/neardedup.py:hot_bucket_blocklist +
+    stream_band_collisions_join; the guard's band config rides IN the
+    blocklist frame as literal columns since round 12, so it survives
+    the land-to-storage/refresh-on-a-cadence flow). The corpus is the
+    documents table plus an in-plan 50-wide spam cluster (one novel
+    text under 50 fresh ids — the degenerate bucket a plain symmetric
+    join would pair quadratically). The blocklist (max_bucket=20,
+    natural occupancy measured ≤4 at both gate SFs) names exactly the
+    spam cluster's band keys; the audit then checks BOTH duties at
+    once: `spam_blocked` (zero found pairs touch a spam id — the
+    quadratic bucket never reaches the join) and the standard
+    near-dedup contract on the NATURAL pairs (n_exact recomputed by
+    DuckDB over the unmodified documents table, false_pairs 0, 0.9
+    recall floor) — proving the guard removes the pathology without
+    costing legitimate recall."""
+    import shutil as _shutil
+
+    from elb_log_to_mysql_spark.streaming.neardedup import (
+        hot_bucket_blocklist,
+        stream_band_collisions_join,
+        verify_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    spam_text = (
+        "buy cheap pills online now best price guaranteed today "
+        "limited offer act fast"
+    )
+    spam = spark.range(50).select(
+        (F.lit(1_000_000) + F.col("id")).alias("doc_id"),
+        F.lit(spam_text).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(spam)
+    corpus_dir = _work_dir("blocklist-corpus")
+    _shutil.rmtree(corpus_dir, ignore_errors=True)
+    corpus.coalesce(4).write.parquet(corpus_dir)
+    corpus_batch = spark.read.parquet(corpus_dir)
+
+    bl = hot_bucket_blocklist(corpus_batch, max_bucket=20)
+    cand = run_stream_to_batch(
+        spark,
+        corpus_dir,
+        lambda s: stream_band_collisions_join(s, blocklist=bl),
+        corpus_batch.schema,
+        output_mode="append",
+    )
+    found = verify_candidate_pairs(cand, corpus_batch)
+    spam_stats = found.agg(
+        F.sum(
+            (
+                (F.col("doc_id_a") >= 1_000_000)
+                | (F.col("doc_id_b") >= 1_000_000)
+            ).cast("long")
+        ).alias("n_spam_pairs")
+    )
+    found_nat = found.filter(
+        (F.col("doc_id_a") < 1_000_000) & (F.col("doc_id_b") < 1_000_000)
+    )
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+    out = (
+        _near_dedup_audit(exact, found_nat)
+        .crossJoin(F.broadcast(spam_stats))
+        .select(
+            "n_exact",
+            "false_pairs",
+            "recall_floor_met",
+            (F.coalesce("n_spam_pairs", F.lit(0)) == 0).alias("spam_blocked"),
+        )
+    )
+    return carry_caches(out, exact)
+
+
+ORACLE_SQL["stream_near_dedup_blocklist"] = ORACLE_SQL["near_dedup"].replace(
+    "TRUE AS recall_floor_met",
+    "TRUE AS recall_floor_met,\n           TRUE AS spam_blocked",
+)
+
+
 @_q(
     "cdc_apply",
     """
