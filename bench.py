@@ -145,12 +145,17 @@ def main() -> None:
         # own cost. Workers are reused afterwards
         # (spark.python.worker.reuse).
         from pyspark.sql import functions as F
-        from elb_log_to_mysql_spark.functions.vectorops import pairwise_cosine
+        from elb_log_to_mysql_spark.functions.vectorops import (
+            with_pairwise_cosine,
+        )
 
-        spark.range(10_000).select(
-            pairwise_cosine(
-                F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))
-            )
+        with_pairwise_cosine(
+            spark.range(10_000).select(
+                F.array(F.lit(1.0), F.lit(2.0)).alias("a"),
+                F.array(F.lit(3.0), F.lit(4.0)).alias("b"),
+            ),
+            "a",
+            "b",
         ).write.format("noop").mode("overwrite").save()
     except Exception:  # noqa: BLE001
         pass

@@ -11,12 +11,16 @@ and compiled by :mod:`elb_log_to_mysql_spark.functions.uap`):
   ladder. Stays inside whole-stage codegen (no Python at all) and is
   the default/scale path: at 100 TB a vectorized JVM expression beats
   even an Arrow UDF.
-- :func:`ua_families_udf` — Arrow-batched pandas UDF running the
-  exact uap-core resolution algorithm per string: the installed
+- :func:`classify_ua_rows` — Arrow-batched mapInPandas stage running
+  the exact uap-core resolution algorithm per string: the installed
   ``user_agents`` wrapper when importable, else the vendored
   pure-Python evaluator (:func:`uap.parse_browser_family`) — so the
   exact-parity path executes in every environment, not only where
-  the third-party wrapper happens to be installed.
+  the third-party wrapper happens to be installed. A mapInPandas
+  stage rather than a scalar pandas-UDF expression: no PythonUDF
+  ever sits in a projection, which closes the concurrent-planning
+  codegen-fallback race class engine-wide (see
+  functions/vectorops.py module docstring).
 
 The ladder, the evaluator, and the oracle-side DuckDB CASE
 compilation agree by construction — including the database's generic
@@ -66,10 +70,18 @@ def ua_os_family_expr(ua: Column | str) -> Column:
     return uap.compile_when_ladder(ua, uap.os_parsers())
 
 
-def ua_families_udf(prefer_wrapper: bool = True):
-    """Exact uap-core resolution as an Arrow-batched pandas UDF.
+def classify_ua_rows(
+    frame,
+    ua_col: str,
+    browser_col: str = "__ua_browser",
+    os_col: str = "__ua_os",
+    prefer_wrapper: bool = True,
+):
+    """Exact uap-core resolution as an Arrow-batched mapInPandas stage:
+    appends two string columns (``browser_col``, ``os_col``) to
+    ``frame``, classifying ``ua_col`` per row. All input columns pass
+    through untouched; works on batch and streaming frames.
 
-    Returns a pandas UDF producing ``struct<browser:string,os:string>``.
     With ``prefer_wrapper`` (the default, what elb_parse uses) the
     ``user_agents`` wrapper is used when importable — byte-for-byte
     the reference's code path, evaluating the FULL uap-core database;
@@ -90,14 +102,11 @@ def ua_families_udf(prefer_wrapper: bool = True):
     an upstream checkout comes from pointing SPARK_ELB_UA_DB at its
     regexes.yaml (then BOTH paths evaluate the full database).
     """
-    # pandas is imported lazily (this module's expression-ladder path
-    # must import with zero third-party deps) but bound into module
-    # globals, because pyspark resolves the UDF's postponed 'pd.Series'
-    # annotations against this module's namespace.
-    global pd
+    # pandas is imported lazily: this module's expression-ladder path
+    # must import with zero third-party deps.
     import pandas as pd
 
-    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
 
     if HAVE_USER_AGENTS and prefer_wrapper:
 
@@ -117,8 +126,8 @@ def ua_families_udf(prefer_wrapper: bool = True):
     # dict hit for repeats. A plain dict closure, NOT functools
     # lru_cache: the wrapper pickles by qualname and cannot ship to
     # executors from a local scope. The dict pickles empty with the
-    # UDF and fills per Python worker; the size guard bounds worker
-    # memory against adversarial all-distinct UA streams.
+    # stage function and fills per Python worker; the size guard
+    # bounds worker memory against adversarial all-distinct streams.
     _cache: dict = {}
 
     def one(v):
@@ -129,14 +138,26 @@ def ua_families_udf(prefer_wrapper: bool = True):
                 _cache[v] = hit
         return hit
 
-    @pandas_udf("struct<browser:string,os:string>")
-    def _parse(ua: pd.Series) -> pd.DataFrame:
-        pairs = ua.map(one)
-        return pd.DataFrame(
-            {"browser": pairs.map(lambda t: t[0]), "os": pairs.map(lambda t: t[1])}
-        )
+    names = frame.columns
+    schema = T.StructType(
+        list(frame.schema.fields)
+        + [
+            T.StructField(browser_col, T.StringType()),
+            T.StructField(os_col, T.StringType()),
+        ]
+    )
 
-    return _parse
+    def _classify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pairs = pdf[ua_col].map(one)
+            out = {n: pdf[n].reset_index(drop=True) for n in names}
+            out[browser_col] = pairs.map(lambda t: t[0]).reset_index(drop=True)
+            out[os_col] = pairs.map(lambda t: t[1]).reset_index(drop=True)
+            yield pd.DataFrame(out)
+
+    return frame.mapInPandas(_classify, schema=schema)
 
 
 def classify_ua_join(
@@ -173,16 +194,12 @@ def classify_ua_join(
             "classify_ua_join needs a batch DataFrame; for streams "
             "apply it per micro-batch inside foreachBatch"
         )
-    fam = ua_families_udf(prefer_wrapper)(F.col(ua_col))
-    lookup = (
-        df.select(ua_col)
-        .where(F.col(ua_col).isNotNull())
-        .distinct()
-        .select(
-            F.col(ua_col),
-            fam.getField("browser").alias("__ua_browser"),
-            fam.getField("os").alias("__ua_os"),
-        )
+    lookup = classify_ua_rows(
+        df.select(ua_col).where(F.col(ua_col).isNotNull()).distinct(),
+        ua_col,
+        "__ua_browser",
+        "__ua_os",
+        prefer_wrapper,
     )
     cols = df.columns
     return (

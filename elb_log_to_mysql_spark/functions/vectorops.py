@@ -1,14 +1,29 @@
-"""Vectorized dense-vector kernels (Arrow-batched pandas UDFs).
+"""Vectorized dense-vector kernels (Arrow-batched, mapInPandas-staged).
 
 The engine's rule is JVM expressions first — but Spark's higher-order
 array functions (`zip_with`/`aggregate`) are *interpreted*, not
 codegen'd: a dot product against k hyperplanes written as HOFs costs
 ~ms per row. Dense linear algebra over fixed-width embedding columns
-is the one place a Python UDF beats the JVM path by orders of
-magnitude, because Arrow hands the batch to numpy as one matrix and
-the work becomes a single BLAS matmul. These kernels keep that
-boundary narrow: in = array column, out = small array/scalar column,
-no per-row Python.
+is the one place Python beats the JVM path by orders of magnitude,
+because Arrow hands the batch to numpy as one matrix and the work
+becomes a single BLAS matmul. These kernels keep that boundary
+narrow: in = array column(s), out = small array/scalar column(s), no
+per-row Python.
+
+Physical form — mapInPandas stages, NEVER scalar pandas-UDF
+expressions. A scalar pandas UDF is an expression inside a
+projection, and under heavy concurrent planning Spark's
+codegen-fallback path has been seen handing the raw PythonUDF to an
+InterpretedUnsafeProjection in a shuffle-write stage before
+ExtractPythonUDFs lifts it (THROUGHPUT_r11 known_flake —
+'[INTERNAL_ERROR] Cannot evaluate expression: _mh(...)'; the race
+was proven real under 8-way planning and structurally fixed for the
+minhash signer in round 12). A mapInPandas stage leaves NO Python
+expression in any projection — downstream operators only ever see
+its output attributes — so that failure mode is structurally
+impossible. Round 13 applies the same conversion to every remaining
+kernel (`arrow_stage` below is the shared wrapper): the package has
+zero scalar pandas UDFs in expression position.
 
 Determinism: float64 matmul with fixed operand order; sign/argmin
 boundaries are measure-zero for real data. Batches are independent
@@ -20,78 +35,198 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column
-from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql import DataFrame
 
 
 def _stack(s: pd.Series) -> np.ndarray:
     return np.vstack(s.to_numpy())
 
 
-def lsh_bucket_ids(vec: Column, planes: np.ndarray) -> Column:
-    """All LSH table bucket ids for a vector column in one matmul.
+# ---------------------------------------------------------------------------
+# the shared mapInPandas stage builder
+# ---------------------------------------------------------------------------
+
+
+def arrow_stage(frame: DataFrame, outputs, drop: tuple[str, ...] = ()):
+    """Append Arrow-computed columns to a frame as ONE mapInPandas
+    physical stage.
+
+    ``outputs`` is a list of ``(name, spark_ddl_type, fn)`` where
+    ``fn`` maps the batch ``pandas.DataFrame`` to a sequence of
+    ``len(batch)`` values. All kernels in one call share a single
+    Python round-trip. ``drop`` names input columns consumed by the
+    kernels that downstream does not need — they are dropped INSIDE
+    the stage, so (unlike the old scalar-UDF form, where the JVM kept
+    them) they are never serialized back out of Python.
+
+    Rows reach the kernels exactly as Arrow batches; empty batches
+    are skipped. Column order: surviving inputs first (input order),
+    then outputs in the given order.
+    """
+    from pyspark.sql import types as T
+
+    dropped = set(drop)
+    keep = [f for f in frame.schema.fields if f.name not in dropped]
+    names = [f.name for f in keep]
+    out_fields = [
+        T.StructField(n, T._parse_datatype_string(ddl)) for n, ddl, _ in outputs
+    ]
+    schema = T.StructType(keep + out_fields)
+    kernels = [(n, fn) for n, _, fn in outputs]
+
+    def _gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {n: pdf[n].reset_index(drop=True) for n in names}
+            for n, fn in kernels:
+                out[n] = pd.Series(list(fn(pdf)))
+            yield pd.DataFrame(out)
+
+    return frame.mapInPandas(_gen, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# batch kernel factories (pure numpy; closures pickle to executors)
+# ---------------------------------------------------------------------------
+
+
+def lsh_buckets_fn(planes: np.ndarray):
+    """All LSH table bucket ids for a vector batch in one matmul.
 
     `planes` has shape (n_tables, n_planes, dim). Bucket id for table
-    t = packed sign bits of planes[t] @ vec. Returns array<long> of
-    length n_tables.
+    t = packed sign bits of planes[t] @ vec. The returned fn maps a
+    vector Series to a list of int64 arrays of length n_tables.
     """
     n_tables, n_planes, dim = planes.shape
     flat = planes.reshape(n_tables * n_planes, dim).T.astype(np.float64)
     weights = (2 ** np.arange(n_planes - 1, -1, -1)).astype(np.int64)
 
-    @pandas_udf("array<long>")
-    def _buckets(v: pd.Series) -> pd.Series:
+    def fn(v: pd.Series):
         x = _stack(v).astype(np.float64)             # (n, dim)
         signs = (x @ flat) >= 0                      # (n, tables*planes)
         bits = signs.reshape(len(x), n_tables, n_planes)
-        ids = (bits * weights).sum(axis=2)           # (n, tables)
-        return pd.Series(list(ids))
+        return list((bits * weights).sum(axis=2))    # (n, tables)
 
-    return _buckets(vec)
+    return fn
 
 
-def center_distances(vec: Column, centers: np.ndarray) -> Column:
-    """Squared L2 distance from a vector column to every center:
-    one (n, dim) @ (dim, k) matmul per Arrow batch. Returns
-    array<double> of length k.
+def center_dists_fn(centers: np.ndarray):
+    """Squared L2 distance from a vector batch to every center:
+    one (n, dim) @ (dim, k) matmul per Arrow batch. The returned fn
+    maps a vector Series to a list of float64 arrays of length k.
     """
     c = centers.astype(np.float64)                   # (k, dim)
     c_sq = (c * c).sum(axis=1)                       # (k,)
 
-    @pandas_udf("array<double>")
-    def _dists(v: pd.Series) -> pd.Series:
+    def fn(v: pd.Series):
         x = _stack(v).astype(np.float64)             # (n, dim)
         x_sq = (x * x).sum(axis=1, keepdims=True)    # (n, 1)
         d2 = x_sq - 2.0 * (x @ c.T) + c_sq           # (n, k)
-        return pd.Series(list(np.maximum(d2, 0.0)))
+        return list(np.maximum(d2, 0.0))
 
-    return _dists(vec)
+    return fn
 
 
-def minhash_signatures(
-    shingle_hashes: Column, num_hashes: int = 64, seed: int = 42
-) -> Column:
-    """MinHash signatures over an array<long> column of shingle hashes.
+def cosine_pairs(va: pd.Series, vb: pd.Series) -> np.ndarray:
+    """Cosine similarity of two aligned vector batches (one value per
+    row). For candidate-pair rerank stages where both sides vary per
+    row. Zero-norm rows score 0 (norm treated as 1)."""
+    x = _stack(va).astype(np.float64)
+    y = _stack(vb).astype(np.float64)
+    num = np.einsum("ij,ij->i", x, y)
+    den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+    den[den == 0] = 1.0
+    return num / den
 
-    Hash family: Dietzfelbinger multiply-shift — sig_i = min over
-    shingles of (a_i·h + b_i) mod 2^64 with odd a_i, computed as one
-    (total_shingles, k) outer product per Arrow batch with natural
-    uint64 wraparound, then a per-row segment min via
-    `np.minimum.reduceat` (the flattened shingles are already in row
-    order). Replaces k interpreted HOF passes per row with two
-    vectorized numpy ops.
 
-    Rows with no shingles get the all-max signature (callers filter
-    empty docs anyway).
+def simhash_fp_batch(th: pd.Series) -> np.ndarray:
+    """SimHash fingerprints over a batch of int64 token-hash arrays.
+
+    Per row: bit b of the fingerprint is set iff more tokens have bit
+    b set than clear (vote_b = sum(±1) > 0) — identical semantics to
+    the explode+aggregate formulation (operators/dedup.py:
+    simhash_fingerprints_agg, equality-tested), but computed map-side
+    per Arrow batch: unpack the (total_tokens, 64) bit matrix once,
+    segment-sum with np.add.reduceat, threshold. No explode, no
+    shuffle — the fingerprint never leaves the scan stage.
+
+    Empty-token rows get fp=0 (every vote is -1).
     """
-    a_co, b_co = minhash_coefficients(num_hashes, seed)
+    n = len(th)
+    rows = [np.asarray(x, dtype=np.int64) for x in th]
+    lens = np.array([len(r) for r in rows], dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    nonempty = lens > 0
+    if nonempty.any():
+        flat = np.concatenate([r for r in rows if len(r)]).view(np.uint64)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )  # (N, 64)
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=starts[1:])
+        counts = np.add.reduceat(bits, starts, axis=0)  # (rows, 64)
+        votes = 2 * counts - lens[nonempty][:, None]
+        fp = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[nonempty] = fp.view(np.int64)
+    return out
 
-    @pandas_udf("array<long>")
-    def _mh(sh: pd.Series) -> pd.Series:
-        return pd.Series(list(minhash_matrix(sh, num_hashes, a_co, b_co)))
 
-    return _mh(shingle_hashes)
+# ---------------------------------------------------------------------------
+# frame-level wrappers (the only forms the package's operators use)
+# ---------------------------------------------------------------------------
+
+
+def with_lsh_buckets(
+    frame: DataFrame, vec_col: str, planes: np.ndarray, out: str = "_bks",
+    drop: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append an array<long> column of all n_tables LSH bucket ids."""
+    k = lsh_buckets_fn(planes)
+    return arrow_stage(
+        frame, [(out, "array<long>", lambda pdf: k(pdf[vec_col]))], drop=drop
+    )
+
+
+def with_center_distances(
+    frame: DataFrame, vec_col: str, centers: np.ndarray, out: str = "_dists",
+    drop: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append an array<double> column of squared L2 distances to every
+    center."""
+    k = center_dists_fn(centers)
+    return arrow_stage(
+        frame, [(out, "array<double>", lambda pdf: k(pdf[vec_col]))], drop=drop
+    )
+
+
+def with_pairwise_cosine(
+    frame: DataFrame, a_col: str, b_col: str, out: str = "cos",
+    drop: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append a double column of per-row cosine(a_col, b_col). Rerank
+    stages pass drop=(a_col, b_col) so the wide vectors die inside the
+    stage and the downstream rank shuffle moves only ids + the score."""
+    return arrow_stage(
+        frame,
+        [(out, "double", lambda pdf: cosine_pairs(pdf[a_col], pdf[b_col]))],
+        drop=drop,
+    )
+
+
+def with_simhash_fp(
+    frame: DataFrame, th_col: str, out: str = "fp",
+    drop: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append the long SimHash fingerprint of an array<long> token-hash
+    column (see simhash_fp_batch for semantics)."""
+    return arrow_stage(
+        frame, [(out, "long", lambda pdf: simhash_fp_batch(pdf[th_col]))],
+        drop=drop,
+    )
 
 
 def minhash_sig_rows(
@@ -102,28 +237,23 @@ def minhash_sig_rows(
     shingles_col: str = "shingles",
     carry: tuple[str, ...] = (),
 ):
-    """(id, sig[, carry...]) frame via a mapInPandas signer — the
-    SAME minhash_matrix kernel and coefficients as
-    `minhash_signatures`, so signatures are bit-identical, but
-    packaged as its OWN physical operator (MapInPandas) instead of a
-    PythonUDF *expression*.
+    """(id, sig[, carry...]) frame via a mapInPandas signer.
 
-    Why both exist: a scalar pandas UDF is an expression inside a
-    projection, and under heavy concurrent planning Spark's
-    codegen-fallback path has been seen handing the raw PythonUDF to
-    an InterpretedUnsafeProjection in a shuffle-write stage before
-    ExtractPythonUDFs lifts it (THROUGHPUT_r11 known_flake —
-    '[INTERNAL_ERROR] Cannot evaluate expression: _mh(...)'). A
-    mapInPandas stage leaves NO Python expression in any projection —
-    downstream operators only ever see its output attributes — so
-    that failure mode is structurally impossible. It is also the form
-    that plans upstream of applyInPandasWithState in streaming, which
-    is why the streaming signer always used it; batch `near_dedup`
-    now shares this path.
+    Hash family: Dietzfelbinger multiply-shift — sig_i = min over
+    shingles of (a_i·h + b_i) mod 2^64 with odd a_i, computed as one
+    (total_shingles, k) outer product per Arrow batch with natural
+    uint64 wraparound, then a per-row segment min via
+    `np.minimum.reduceat` (the flattened shingles are already in row
+    order). Rows with no shingles get the all-max signature (callers
+    filter empty docs anyway).
+
+    Packaged as its OWN physical operator (MapInPandas) — the round-12
+    structural fix for the concurrent-planning race (see module
+    docstring); batch near_dedup and the streaming signer share this
+    path, so signatures are bit-identical across both.
 
     `frame` must contain `id_col`, an array<long> `shingles_col`, and
-    any `carry` columns, which pass through untouched. Rows reach the
-    kernel exactly as Arrow batches; empty batches are skipped.
+    any `carry` columns, which pass through untouched.
     """
     from pyspark.sql import types as T
 
@@ -153,8 +283,8 @@ def minhash_coefficients(
     num_hashes: int = 64, seed: int = 42
 ) -> tuple[np.ndarray, np.ndarray]:
     """The multiply-shift family's (a, b) coefficient vectors. Shared
-    by the batch pandas_udf and the streaming mapInPandas signer so
-    both produce BIT-IDENTICAL signatures for the same shingles."""
+    by every signer entry point so all produce BIT-IDENTICAL
+    signatures for the same shingles."""
     rng = np.random.RandomState(seed)
     a_co = (
         rng.randint(0, 2**63, size=num_hashes).astype(np.uint64) << np.uint64(1)
@@ -169,7 +299,7 @@ def minhash_matrix(
     """The raw signature kernel: an iterable of int64 shingle-hash
     arrays -> (n, num_hashes) int64 signature matrix (all-max rows for
     empty inputs). One flattened outer product + segment-min per call —
-    the vectorized core both Arrow entry points share."""
+    the vectorized core every Arrow entry point shares."""
     rows = [np.asarray(x, dtype=np.int64) for x in sh]
     n = len(rows)
     lens = np.array([len(r) for r in rows], dtype=np.int64)
@@ -183,81 +313,6 @@ def minhash_matrix(
         mins = np.minimum.reduceat(h_all, starts, axis=0)
         out[nonempty] = mins.view(np.int64)
     return out
-
-
-def pairwise_cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two aligned vector columns (one value per
-    row), batch-vectorized. For candidate-pair rerank stages where
-    both sides vary per row."""
-
-    @pandas_udf("double")
-    def _pc(va: pd.Series, vb: pd.Series) -> pd.Series:
-        x = _stack(va).astype(np.float64)
-        y = _stack(vb).astype(np.float64)
-        num = np.einsum("ij,ij->i", x, y)
-        den = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-        den[den == 0] = 1.0
-        return pd.Series(num / den)
-
-    return _pc(a, b)
-
-
-def cosine_to_queries(vec: Column, queries: np.ndarray) -> Column:
-    """Cosine similarity of a vector column to a fixed query matrix
-    (k, dim); returns array<double> of length k."""
-    q = queries.astype(np.float64)
-    qn = np.linalg.norm(q, axis=1)
-    qn[qn == 0] = 1.0
-
-    @pandas_udf("array<double>")
-    def _cos(v: pd.Series) -> pd.Series:
-        x = _stack(v).astype(np.float64)
-        xn = np.linalg.norm(x, axis=1, keepdims=True)
-        xn[xn == 0] = 1.0
-        sims = (x @ q.T) / (xn * qn)
-        return pd.Series(list(sims))
-
-    return _cos(vec)
-
-
-def simhash_fp(token_hashes: Column) -> Column:
-    """SimHash fingerprint over an array<long> column of token hashes.
-
-    Per row: bit b of the fingerprint is set iff more tokens have bit
-    b set than clear (vote_b = sum(±1) > 0) — identical semantics to
-    the explode+aggregate formulation (operators/dedup.py:
-    simhash_fingerprints_agg, equality-tested), but computed map-side
-    per Arrow batch: unpack the (total_tokens, 64) bit matrix once,
-    segment-sum with np.add.reduceat, threshold. No explode, no
-    shuffle — the fingerprint never leaves the scan stage.
-
-    Empty-token rows get fp=0 (every vote is -1).
-    """
-
-    @pandas_udf("long")
-    def _fp(th: pd.Series) -> pd.Series:
-        n = len(th)
-        rows = [np.asarray(x, dtype=np.int64) for x in th]
-        lens = np.array([len(r) for r in rows], dtype=np.int64)
-        out = np.zeros(n, dtype=np.int64)
-        nonempty = lens > 0
-        if nonempty.any():
-            flat = np.concatenate([r for r in rows if len(r)]).view(np.uint64)
-            shifts = np.arange(64, dtype=np.uint64)
-            bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )  # (N, 64)
-            starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(lens[nonempty][:-1], out=starts[1:])
-            counts = np.add.reduceat(bits, starts, axis=0)  # (rows, 64)
-            votes = 2 * counts - lens[nonempty][:, None]
-            fp = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
-            out[nonempty] = fp.view(np.int64)
-        return pd.Series(out)
-
-    return _fp(token_hashes)
 
 
 def _normalized_subvectors(v: pd.Series, m: int, d_sub: int) -> np.ndarray:
@@ -278,7 +333,7 @@ def _sub_distances(subs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     200 s/Lloyd-iteration at n=100k, m=16, k=256 vs ~1 s through BLAS
     (a 264 s codebook "training cost" in ANN_SCALE_PROBE that was
     really an einsum dispatch artifact). Same kernel serves the
-    per-Arrow-batch encode in pq_codes, so the fix speeds the query
+    per-Arrow-batch encode in pq_codes_fn, so the fix speeds the query
     path too. The (n, m, k, d_sub) broadcast alternative would be
     d_sub x larger in memory."""
     x_sq = (subs * subs).sum(axis=2, keepdims=True)          # (n, m, 1)
@@ -314,42 +369,66 @@ def _sub_argmin(
     return out
 
 
-def pq_codes(vec: Column, codebooks: np.ndarray) -> Column:
-    """Product-quantization codes for a vector column.
+def pq_codes_fn(codebooks: np.ndarray):
+    """Product-quantization codes for a vector batch.
 
     `codebooks` has shape (m, k, d_sub) with m·d_sub = dim. Each
     vector is unit-normalized, split into m subvectors, and each
     subvector mapped to the index of its nearest sub-centroid
     (squared L2; ties break to the lowest index via argmin's
-    first-match rule). Returns array<int> of length m — the 100 TB
-    representation: m small ints per vector instead of dim floats.
+    first-match rule). The returned fn maps a vector Series to a list
+    of int32 arrays of length m — the 100 TB representation: m small
+    ints per vector instead of dim floats.
     """
     cb = codebooks.astype(np.float64)
     m, _, d_sub = cb.shape
 
-    @pandas_udf("array<int>")
-    def _codes(v: pd.Series) -> pd.Series:
+    def fn(v: pd.Series):
         subs = _normalized_subvectors(v, m, d_sub)
-        codes = _sub_argmin(subs, cb)
-        return pd.Series(list(codes))
+        return list(_sub_argmin(subs, cb))
 
-    return _codes(vec)
+    return fn
 
 
-def pq_lut(vec: Column, codebooks: np.ndarray) -> Column:
+def pq_lut_fn(codebooks: np.ndarray):
     """Per-query asymmetric-distance lookup table: squared L2 from
     each unit-normalized query subvector to every sub-centroid.
-    Returns array<array<double>> of shape (m, k); ADC distance to a
-    coded corpus vector is then sum_m lut[m][code_m] — m array
-    lookups per candidate, computed JVM-side.
+    The returned fn maps a vector Series to a list of (m, k) nested
+    lists; ADC distance to a coded corpus vector is then
+    sum_m lut[m][code_m] — m array lookups per candidate, computed
+    JVM-side.
     """
     cb = codebooks.astype(np.float64)
     m, _, d_sub = cb.shape
 
-    @pandas_udf("array<array<double>>")
-    def _lut(v: pd.Series) -> pd.Series:
+    def fn(v: pd.Series):
         subs = _normalized_subvectors(v, m, d_sub)
         d = _sub_distances(subs, cb)                         # (n, m, k)
-        return pd.Series([[list(row) for row in tbl] for tbl in d])
+        return [[list(row) for row in tbl] for tbl in d]
 
-    return _lut(vec)
+    return fn
+
+
+def with_pq_codes(
+    frame: DataFrame, vec_col: str, codebooks: np.ndarray, out: str = "codes",
+    drop: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append the array<int> PQ code column (see pq_codes_fn)."""
+    k = pq_codes_fn(codebooks)
+    return arrow_stage(
+        frame, [(out, "array<int>", lambda pdf: k(pdf[vec_col]))], drop=drop
+    )
+
+
+def with_pq_lut(
+    frame: DataFrame, vec_col: str, codebooks: np.ndarray, out: str = "lut",
+    drop: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append the array<array<double>> per-query ADC lookup table
+    (see pq_lut_fn)."""
+    k = pq_lut_fn(codebooks)
+    return arrow_stage(
+        frame,
+        [(out, "array<array<double>>", lambda pdf: k(pdf[vec_col]))],
+        drop=drop,
+    )

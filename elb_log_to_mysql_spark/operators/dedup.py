@@ -670,7 +670,7 @@ def simhash_fingerprints(
 
     Token hashing stays JVM-side (xxhash64 over the token array); the
     64-bit vote tally runs in the Arrow-vectorized kernel
-    (functions/vectorops.py:simhash_fp) — one bit-matrix unpack +
+    (functions/vectorops.py:simhash_fp_batch) — one bit-matrix unpack +
     segment-sum per batch. The fingerprint is produced in the scan
     stage with NO explode and NO shuffle: at 100 TB the alternative
     (explode to one row per token, 64-column hash aggregate) shuffles
@@ -678,7 +678,7 @@ def simhash_fingerprints(
     Equality with that formulation is pinned by
     tests (simhash_fingerprints_agg is the JVM-pure twin).
     """
-    from elb_log_to_mysql_spark.functions.vectorops import simhash_fp
+    from elb_log_to_mysql_spark.functions.vectorops import with_simhash_fp
 
     th = (
         ensure_min_partitions(documents)
@@ -692,7 +692,9 @@ def simhash_fingerprints(
         # explode, so the kernel path must too
         .filter(F.size("th") > 0)
     )
-    return th.select("doc_id", simhash_fp(F.col("th")).alias("fp"))
+    # the vote tally is its own mapInPandas stage (never a PythonUDF
+    # expression); the token-hash array dies inside it
+    return with_simhash_fp(th, "th", drop=("th",)).select("doc_id", "fp")
 
 
 def simhash_fingerprints_agg(

@@ -86,6 +86,13 @@ def gini_udaf():
     G = (2·Σ i·x_(i) ) / (n·Σx) - (n+1)/n over the sorted sample —
     both numerator sums are exact integers, so the one double division
     is bit-deterministic and oracle-checkable with window SQL.
+
+    Race-class note: this is a GROUPED_AGG pandas UDF in aggregate
+    position — it plans as its own AggregateInPandas physical
+    operator, never as a PythonUDF expression inside a projection, so
+    it is structurally outside the scalar-UDF concurrent-planning
+    race the engine eliminated in rounds 12-13 (see
+    functions/vectorops.py module docstring).
     """
     from pyspark.sql.functions import pandas_udf
 

@@ -26,9 +26,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from elb_log_to_mysql_spark.functions.vectorops import (
-    center_distances,
-    lsh_bucket_ids,
-    pairwise_cosine,
+    arrow_stage,
+    with_center_distances,
+    with_lsh_buckets,
+    with_pairwise_cosine,
 )
 from elb_log_to_mysql_spark.session import ensure_min_partitions
 
@@ -77,10 +78,15 @@ def similarity_topk_bruteforce(
     c = ensure_min_partitions(embeddings).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", pairwise_cosine(F.col("q_vec"), F.col("c_vec")))
+    # cosine runs as its own mapInPandas stage and the vectors are
+    # dropped inside it — the rank shuffle moves only id/score triples
+    scored = with_pairwise_cosine(
+        c.crossJoin(F.broadcast(q)).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ),
+        "q_vec",
+        "c_vec",
+        drop=("q_vec", "c_vec"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
@@ -149,14 +155,13 @@ def similarity_topk_lsh(
     # row batch (functions/vectorops.py): Spark's higher-order array
     # functions are interpreted, and evaluating n_tables·n_planes
     # literal-array dot products per row through them is ~1000× slower
-    # than BLAS on the same batch.
+    # than BLAS on the same batch. The matmul is its own mapInPandas
+    # stage; the explode stays JVM-side over its output column.
     def bucketize(df: DataFrame, idc: str, vecc: str) -> DataFrame:
-        return df.select(
+        return with_lsh_buckets(df, vecc, planes).select(
             F.col(idc),
             F.col(vecc),
-            F.posexplode(lsh_bucket_ids(F.col(vecc), planes)).alias(
-                "table_idx", "bucket"
-            ),
+            F.posexplode("_bks").alias("table_idx", "bucket"),
         )
 
     qb = bucketize(
@@ -177,9 +182,14 @@ def similarity_topk_lsh(
     # multiple tables recomputes a cosine instead of shuffling two
     # dim-width arrays twice — compute is cheaper than exchange bytes.
     cand = (
-        cb.join(F.broadcast(qb), ["table_idx", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", pairwise_cosine(F.col("q_vec"), F.col("c_vec")))
+        with_pairwise_cosine(
+            cb.join(F.broadcast(qb), ["table_idx", "bucket"]).filter(
+                F.col("query_id") != F.col("neighbor_id")
+            ),
+            "q_vec",
+            "c_vec",
+            drop=("q_vec", "c_vec"),
+        )
         .select("query_id", "neighbor_id", "cos")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -238,8 +248,14 @@ def embedding_near_dup(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
     )
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .filter(pairwise_cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        with_pairwise_cosine(
+            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")),
+            "vec_a",
+            "vec_b",
+            out="_cos",
+            drop=("vec_a", "vec_b"),
+        )
+        .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b")
     )
 
@@ -264,12 +280,14 @@ def embedding_near_dup_lsh(
     the threshold.
     """
     planes = _hyperplanes(n_tables, n_planes, dim, seed)
-    bucketed = ensure_min_partitions(embeddings).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.posexplode(lsh_bucket_ids(F.col(vec_col), planes)).alias(
-            "table_idx", "bucket"
+    bucketed = with_lsh_buckets(
+        ensure_min_partitions(embeddings).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         ),
+        "vec",
+        planes,
+    ).select(
+        "id", "vec", F.posexplode("_bks").alias("table_idx", "bucket")
     )
     left = bucketed.select(
         F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
@@ -280,9 +298,16 @@ def embedding_near_dup_lsh(
         "table_idx", "bucket",
     )
     return (
-        left.join(right, ["table_idx", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(pairwise_cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        with_pairwise_cosine(
+            left.join(right, ["table_idx", "bucket"]).filter(
+                F.col("id_a") < F.col("id_b")
+            ),
+            "vec_a",
+            "vec_b",
+            out="_cos",
+            drop=("vec_a", "vec_b"),
+        )
+        .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -369,56 +394,74 @@ def similarity_topk_ivf(
         else train_ivf_centroids(embeddings, n_centroids, vec_col, seed)
     )
 
-    # One Arrow-batched matmul yields all centroid distances per batch
-    # (functions/vectorops.py) — the HOF-expression equivalent is
-    # interpreted per row and dominated total runtime.
-    def dist2_to_centers(vec: Column) -> Column:
-        return center_distances(vec, centers)
-
-    corpus = (
+    # One Arrow-batched matmul (its own mapInPandas stage) yields all
+    # centroid distances per batch (functions/vectorops.py) — the
+    # HOF-expression equivalent is interpreted per row and dominated
+    # total runtime; cell selection stays JVM-side over the output.
+    corpus = with_center_distances(
         ensure_min_partitions(embeddings).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            dist2_to_centers(F.col(vec_col)).alias("_dists"),
-        )
-        .select(
-            "neighbor_id",
-            "c_vec",
-            (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
-            .cast("int")
-            .alias("cell"),
-        )
-    )
-    probed = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+        centers,
+    ).select("neighbor_id", "c_vec", _nearest_cell_expr().alias("cell"))
+    probed = with_center_distances(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec",
+        centers,
+    ).select(
+        "query_id",
+        "q_vec",
         F.explode(
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.zip_with(
-                            dist2_to_centers(F.col(vec_col)),
-                            F.sequence(F.lit(0), F.lit(len(centers) - 1)),
-                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                        )
-                    ),
-                    lambda s: s.getField("i"),
-                ),
-                1,
-                nprobe,
-            )
+            _probe_cells_expr(F.col("_dists"), len(centers), nprobe)
         ).alias("cell"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
+    scored = with_pairwise_cosine(
+        corpus.join(F.broadcast(probed), "cell").filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ),
+        "q_vec",
+        "c_vec",
+        drop=("q_vec", "c_vec"),
+    )
     return (
-        corpus.join(F.broadcast(probed), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", pairwise_cosine(F.col("q_vec"), F.col("c_vec")))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+def _nearest_cell_expr(dists: str = "_dists") -> Column:
+    """Index of the minimum distance (ties -> lowest index), as int —
+    the IVF cell assignment, computed JVM-side over the Arrow stage's
+    distance column."""
+    return (
+        F.array_position(F.col(dists), F.array_min(dists)) - 1
+    ).cast("int")
+
+
+def _probe_cells_expr(dists: Column, n_centers: int, nprobe: int) -> Column:
+    """The nprobe nearest cell ids, ascending by distance (ties ->
+    lower cell id via the struct sort), as array<int> — JVM-side over
+    the Arrow stage's distance column."""
+    return F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    dists,
+                    F.sequence(F.lit(0), F.lit(n_centers - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                )
+            ),
+            lambda s: s.getField("i"),
+        ),
+        1,
+        nprobe,
     )
 
 
@@ -562,6 +605,15 @@ def derive_pq_rerank_factor(
         rerank_factor = clamp(ceil((max_multiplicity + k) / k),
                               floor, cap)
 
+    Guarantee scope: the derived depth covers a tie cluster only when
+    that cluster sits at (or within k of) the TOP of the ADC order —
+    the near-dup case the 320x probe measured, where the duplicated
+    vectors ARE the nearest neighbors. A true-top-k cluster preceded
+    by more than k·(rerank_factor-1) lower-ADC candidates is outside
+    this guarantee (such a corpus has a tie cluster that is dense but
+    NOT nearest — rerank depth cannot be sized from multiplicity
+    alone there).
+
     Cost: one scalar aggregation over the (id, codes) frame — the
     same frame the ADC scan reads, so on a stored index this is a
     metadata-cheap groupBy. NOTE this makes the calling operator
@@ -569,9 +621,11 @@ def derive_pq_rerank_factor(
     simhash's density-derived cap. `cap` bounds the shortlist a
     pathological million-clone corpus could demand — past it, dedup
     the corpus first (the engine ships near_dedup/exact_dedup for
-    exactly this).
+    exactly this); when the clamp actually binds, a RuntimeWarning
+    makes the silent-degradation risk observable instead of implied.
     """
     import math
+    import warnings
 
     row = (
         codes.groupBy("codes")
@@ -580,14 +634,24 @@ def derive_pq_rerank_factor(
         .first()
     )
     max_mult = int(row[0] or 1)
-    return max(floor, min(cap, math.ceil((max_mult + k) / k)))
+    want = math.ceil((max_mult + k) / k)
+    if want > cap:
+        warnings.warn(
+            f"derive_pq_rerank_factor: required depth {want} (max code "
+            f"multiplicity {max_mult}, k={k}) exceeds cap={cap}; the "
+            f"clamped shortlist may miss tie-cluster members — dedup "
+            f"the corpus (near_dedup/exact_dedup) before indexing",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return max(floor, min(cap, want))
 
 
 def similarity_topk_pq(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    rerank_factor: int | None = 4,
+    rerank_factor: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks=None,
@@ -615,6 +679,14 @@ def similarity_topk_pq(
        candidates per query (broadcast semi of the candidate ids
        against the corpus) and rerank by exact cosine.
 
+    `rerank_factor` defaults to None = DERIVED from the corpus's
+    PQ-code tie structure (derive_pq_rerank_factor — the 320x-probe
+    law: near-dup-dense corpora need a deeper shortlist or recall
+    collapses to the tie-cluster fraction; a deduped corpus derives
+    back to the floor of 4). The derivation makes plan construction
+    EAGER (one scalar agg over the codes frame). Pass an explicit int
+    to keep plan construction lazy and pin the depth.
+
     Composes with IVF (`similarity_topk_ivf`) for sublinear scan at
     extreme scale: restrict step 2 to probed cells. Ranking ties break
     by neighbor_id in both stages, so results are partitioning-
@@ -623,7 +695,10 @@ def similarity_topk_pq(
     """
     import numpy as np
 
-    from elb_log_to_mysql_spark.functions.vectorops import pq_codes, pq_lut
+    from elb_log_to_mysql_spark.functions.vectorops import (
+        with_pq_codes,
+        with_pq_lut,
+    )
 
     cb = (
         np.asarray(codebooks, dtype=np.float64)
@@ -633,9 +708,14 @@ def similarity_topk_pq(
         )
     )
 
-    codes = ensure_min_partitions(embeddings).select(
-        F.col(id_col).alias("neighbor_id"),
-        pq_codes(F.col(vec_col), cb).alias("codes"),
+    # encode as a mapInPandas stage; the raw vector dies inside it
+    codes = with_pq_codes(
+        ensure_min_partitions(embeddings).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        "_v",
+        cb,
+        drop=("_v",),
     )
     derived_cache = None
     if rerank_factor is None:
@@ -643,10 +723,12 @@ def similarity_topk_pq(
         # persist because the derivation and the ADC scan both read it
         codes = derived_cache = codes.persist()
         rerank_factor = derive_pq_rerank_factor(codes, k)
-    qside = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        pq_lut(F.col(vec_col), cb).alias("lut"),
+    qside = with_pq_lut(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        "q_vec",
+        cb,
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
@@ -677,10 +759,14 @@ def similarity_topk_pq(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     out = (
-        fetched.join(
-            F.broadcast(qside.select("query_id", "q_vec")), "query_id"
+        with_pairwise_cosine(
+            fetched.join(
+                F.broadcast(qside.select("query_id", "q_vec")), "query_id"
+            ),
+            "q_vec",
+            "c_vec",
+            drop=("q_vec", "c_vec"),
         )
-        .withColumn("cos", pairwise_cosine(F.col("q_vec"), F.col("c_vec")))
         .withColumn("rank", F.row_number().over(w_cos))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
@@ -698,7 +784,7 @@ def similarity_topk_ivfpq(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 8,
-    rerank_factor: int | None = 4,
+    rerank_factor: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids=None,
@@ -729,10 +815,19 @@ def similarity_topk_ivfpq(
     Ties break by neighbor_id at both ranking stages
     (partitioning-invariant); recall is audited against the
     brute-force exact top-k in the registry entry.
+
+    `rerank_factor=None` (the default) derives the shortlist depth
+    from the stored index's code ties (derive_pq_rerank_factor —
+    eager, one agg); pass an explicit int to keep plan construction
+    lazy and pin the depth.
     """
     import numpy as np
 
-    from elb_log_to_mysql_spark.functions.vectorops import pq_codes, pq_lut
+    from elb_log_to_mysql_spark.functions.vectorops import (
+        center_dists_fn,
+        pq_codes_fn,
+        pq_lut_fn,
+    )
 
     centers = (
         np.asarray(centroids, dtype=np.float64)
@@ -746,25 +841,21 @@ def similarity_topk_ivfpq(
             embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
         )
     )
+    codes_k, dists_k = pq_codes_fn(cb), center_dists_fn(centers)
 
-    def dist2_to_centers(vec: Column) -> Column:
-        return center_distances(vec, centers)
-
-    indexed = (
-        ensure_min_partitions(embeddings)
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            pq_codes(F.col(vec_col), cb).alias("codes"),
-            dist2_to_centers(F.col(vec_col)).alias("_dists"),
-        )
-        .select(
-            "neighbor_id",
-            "codes",
-            (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
-            .cast("int")
-            .alias("cell"),
-        )
-    )
+    # PQ encode + coarse distances share ONE mapInPandas stage (one
+    # Python round trip per corpus batch); the raw vector dies inside
+    # it and cell selection stays JVM-side over the distance column.
+    indexed = arrow_stage(
+        ensure_min_partitions(embeddings).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        [
+            ("codes", "array<int>", lambda pdf: codes_k(pdf["_v"])),
+            ("_dists", "array<double>", lambda pdf: dists_k(pdf["_v"])),
+        ],
+        drop=("_v",),
+    ).select("neighbor_id", "codes", _nearest_cell_expr().alias("cell"))
     derived_cache = None
     if rerank_factor is None:
         # near-dup-aware depth from the stored index's code ties
@@ -774,24 +865,22 @@ def similarity_topk_ivfpq(
         rerank_factor = derive_pq_rerank_factor(
             indexed.select("codes"), k
         )
-    qside = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        pq_lut(F.col(vec_col), cb).alias("lut"),
-        F.slice(
-            F.transform(
-                F.array_sort(
-                    F.zip_with(
-                        dist2_to_centers(F.col(vec_col)),
-                        F.sequence(F.lit(0), F.lit(len(centers) - 1)),
-                        lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                    )
-                ),
-                lambda s: s.getField("i"),
-            ),
-            1,
-            nprobe,
-        ).alias("probe_cells"),
+    lut_k = pq_lut_fn(cb)
+    qside = arrow_stage(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        [
+            ("lut", "array<array<double>>", lambda pdf: lut_k(pdf["q_vec"])),
+            ("_dists", "array<double>", lambda pdf: dists_k(pdf["q_vec"])),
+        ],
+    ).select(
+        "query_id",
+        "q_vec",
+        "lut",
+        _probe_cells_expr(F.col("_dists"), len(centers), nprobe).alias(
+            "probe_cells"
+        ),
     )
     probed = qside.select(
         "query_id", "lut", F.explode("probe_cells").alias("cell")
@@ -825,10 +914,14 @@ def similarity_topk_ivfpq(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     out = (
-        fetched.join(
-            F.broadcast(qside.select("query_id", "q_vec")), "query_id"
+        with_pairwise_cosine(
+            fetched.join(
+                F.broadcast(qside.select("query_id", "q_vec")), "query_id"
+            ),
+            "q_vec",
+            "c_vec",
+            drop=("q_vec", "c_vec"),
         )
-        .withColumn("cos", pairwise_cosine(F.col("q_vec"), F.col("c_vec")))
         .withColumn("rank", F.row_number().over(w_cos))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
@@ -859,25 +952,28 @@ def ann_index_assign(
     incremental_ann_index)."""
     import numpy as np
 
-    from elb_log_to_mysql_spark.functions.vectorops import pq_codes
+    from elb_log_to_mysql_spark.functions.vectorops import (
+        center_dists_fn,
+        pq_codes_fn,
+    )
 
     centers = np.asarray(centroids, dtype=np.float64)
     cb = np.asarray(codebooks, dtype=np.float64)
-    return (
-        ensure_min_partitions(embeddings)
-        .select(
-            F.col(id_col).alias("vec_id"),
-            center_distances(F.col(vec_col), centers).alias("_dists"),
-            pq_codes(F.col(vec_col), cb).alias("codes"),
-        )
-        .select(
-            "vec_id",
-            (F.array_position(F.col("_dists"), F.array_min("_dists")) - 1)
-            .cast("int")
-            .alias("cell"),
-            "codes",
-            F.array_min("_dists").alias("qerr"),
-        )
+    codes_k, dists_k = pq_codes_fn(cb), center_dists_fn(centers)
+    return arrow_stage(
+        ensure_min_partitions(embeddings).select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+        ),
+        [
+            ("_dists", "array<double>", lambda pdf: dists_k(pdf["_v"])),
+            ("codes", "array<int>", lambda pdf: codes_k(pdf["_v"])),
+        ],
+        drop=("_v",),
+    ).select(
+        "vec_id",
+        _nearest_cell_expr().alias("cell"),
+        "codes",
+        F.array_min("_dists").alias("qerr"),
     )
 
 

@@ -73,6 +73,13 @@ def plan_report(df: DataFrame) -> dict:
             re.findall(r"Functions \[\d+\]: \[partial_", detail_text)
         ),
         "wholestage_codegen": len(set(re.findall(r"codegen id : (\d+)", detail_text))),
-        "python_evals": sum("Python" in n for n in names),
+        # every physical form Python work can take: scalar/grouped UDF
+        # eval nodes carry "Python" in the name; the Arrow stage
+        # operators (mapInPandas/mapInArrow/applyInPandas[WithState])
+        # carry "Pandas"/"Arrow" instead
+        "python_evals": sum(
+            ("Python" in n) or ("InPandas" in n) or ("InArrow" in n)
+            for n in names
+        ),
         "aqe": "AdaptiveSparkPlan" in plan,
     }

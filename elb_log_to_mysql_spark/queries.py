@@ -3779,37 +3779,39 @@ def _ua_classify_oracle() -> str:
 @_q("ua_classify", _ua_classify_oracle())
 def q_ua_classify(spark, sf_dir):
     """P12 exact-parity path, driver-checked: the browser/os columns
-    come from the pandas-UDF uap-core evaluator (functions/ua.py:
-    ua_families_udf — `user_agents` where installed, else the vendored
-    database with the same algorithm), the oracle recomputes them via
-    a DuckDB CASE ladder generated from the SAME yaml, and
-    `ladder_agrees` pins the JVM rlike when-ladder against the UDF
-    in-plan (the oracle expects TRUE on every row). One driver row
-    therefore certifies evaluator ≡ JVM ladder ≡ DuckDB CASE over a
-    family-complete UA sample including the precedence traps.
-    prefer_wrapper=False pins the UDF to the VENDORED database: this
-    entry's contract is three-way agreement over that database, and
-    the full-uap-core `user_agents` wrapper (used by elb_parse when
-    installed) would name long-tail agents the subset maps to
-    "Other", spuriously failing the oracle in wrapper-equipped
-    environments."""
+    come from the Arrow-batched uap-core evaluator (functions/ua.py:
+    classify_ua_rows, a mapInPandas stage — `user_agents` where
+    installed, else the vendored database with the same algorithm),
+    the oracle recomputes them via a DuckDB CASE ladder generated
+    from the SAME yaml, and `ladder_agrees` pins the JVM rlike
+    when-ladder against the evaluator in-plan (the oracle expects
+    TRUE on every row). One driver row therefore certifies
+    evaluator ≡ JVM ladder ≡ DuckDB CASE over a family-complete UA
+    sample including the precedence traps. prefer_wrapper=False pins
+    the evaluator to the VENDORED database: this entry's contract is
+    three-way agreement over that database, and the full-uap-core
+    `user_agents` wrapper (used by elb_parse when installed) would
+    name long-tail agents the subset maps to "Other", spuriously
+    failing the oracle in wrapper-equipped environments."""
     from elb_log_to_mysql_spark.functions.ua import (
+        classify_ua_rows,
         ua_browser_family_expr,
-        ua_families_udf,
         ua_os_family_expr,
     )
 
     df = spark.createDataFrame(
         [(i, ua) for i, ua in enumerate(_UA_SAMPLE)], "ua_id int, ua string"
     )
-    fam = ua_families_udf(prefer_wrapper=False)(F.col("ua"))
-    return df.select(
+    classified = classify_ua_rows(
+        df, "ua", "browser", "os", prefer_wrapper=False
+    )
+    return classified.select(
         "ua_id",
-        fam.browser.alias("browser"),
-        fam.os.alias("os"),
+        "browser",
+        "os",
         (
-            (ua_browser_family_expr("ua") == fam.browser)
-            & (ua_os_family_expr("ua") == fam.os)
+            (ua_browser_family_expr("ua") == F.col("browser"))
+            & (ua_os_family_expr("ua") == F.col("os"))
         ).alias("ladder_agrees"),
     )
 
@@ -7124,8 +7126,17 @@ def q_stream_near_dedup_blocklist(spark, sf_dir):
         "buy cheap pills online now best price guaranteed today "
         "limited offer act fast"
     )
+    # the spam/natural id partition must stay correct at ANY scale
+    # factor: derive the spam id base from the table's own max id
+    # (ADVICE r12 — a hardcoded 1e6 base would misclassify natural
+    # docs as spam if a larger SF ever crossed it). This entry is
+    # already eager (it lands the corpus to parquet), so the 1-value
+    # agg adds no new driver-action class; at the gate SFs the base
+    # stays 1_000_000, keeping the audit bit-identical.
+    max_id = docs.agg(F.max("doc_id")).first()[0] or 0
+    spam_base = max(1_000_000, int(max_id) + 1)
     spam = spark.range(50).select(
-        (F.lit(1_000_000) + F.col("id")).alias("doc_id"),
+        (F.lit(spam_base) + F.col("id")).alias("doc_id"),
         F.lit(spam_text).alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(spam)
@@ -7146,13 +7157,13 @@ def q_stream_near_dedup_blocklist(spark, sf_dir):
     spam_stats = found.agg(
         F.sum(
             (
-                (F.col("doc_id_a") >= 1_000_000)
-                | (F.col("doc_id_b") >= 1_000_000)
+                (F.col("doc_id_a") >= spam_base)
+                | (F.col("doc_id_b") >= spam_base)
             ).cast("long")
         ).alias("n_spam_pairs")
     )
     found_nat = found.filter(
-        (F.col("doc_id_a") < 1_000_000) & (F.col("doc_id_b") < 1_000_000)
+        (F.col("doc_id_a") < spam_base) & (F.col("doc_id_b") < spam_base)
     )
     exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
     out = (

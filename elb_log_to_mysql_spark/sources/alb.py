@@ -43,8 +43,8 @@ from elb_log_to_mysql_spark.functions.ua import (
     UA_PROBE_ROWS,
     choose_ua_strategy,
     classify_ua_join,
+    classify_ua_rows,
     ua_browser_family_expr,
-    ua_families_udf,
     ua_os_family_expr,
 )
 from elb_log_to_mysql_spark.schema import ALB_TOKEN_DDL, ELB_LOG_COLUMNS
@@ -195,14 +195,13 @@ def parse_alb_lines(
         F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")),
     ).otherwise(url)
 
-    if ua_strategy in ("join", "defer"):
-        # classified after projection over the distinct agents;
+    if ua_strategy in ("join", "defer") or exact_ua:
+        # classified after projection (join/defer: over the distinct
+        # agents; exact_ua: per row as its own mapInPandas stage —
+        # never a PythonUDF expression inside this projection);
         # placeholders keep the select's column order stable
         browser = F.lit(None).cast("string")
         os_fam = F.lit(None).cast("string")
-    elif exact_ua:
-        fam = ua_families_udf()(F.col("user_agent"))
-        browser, os_fam = fam.getField("browser"), fam.getField("os")
     else:
         # pass the column NAME: the ladder then renders as one SQL
         # CASE string and crosses py4j once instead of per-arm
@@ -237,6 +236,16 @@ def parse_alb_lines(
     out = out.filter(F.col("log_timestamp").isNotNull()).select(*ELB_LOG_COLUMNS)
     if ua_strategy == "join":
         out = classify_ua_join(out, prefer_wrapper=bool(exact_ua))
+    elif exact_ua and ua_strategy != "defer":
+        # exact-parity per-row evaluator (the reference's code path)
+        # as a mapInPandas stage over the projected frame; works for
+        # batch and streaming plans alike
+        out = classify_ua_rows(
+            out.drop("ua_browser_family", "ua_os_family"),
+            "user_agent_full",
+            "ua_browser_family",
+            "ua_os_family",
+        ).select(*ELB_LOG_COLUMNS)
     return out
 
 

@@ -1329,18 +1329,30 @@ def test_pq_codebooks_deterministic(spark, sf_dir):
 
 
 def test_pq_query_path_has_no_inline_training(spark, sf_dir):
-    """With precomputed codebooks the PQ search must be pure plan
-    construction — building the DataFrame triggers no Spark job."""
+    """With precomputed codebooks AND an explicit rerank depth the PQ
+    search must be pure plan construction — building the DataFrame
+    triggers no Spark job. (The r13 default rerank_factor=None
+    derives the depth from the corpus's code ties, which is
+    deliberately EAGER — one scalar agg; the explicit int is the
+    documented lazy opt-out this test pins.)"""
     emb = load_table(spark, sf_dir, "embeddings")
     cb = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
     tracker = spark.sparkContext.statusTracker()
     before = tracker.getJobIdsForGroup(None)
     df = similarity.similarity_topk_pq(
-        emb, emb.filter(F.col("vec_id") < 10), k=5, codebooks=cb
+        emb, emb.filter(F.col("vec_id") < 10), k=5, rerank_factor=4,
+        codebooks=cb,
     )
     after = tracker.getJobIdsForGroup(None)
     assert before == after, "plan construction ran Spark jobs"
     assert df.count() > 0
+    # and the derived default IS eager: one derivation agg runs
+    before = tracker.getJobIdsForGroup(None)
+    similarity.similarity_topk_pq(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, codebooks=cb
+    )
+    after = tracker.getJobIdsForGroup(None)
+    assert before != after, "derived-depth default should run the agg"
 
 
 def test_pq_adc_scan_reads_codes_not_vectors(spark, sf_dir):
@@ -1642,12 +1654,14 @@ def test_pq_rerank_depth_derivation_covers_tie_clusters(spark):
     )
     cb = similarity.train_pq_codebooks(base_df, m=2, n_codes=8)
 
-    from elb_log_to_mysql_spark.functions.vectorops import pq_codes
+    from elb_log_to_mysql_spark.functions.vectorops import with_pq_codes
     from elb_log_to_mysql_spark.operators.similarity import (
         derive_pq_rerank_factor,
     )
 
-    codes = emb.select(pq_codes(F.col("embedding"), cb).alias("codes"))
+    codes = with_pq_codes(
+        emb.select(F.col("embedding").alias("_v")), "_v", cb, drop=("_v",)
+    )
     assert codes.distinct().count() == n_base  # one code word per cluster
     rf = derive_pq_rerank_factor(codes, k)
     assert rf * k >= n_clone  # shortlist covers the widest tie cluster

@@ -50,11 +50,12 @@ def test_stream_candidates_equal_batch_join(spark, sf_dir):
 
 
 def test_band_rows_signatures_bitequal_batch_kernel(spark, sf_dir):
-    """The mapInPandas signer (band_rows) and the batch operator's
-    pandas_udf signer share minhash_coefficients, so the band rows
-    they derive must be IDENTICAL — the contract that makes streamed
-    candidates comparable to batch near_dedup's buckets."""
-    from elb_log_to_mysql_spark.functions.vectorops import minhash_signatures
+    """The streaming signer path (band_rows) and an independently
+    constructed minhash_sig_rows stage share minhash_coefficients, so
+    the band rows they derive must be IDENTICAL — the contract that
+    makes streamed candidates comparable to batch near_dedup's
+    buckets."""
+    from elb_log_to_mysql_spark.functions.vectorops import minhash_sig_rows
 
     docs = load_table(spark, sf_dir, "documents").limit(200)
     via_map = neardedup.band_rows(docs)
@@ -64,16 +65,14 @@ def test_band_rows_signatures_bitequal_batch_kernel(spark, sf_dir):
             "shingles"
         ),
     ).filter(F.size("shingles") > 0)
-    via_udf = sh.select(
-        "doc_id", minhash_signatures(F.col("shingles"), 64).alias("sig")
-    ).select(
+    via_sig = minhash_sig_rows(sh, num_hashes=64).select(
         "doc_id",
         F.posexplode(dedup.band_hashes(F.col("sig"), 16, 4)).alias(
             "band_idx", "band_hash"
         ),
     )
     a = {(r.doc_id, r.band_idx, r.band_hash) for r in via_map.collect()}
-    b = {(r.doc_id, r.band_idx, r.band_hash) for r in via_udf.collect()}
+    b = {(r.doc_id, r.band_idx, r.band_hash) for r in via_sig.collect()}
     assert a == b and len(a) > 0
 
 

@@ -243,25 +243,25 @@ def test_ladder_matches_uap_core_families(spark):
     assert len(CORPUS) >= 90  # corpus breadth guard
 
 
-def test_parity_udf_matches_uap_core_families(spark):
-    """The exact-parity UDF (uap-core resolution algorithm over the
-    vendored database — or the real ``user_agents`` wrapper where
-    installed) must reproduce the pinned families AND OSes. Running
-    unconditionally proves the P12 parity path actually executes and
-    agrees with the fixture, not just the compiled ladder."""
-    from elb_log_to_mysql_spark.functions.ua import ua_families_udf
+def test_parity_stage_matches_uap_core_families(spark):
+    """The exact-parity classifier stage (uap-core resolution
+    algorithm over the vendored database — or the real
+    ``user_agents`` wrapper where installed) must reproduce the
+    pinned families AND OSes. Running unconditionally proves the P12
+    parity path actually executes and agrees with the fixture, not
+    just the compiled ladder."""
+    from elb_log_to_mysql_spark.functions.ua import classify_ua_rows
 
-    udf = ua_families_udf()
     df = spark.createDataFrame([(ua,) for ua, _, _ in CORPUS], "ua string")
-    rows = df.select("ua", udf("ua").alias("fam")).collect()
-    got = {r.ua: (r.fam.browser, r.fam.os) for r in rows}
+    rows = classify_ua_rows(df, "ua", "browser", "os").collect()
+    got = {r.ua: (r.browser, r.os) for r in rows}
     errors = []
     for ua, browser, os_fam in CORPUS:
         g_browser, g_os = got[ua]
         if g_browser != browser:
-            errors.append(f"browser {ua!r}: udf={g_browser!r} pinned={browser!r}")
+            errors.append(f"browser {ua!r}: got {g_browser!r} pinned={browser!r}")
         if os_fam is not None and g_os != os_fam:
-            errors.append(f"os {ua!r}: udf={g_os!r} pinned={os_fam!r}")
+            errors.append(f"os {ua!r}: got {g_os!r} pinned={os_fam!r}")
     assert not errors, "\n".join(errors[:20])
 
 

@@ -63,10 +63,26 @@ def build_noisy_replica(factor: int, out_path: str, noise: float = 0.05) -> int:
             )
         )
     full = pa.concat_tables(parts)
+    # write-temp + atomic rename: a crashed build can never leave a
+    # partial file at out_path that a later run would silently reuse
+    tmp_path = out_path + ".tmp"
     pq.write_table(
-        full, out_path, row_group_size=max(1024, (factor * n) // 32)
+        full, tmp_path, row_group_size=max(1024, (factor * n) // 32)
     )
+    os.replace(tmp_path, out_path)
     return factor * n
+
+
+def expected_replica_rows(factor: int) -> int:
+    """Row count a valid cached replica must have: factor x the base
+    table — the validation gate for reusing /tmp artifacts (ADVICE
+    r12: bare os.path.exists accepted partial/mismatched files)."""
+    import pyarrow.parquet as pq
+
+    base_rows = pq.read_metadata(
+        os.path.join(SRC, "embeddings.parquet")
+    ).num_rows
+    return factor * base_rows
 
 
 def main() -> None:
@@ -83,11 +99,26 @@ def main() -> None:
     work = f"/tmp/ann_probe_{factor}x"
     os.makedirs(work, exist_ok=True)
     emb_path = os.path.join(work, "embeddings.parquet")
+    n_vec = None
     if os.path.exists(emb_path):
         import pyarrow.parquet as _pq
 
-        n_vec = _pq.read_metadata(emb_path).num_rows
-    else:
+        # validate before reuse: a partial file from a crashed build,
+        # or one built against a different factor/base, must trigger
+        # a rebuild instead of silently skewing the recorded cells
+        try:
+            cached_rows = _pq.read_metadata(emb_path).num_rows
+        except Exception:
+            cached_rows = -1
+        if cached_rows == expected_replica_rows(factor):
+            n_vec = cached_rows
+        else:
+            print(
+                f"cached replica invalid ({cached_rows} rows, want "
+                f"{expected_replica_rows(factor)}): rebuilding",
+                flush=True,
+            )
+    if n_vec is None:
         n_vec = build_noisy_replica(factor, emb_path)
 
     from pyspark.sql import functions as F
