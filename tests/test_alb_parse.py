@@ -363,6 +363,19 @@ def test_ua_join_strategy_matches_expr_ladder(spark):
         persisted.unpersist()
     assert defer_rows == expr_rows
 
+    # the exact-parity per-row path (exact_ua=True with the expr
+    # strategy) — since r13 a post-projection mapInPandas stage, so
+    # pin rows AND column order against the ladder path. The vendored
+    # evaluator and the ladder are certified equal by the ua_classify
+    # gate, so rows must match exactly (user_agents absent here).
+    exact_df = parse_alb_lines(
+        df, source_file=F.lit("t.gz"), exact_ua=True, ua_strategy="expr"
+    )
+    from elb_log_to_mysql_spark.schema import ELB_LOG_COLUMNS
+
+    assert exact_df.columns == list(ELB_LOG_COLUMNS)
+    assert sorted(exact_df.collect()) == expr_rows
+
 
 def test_ua_join_plan_shape(spark):
     """The streaming micro-batch shape's PLAN contract: UA families
