@@ -369,6 +369,86 @@ def _sub_argmin(
     return out
 
 
+def _sub_assign_with_err(
+    subs: np.ndarray, codebooks: np.ndarray, chunk: int = 512
+) -> tuple[np.ndarray, np.ndarray]:
+    """PQ assignment + per-row total reconstruction error in one pass:
+    same chunked kernel as `_sub_argmin`, additionally min-reducing
+    the chunk distances. The dropped row-constant x² term is added
+    back per (row, subspace) so the returned error is the TRUE squared
+    L2 residual ||x - recon(x)||² summed over subspaces — the
+    quantity that bounds how far an ADC score can sit from the true
+    distance (|ADC - true| <= 2·sqrt(true·err) + err by
+    Cauchy-Schwarz), which is what the adaptive rerank band is sized
+    from."""
+    n, m = subs.shape[0], codebooks.shape[0]
+    b = np.ascontiguousarray(codebooks.transpose(0, 2, 1))   # (m, d_sub, k)
+    c_sq = (codebooks * codebooks).sum(axis=2)               # (m, k)
+    x_sq = (subs * subs).sum(axis=2)                         # (n, m)
+    codes = np.empty((n, m), dtype=np.int32)
+    err = np.empty((n, m), dtype=np.float64)
+    for s in range(0, n, chunk):
+        ch = np.ascontiguousarray(subs[s : s + chunk].transpose(1, 0, 2))
+        d = c_sq[:, None, :] - 2.0 * np.matmul(ch, b)        # (m, c, k)
+        codes[s : s + chunk] = d.argmin(axis=2).T
+        err[s : s + chunk] = d.min(axis=2).T
+    return codes, np.maximum(err + x_sq, 0.0).sum(axis=1)
+
+
+def with_pq_index_cols(
+    frame: DataFrame,
+    vec_col: str,
+    codebooks: np.ndarray,
+    centers: np.ndarray | None = None,
+    qerr: bool = False,
+    drop: tuple[str, ...] = (),
+) -> DataFrame:
+    """The PQ/IVFPQ index-build stage: ONE mapInPandas pass emitting
+    `codes` (array<int>), optionally `pq_err` (double — per-vector PQ
+    reconstruction error, see _sub_assign_with_err) and optionally
+    `_dists` (array<double> — squared L2 to the IVF coarse `centers`).
+    All requested outputs share a single Python round trip and a
+    single normalization/assignment pass — the combined form the
+    similarity operators use so the corpus never crosses Arrow
+    twice."""
+    from pyspark.sql import types as T
+
+    cb = codebooks.astype(np.float64)
+    m, _, d_sub = cb.shape
+    dists_k = center_dists_fn(centers) if centers is not None else None
+
+    dropped = set(drop)
+    keep = [f for f in frame.schema.fields if f.name not in dropped]
+    names = [f.name for f in keep]
+    out_fields = [T.StructField("codes", T.ArrayType(T.IntegerType()))]
+    if qerr:
+        out_fields.append(T.StructField("pq_err", T.DoubleType()))
+    if dists_k is not None:
+        out_fields.append(
+            T.StructField("_dists", T.ArrayType(T.DoubleType()))
+        )
+    schema = T.StructType(keep + out_fields)
+
+    def _gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            subs = _normalized_subvectors(pdf[vec_col], m, d_sub)
+            # dict insertion order MUST match the schema's field order
+            out = {n: pdf[n].reset_index(drop=True) for n in names}
+            if qerr:
+                codes, err = _sub_assign_with_err(subs, cb)
+                out["codes"] = pd.Series(list(codes))
+                out["pq_err"] = pd.Series(err)
+            else:
+                out["codes"] = pd.Series(list(_sub_argmin(subs, cb)))
+            if dists_k is not None:
+                out["_dists"] = pd.Series(list(dists_k(pdf[vec_col])))
+            yield pd.DataFrame(out)
+
+    return frame.mapInPandas(_gen, schema=schema)
+
+
 def pq_codes_fn(codebooks: np.ndarray):
     """Product-quantization codes for a vector batch.
 

@@ -647,6 +647,95 @@ def derive_pq_rerank_factor(
     return max(floor, min(cap, want))
 
 
+def derive_pq_search_params(
+    indexed: DataFrame, k: int, floor: int = 4, cap: int = 256
+) -> tuple[int, float]:
+    """Size BOTH adaptive-shortlist controls from the stored index:
+
+    - ``rerank_factor`` — the exact-tie depth (derive_pq_rerank_factor:
+      max code multiplicity covers clusters whose members share the
+      SAME code sequence);
+    - ``qerr_band`` — the p99 per-vector PQ reconstruction error
+      (``pq_err`` column), which covers the case exact ties CANNOT
+      see: NOISY near-duplicates whose codes differ slightly but whose
+      ADC scores near-tie. The round-13 320x probe measured this blind
+      spot directly (ANN_SCALE_PROBE_320x_derived.json: 320 noisy
+      copies per base vector -> max code multiplicity stayed ~30, the
+      multiplicity-derived depth hit the floor, and recall@10 stayed
+      0.65). An ADC score differs from the true squared distance by at
+      most 2·sqrt(true·err) + err (Cauchy-Schwarz on the
+      reconstruction residual), so keeping every candidate whose ADC
+      is within ``4·sqrt(kth_adc·q) + 2·q`` of the per-query k-th best
+      (q = this band) provably covers the true top-k up to the p99
+      residual tail — query-adaptive where a fixed depth cannot be.
+
+    Two scalar aggregation jobs over the persisted (codes, pq_err)
+    index frame (multiplicity needs a per-code grouping, the band a
+    per-ROW percentile — folding them into one pass would weight the
+    percentile by distinct code instead of by vector) — the same
+    eager-at-plan-build contract as the depth derivation alone.
+    """
+    import math
+    import warnings
+
+    mult_row = (
+        indexed.groupBy("codes")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()
+    )
+    band_row = indexed.agg(
+        F.expr("percentile_approx(pq_err, 0.99)")
+    ).first()
+    max_mult = int(mult_row[0] or 1)
+    qerr_band = float(band_row[0] or 0.0)
+    want = math.ceil((max_mult + k) / k)
+    if want > cap:
+        warnings.warn(
+            f"derive_pq_search_params: required depth {want} exceeds "
+            f"cap={cap}; dedup the corpus before indexing",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return max(floor, min(cap, want)), qerr_band
+
+
+def _adaptive_adc_shortlist(
+    cand: DataFrame, k: int, rerank_factor: int,
+    qerr_band: float | None, cap: int = 256,
+) -> DataFrame:
+    """Cut the ADC candidate set to the rerank shortlist. Always keeps
+    the top k·rerank_factor by (adc, neighbor_id); with a derived
+    ``qerr_band`` additionally keeps every candidate whose ADC sits
+    within the quantization-error band of the per-query k-th best —
+    band = 4·sqrt(kth_adc·q) + 2·q (see derive_pq_search_params) —
+    bounded by k·cap so a pathological corpus cannot explode the
+    raw-vector fetch. Both windows share one partitioning (no second
+    shuffle)."""
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id")
+    )
+    ranked = cand.withColumn("adc_rank", F.row_number().over(w_adc))
+    keep = F.col("adc_rank") <= k * rerank_factor
+    if qerr_band is not None and qerr_band > 0:
+        # window exprs can't live in a WHERE clause — bind kth first
+        w_all = Window.partitionBy("query_id")
+        ranked = ranked.withColumn(
+            "_kth",
+            F.max(F.when(F.col("adc_rank") <= k, F.col("adc"))).over(w_all),
+        )
+        band = (
+            F.lit(4.0)
+            * F.sqrt(F.greatest(F.col("_kth"), F.lit(0.0)) * F.lit(qerr_band))
+            + F.lit(2.0 * qerr_band)
+        )
+        keep = keep | (
+            (F.col("adc") <= F.col("_kth") + band)
+            & (F.col("adc_rank") <= k * cap)
+        )
+    return ranked.filter(keep).select("query_id", "neighbor_id")
+
+
 def similarity_topk_pq(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -679,13 +768,17 @@ def similarity_topk_pq(
        candidates per query (broadcast semi of the candidate ids
        against the corpus) and rerank by exact cosine.
 
-    `rerank_factor` defaults to None = DERIVED from the corpus's
-    PQ-code tie structure (derive_pq_rerank_factor — the 320x-probe
-    law: near-dup-dense corpora need a deeper shortlist or recall
-    collapses to the tie-cluster fraction; a deduped corpus derives
-    back to the floor of 4). The derivation makes plan construction
-    EAGER (one scalar agg over the codes frame). Pass an explicit int
-    to keep plan construction lazy and pin the depth.
+    `rerank_factor` defaults to None = DERIVED search controls
+    (derive_pq_search_params — the 320x-probe law productized): the
+    exact-tie depth from max code multiplicity PLUS the adaptive ADC
+    error band from the p99 PQ reconstruction error, which covers
+    NOISY near-duplicates whose codes differ but whose ADC scores
+    near-tie (measured at 320x: multiplicity alone left recall at
+    0.65, the band restores 1.0 — ANN_SCALE_PROBE_320x_derived.json).
+    A deduped corpus derives back to the floor depth with a tight
+    band. The derivation makes plan construction EAGER (one agg job
+    over the index frame). Pass an explicit int to keep plan
+    construction lazy and pin a fixed depth (no band).
 
     Composes with IVF (`similarity_topk_ivf`) for sublinear scan at
     extreme scale: restrict step 2 to probed cells. Ranking ties break
@@ -696,7 +789,7 @@ def similarity_topk_pq(
     import numpy as np
 
     from elb_log_to_mysql_spark.functions.vectorops import (
-        with_pq_codes,
+        with_pq_index_cols,
         with_pq_lut,
     )
 
@@ -708,21 +801,27 @@ def similarity_topk_pq(
         )
     )
 
-    # encode as a mapInPandas stage; the raw vector dies inside it
-    codes = with_pq_codes(
+    derived = rerank_factor is None
+    # encode as a mapInPandas stage; the raw vector dies inside it.
+    # The derived path also emits the per-vector PQ reconstruction
+    # error (same pass) — the band statistic the adaptive cut needs.
+    codes = with_pq_index_cols(
         ensure_min_partitions(embeddings).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
         ),
         "_v",
         cb,
+        qerr=derived,
         drop=("_v",),
     )
     derived_cache = None
-    if rerank_factor is None:
-        # near-dup-aware depth (eager: one agg over the codes frame);
-        # persist because the derivation and the ADC scan both read it
+    qerr_band = None
+    if derived:
+        # near-dup-aware depth + ADC error band (eager: one agg over
+        # the index frame); persist — derivation and scan both read it
         codes = derived_cache = codes.persist()
-        rerank_factor = derive_pq_rerank_factor(codes, k)
+        rerank_factor, qerr_band = derive_pq_search_params(codes, k)
+        codes = codes.select("neighbor_id", "codes")
     qside = with_pq_lut(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -730,10 +829,7 @@ def similarity_topk_pq(
         "q_vec",
         cb,
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id")
-    )
-    cand = (
+    scored = (
         codes.crossJoin(F.broadcast(qside.select("query_id", "lut")))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
@@ -748,10 +844,8 @@ def similarity_topk_pq(
                 lambda acc, d: acc + d,
             ),
         )
-        .withColumn("adc_rank", F.row_number().over(w_adc))
-        .filter(F.col("adc_rank") <= k * rerank_factor)
-        .select("query_id", "neighbor_id")
     )
+    cand = _adaptive_adc_shortlist(scored, k, rerank_factor, qerr_band)
     fetched = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ).join(F.broadcast(cand), "neighbor_id")
@@ -816,17 +910,19 @@ def similarity_topk_ivfpq(
     (partitioning-invariant); recall is audited against the
     brute-force exact top-k in the registry entry.
 
-    `rerank_factor=None` (the default) derives the shortlist depth
-    from the stored index's code ties (derive_pq_rerank_factor —
-    eager, one agg); pass an explicit int to keep plan construction
-    lazy and pin the depth.
+    `rerank_factor=None` (the default) derives the shortlist controls
+    from the stored index — exact-tie depth from code multiplicity +
+    adaptive ADC error band from the p99 reconstruction error
+    (derive_pq_search_params — eager, one agg job; see
+    similarity_topk_pq for the 320x evidence); pass an explicit int
+    to keep plan construction lazy and pin a fixed depth (no band).
     """
     import numpy as np
 
     from elb_log_to_mysql_spark.functions.vectorops import (
         center_dists_fn,
-        pq_codes_fn,
         pq_lut_fn,
+        with_pq_index_cols,
     )
 
     centers = (
@@ -841,30 +937,33 @@ def similarity_topk_ivfpq(
             embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col
         )
     )
-    codes_k, dists_k = pq_codes_fn(cb), center_dists_fn(centers)
+    dists_k = center_dists_fn(centers)
 
-    # PQ encode + coarse distances share ONE mapInPandas stage (one
-    # Python round trip per corpus batch); the raw vector dies inside
-    # it and cell selection stays JVM-side over the distance column.
-    indexed = arrow_stage(
+    derived = rerank_factor is None
+    # PQ encode + coarse distances (+ the reconstruction error on the
+    # derived path) share ONE mapInPandas stage (one Python round trip
+    # per corpus batch); the raw vector dies inside it and cell
+    # selection stays JVM-side over the distance column.
+    base_cols = ["neighbor_id", "codes"] + (["pq_err"] if derived else [])
+    indexed = with_pq_index_cols(
         ensure_min_partitions(embeddings).select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
         ),
-        [
-            ("codes", "array<int>", lambda pdf: codes_k(pdf["_v"])),
-            ("_dists", "array<double>", lambda pdf: dists_k(pdf["_v"])),
-        ],
+        "_v",
+        cb,
+        centers=centers,
+        qerr=derived,
         drop=("_v",),
-    ).select("neighbor_id", "codes", _nearest_cell_expr().alias("cell"))
+    ).select(*base_cols, _nearest_cell_expr().alias("cell"))
     derived_cache = None
-    if rerank_factor is None:
-        # near-dup-aware depth from the stored index's code ties
-        # (derive_pq_rerank_factor; eager, one agg); persist — the
+    qerr_band = None
+    if derived:
+        # near-dup-aware depth + ADC error band from the stored index
+        # (derive_pq_search_params; eager, one agg); persist — the
         # derivation and the probed ADC scan both read the index
         indexed = derived_cache = indexed.persist()
-        rerank_factor = derive_pq_rerank_factor(
-            indexed.select("codes"), k
-        )
+        rerank_factor, qerr_band = derive_pq_search_params(indexed, k)
+        indexed = indexed.select("neighbor_id", "codes", "cell")
     lut_k = pq_lut_fn(cb)
     qside = arrow_stage(
         queries.select(
@@ -885,10 +984,7 @@ def similarity_topk_ivfpq(
     probed = qside.select(
         "query_id", "lut", F.explode("probe_cells").alias("cell")
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id")
-    )
-    cand = (
+    scored = (
         indexed.join(F.broadcast(probed), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
@@ -903,10 +999,8 @@ def similarity_topk_ivfpq(
                 lambda acc, d: acc + d,
             ),
         )
-        .withColumn("adc_rank", F.row_number().over(w_adc))
-        .filter(F.col("adc_rank") <= k * rerank_factor)
-        .select("query_id", "neighbor_id")
     )
+    cand = _adaptive_adc_shortlist(scored, k, rerank_factor, qerr_band)
     fetched = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ).join(F.broadcast(cand), "neighbor_id")

@@ -1618,6 +1618,88 @@ def test_variant_roundtrip_preserves_types_and_nulls(spark):
     assert rows[1]["x1"] is None and rows[1]["s"] is None
 
 
+def test_pq_adaptive_band_covers_noisy_near_dups(spark):
+    """The round-13 320x finding (ANN_SCALE_PROBE_320x_derived.json):
+    NOISY near-duplicates quantize to slightly different codes, so max
+    code multiplicity stays tiny and the multiplicity-derived depth
+    hits its floor — yet ADC still cannot rank within the cluster
+    (quantization error >> intra-cluster distance spread), so a fixed
+    shortlist loses recall. The qerr-band branch of the adaptive cut
+    (derive_pq_search_params + _adaptive_adc_shortlist) must cover
+    what multiplicity cannot see. Fixture: 6 spread unit bases x 60
+    noisy clones, codebooks fine enough (m=8, 32 codes) that the
+    noise crosses cell boundaries."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, n_base, n_clone, k = 16, 6, 60, 5
+    base = rng.normal(0, 1.0, size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i in range(n_base):
+        for j in range(n_clone):
+            vec = base[i] + rng.normal(0, 0.06, size=dim)
+            rows.append((int(i * 1000 + j), [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = similarity.train_pq_codebooks(emb, m=8, n_codes=32)
+
+    from elb_log_to_mysql_spark.functions.vectorops import with_pq_index_cols
+    from elb_log_to_mysql_spark.operators.similarity import (
+        derive_pq_search_params,
+    )
+
+    indexed = with_pq_index_cols(
+        emb.select(F.col("embedding").alias("_v")), "_v", cb,
+        qerr=True, drop=("_v",),
+    ).persist()
+    try:
+        rf, band = derive_pq_search_params(indexed, k)
+    finally:
+        indexed.unpersist()
+    # the multiplicity-blind regime: codes differ within clusters, so
+    # the depth alone cannot cover the 60-wide cluster — the band must
+    assert rf * k < n_clone, (rf, band)
+    assert band > 0
+
+    q = emb.filter(F.col("vec_id") % 1000 == 0)  # one query per cluster
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(emb, q, k=k).collect()
+    }
+    got_auto = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_pq(
+            emb, q, k=k, rerank_factor=None, codebooks=cb
+        ).collect()
+    }
+    got_fixed = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_pq(
+            emb, q, k=k, rerank_factor=4, codebooks=cb
+        ).collect()
+    }
+    recall_auto = len(exact & got_auto) / len(exact)
+    recall_fixed = len(exact & got_fixed) / len(exact)
+    assert recall_auto == 1.0, f"band must recover recall: {recall_auto}"
+    assert recall_fixed < recall_auto, (
+        f"fixed depth should lose recall on noisy clusters "
+        f"({recall_fixed} vs {recall_auto}) - if not, the fixture no "
+        f"longer breaks code ties"
+    )
+
+    # IVFPQ derived path: all cells probed so the only recall risk is
+    # the shortlist cut — the band must rescue it the same way
+    centroids = similarity.train_ivf_centroids(emb, n_centroids=4)
+    got_ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_ivfpq(
+            emb, q, k=k, n_centroids=4, nprobe=4, rerank_factor=None,
+            centroids=centroids, codebooks=cb,
+        ).collect()
+    }
+    assert len(exact & got_ivf) / len(exact) == 1.0
+
+
 def test_pq_rerank_depth_derivation_covers_tie_clusters(spark):
     """The 320x-probe law productized (SCALE.md round-12): ADC scores
     tie across vectors sharing a code sequence, so the exact-rerank

@@ -93,9 +93,12 @@ def main() -> None:
     # cluster, so the shortlist must be at least the duplicate
     # multiplicity or the true top-k (an id-tiebroken subset of the
     # cluster) falls outside it — the 320x probe measured recall 0.65
-    # at the default depth 4 (top-40 vs 320-wide tie clusters) and
-    # the depth-64 rerun adjudicates the recovery.
-    rerank_factor = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    # at the old fixed depth 4 (top-40 vs 320-wide tie clusters) and
+    # the depth-64 rerun adjudicated the recovery. "auto" passes None:
+    # the r13 DEFAULT, deriving the depth from the stored codes' tie
+    # structure (operators/similarity.py:derive_pq_rerank_factor).
+    arg3 = sys.argv[3] if len(sys.argv) > 3 else "4"
+    rerank_factor = None if arg3 in ("auto", "none", "None") else int(arg3)
     work = f"/tmp/ann_probe_{factor}x"
     os.makedirs(work, exist_ok=True)
     emb_path = os.path.join(work, "embeddings.parquet")
@@ -136,7 +139,7 @@ def main() -> None:
         "vectors": n_vec,
         "queries": 20,
         "k": 10,
-        "rerank_factor": rerank_factor,
+        "rerank_factor": "derived" if rerank_factor is None else rerank_factor,
         "paths": {},
     }
 
@@ -151,6 +154,26 @@ def main() -> None:
     t0 = time.perf_counter()
     codebooks = similarity.train_pq_codebooks(emb)
     train_wall = round(time.perf_counter() - t0, 2)
+
+    if rerank_factor is None:
+        # record what the default derivation sizes the shortlist to on
+        # this corpus (the operators derive it internally too; this
+        # duplicate agg just makes the controls visible in the artifact)
+        from elb_log_to_mysql_spark.functions.vectorops import (
+            with_pq_index_cols,
+        )
+
+        idx = with_pq_index_cols(
+            emb.select("vec_id", F.col("embedding").alias("_v")),
+            "_v",
+            codebooks,
+            qerr=True,
+            drop=("_v",),
+        ).persist()
+        depth, band = similarity.derive_pq_search_params(idx, 10)
+        idx.unpersist()
+        report["derived_depth"] = depth
+        report["derived_qerr_band"] = round(band, 6)
 
     t0 = time.perf_counter()
     pq_rows = similarity.similarity_topk_pq(
