@@ -2120,6 +2120,95 @@ def q_ann_rerank_auto(spark, sf_dir):
     return carry_caches(out, exact, approx)
 
 
+_ANN_NOISY_ORACLE = """
+    WITH dense AS (
+      SELECT e.vec_id * 100 + (c.copy * 37) % 100 AS vec_id,
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]
+                    + 0.05 * ((hash(e.vec_id, c.copy, i) % 2048) / 1024.0
+                              - 1.0)) AS embedding
+      FROM embeddings e, (SELECT unnest(range(100)) AS copy) c
+    ), topk AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS rank
+      FROM dense q JOIN dense c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0 AND q.vec_id < 2000
+    )
+    SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_floor_met,
+           TRUE AS band_required
+    FROM topk WHERE rank <= 10
+"""
+
+
+@_q("ann_band_auto", _ANN_NOISY_ORACLE)
+def q_ann_band_auto(spark, sf_dir):
+    """The round-13 adaptive ADC band as a gate entry — the NOISY twin
+    of ann_rerank_auto (SCALE.md round-13; operators/similarity.py:
+    derive_pq_search_params + _adaptive_adc_shortlist). The corpus is
+    the embeddings table made noisy-duplicate-dense in-plan: 100
+    copies per vector, each element shifted by a hash-derived
+    pseudo-random offset in ±0.05 (xxhash64 of (vec_id, copy,
+    element) — deterministic, large enough to cross PQ quantization
+    cells). Copies therefore quantize to DIFFERENT code sequences, so
+    max code multiplicity stays tiny and the multiplicity-derived
+    depth sits at its floor — the regime where ann_rerank_auto's
+    exact-tie statistic is blind — while ADC still cannot rank within
+    a cluster (quantization error >> intra-cluster rank gaps;
+    measured recall 0.66 at the fixed floor depth). The audit gates
+    BOTH properties: `recall_floor_met` — the banded default
+    (rerank_factor=None) keeps the 0.95 floor — and `band_required` —
+    the fixed floor depth WITHOUT the band measurably fails it, so
+    the entry certifies the band is necessary, not merely harmless.
+    The oracle mirrors the construction with DuckDB's hash() (counts
+    are construction-invariant: 20 queries x top-10 over a >=11-row
+    corpus) and recomputes the exact neighbor-set counts. Codebooks
+    are the BASE corpus's memoized artifacts — the production shape,
+    where the index is trained before the noisy dup-flood arrives."""
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = spark.range(100).select(F.col("id").cast("int").alias("copy"))
+    dense = emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") * 100 + (F.col("copy") * 37) % 100).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.lit(0.05)
+            * (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), F.col("copy"), i),
+                    F.lit(2048),
+                )
+                / F.lit(1024.0)
+                - F.lit(1.0)
+            ),
+        ).alias("embedding"),
+    )
+    q = dense.filter(
+        ((F.col("vec_id") % 100) == 0) & (F.col("vec_id") < 2000)
+    )
+    if sf_dir not in _PQ_CODEBOOKS:
+        _PQ_CODEBOOKS[sf_dir] = similarity.train_pq_codebooks(emb)
+    cb = _PQ_CODEBOOKS[sf_dir]
+    exact = similarity.similarity_topk_bruteforce(dense, q, k=10)
+    banded = similarity.similarity_topk_pq(
+        dense, q, k=10, rerank_factor=None, codebooks=cb
+    )
+    fixed = similarity.similarity_topk_pq(
+        dense, q, k=10, rerank_factor=4, codebooks=cb
+    )
+    exact_ids = exact.select("query_id", "neighbor_id")
+    floor_row = _ann_recall_audit(exact_ids, banded, floor=0.95)
+    fixed_row = _ann_recall_audit(exact_ids, fixed, floor=0.95).select(
+        (~F.col("recall_floor_met")).alias("band_required")
+    )
+    out = floor_row.crossJoin(F.broadcast(fixed_row))
+    return carry_caches(out, exact, banded, fixed)
+
+
 @_q(
     "incremental_ann_index",
     """
