@@ -68,6 +68,22 @@ def arrow_stage(frame: DataFrame, outputs, drop: tuple[str, ...] = ()):
     dropped = set(drop)
     keep = [f for f in frame.schema.fields if f.name not in dropped]
     names = [f.name for f in keep]
+    out_names = [n for n, _, _ in outputs]
+    # fail at plan-build, not as an executor-side Arrow column-count
+    # mismatch: a kernel output shadowing a surviving input would
+    # silently overwrite it in the generator dict while the schema
+    # keeps both StructFields
+    clash = set(out_names) & set(names)
+    if clash:
+        raise ValueError(
+            f"arrow_stage: output column(s) {sorted(clash)} collide with "
+            f"surviving input columns — rename the output or add the "
+            f"input to drop="
+        )
+    if len(out_names) != len(set(out_names)):
+        raise ValueError(
+            f"arrow_stage: duplicate output column names in {out_names}"
+        )
     out_fields = [
         T.StructField(n, T._parse_datatype_string(ddl)) for n, ddl, _ in outputs
     ]

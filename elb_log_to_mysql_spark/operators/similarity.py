@@ -662,42 +662,30 @@ def derive_pq_search_params(
       spot directly (ANN_SCALE_PROBE_320x_derived.json: 320 noisy
       copies per base vector -> max code multiplicity stayed ~30, the
       multiplicity-derived depth hit the floor, and recall@10 stayed
-      0.65). An ADC score differs from the true squared distance by at
-      most 2·sqrt(true·err) + err (Cauchy-Schwarz on the
-      reconstruction residual), so keeping every candidate whose ADC
-      is within ``4·sqrt(kth_adc·q) + 2·q`` of the per-query k-th best
-      (q = this band) provably covers the true top-k up to the p99
-      residual tail — query-adaptive where a fixed depth cannot be.
+      0.65). By the triangle inequality on the reconstruction
+      residual, sqrt(ADC) and sqrt(true squared distance) differ by at
+      most sqrt(err), so a candidate can beat the per-query k-th best
+      only if sqrt(adc_c) - sqrt(q) <= sqrt(kth_adc) + sqrt(q), i.e.
+      adc_c <= (sqrt(kth_adc) + 2·sqrt(q))^2
+             = kth_adc + 4·sqrt(kth_adc·q) + 4·q
+      (q = this band). Keeping every candidate inside that bound
+      provably covers the true top-k up to the p99 residual tail —
+      query-adaptive where a fixed depth cannot be.
 
     Two scalar aggregation jobs over the persisted (codes, pq_err)
     index frame (multiplicity needs a per-code grouping, the band a
     per-ROW percentile — folding them into one pass would weight the
     percentile by distinct code instead of by vector) — the same
-    eager-at-plan-build contract as the depth derivation alone.
+    eager-at-plan-build contract as the depth derivation alone. The
+    depth leg IS derive_pq_rerank_factor (one implementation, one
+    clamp, one cap-exceeded warning — they cannot drift).
     """
-    import math
-    import warnings
-
-    mult_row = (
-        indexed.groupBy("codes")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n"))
-        .first()
-    )
+    depth = derive_pq_rerank_factor(indexed, k, floor=floor, cap=cap)
     band_row = indexed.agg(
         F.expr("percentile_approx(pq_err, 0.99)")
     ).first()
-    max_mult = int(mult_row[0] or 1)
     qerr_band = float(band_row[0] or 0.0)
-    want = math.ceil((max_mult + k) / k)
-    if want > cap:
-        warnings.warn(
-            f"derive_pq_search_params: required depth {want} exceeds "
-            f"cap={cap}; dedup the corpus before indexing",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-    return max(floor, min(cap, want)), qerr_band
+    return depth, qerr_band
 
 
 def _adaptive_adc_shortlist(
@@ -708,10 +696,10 @@ def _adaptive_adc_shortlist(
     the top k·rerank_factor by (adc, neighbor_id); with a derived
     ``qerr_band`` additionally keeps every candidate whose ADC sits
     within the quantization-error band of the per-query k-th best —
-    band = 4·sqrt(kth_adc·q) + 2·q (see derive_pq_search_params) —
-    bounded by k·cap so a pathological corpus cannot explode the
-    raw-vector fetch. Both windows share one partitioning (no second
-    shuffle)."""
+    band = 4·sqrt(kth_adc·q) + 4·q, i.e. adc <= (sqrt(kth_adc) +
+    2·sqrt(q))^2 (see derive_pq_search_params) — bounded by k·cap so
+    a pathological corpus cannot explode the raw-vector fetch. Both
+    windows share one partitioning (no second shuffle)."""
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
     )
@@ -727,7 +715,7 @@ def _adaptive_adc_shortlist(
         band = (
             F.lit(4.0)
             * F.sqrt(F.greatest(F.col("_kth"), F.lit(0.0)) * F.lit(qerr_band))
-            + F.lit(2.0 * qerr_band)
+            + F.lit(4.0 * qerr_band)
         )
         keep = keep | (
             (F.col("adc") <= F.col("_kth") + band)

@@ -2164,6 +2164,12 @@ def q_ann_band_auto(spark, sf_dir):
     (rerank_factor=None) keeps the 0.95 floor — and `band_required` —
     the fixed floor depth WITHOUT the band measurably fails it, so
     the entry certifies the band is necessary, not merely harmless.
+    `band_required` is a DELIBERATE tripwire (kept asserted after
+    ADVICE r13 flagged the trade): if a codebook-training or
+    noise-construction change ever lets the fixed floor depth pass,
+    the necessity evidence this entry certifies is stale and MUST be
+    re-measured — a loud gate failure prompting re-certification is
+    preferred over silently carrying an unsupported necessity claim.
     The oracle mirrors the construction with DuckDB's hash() (counts
     are construction-invariant: 20 queries x top-10 over a >=11-row
     corpus) and recomputes the exact neighbor-set counts. Codebooks

@@ -239,7 +239,20 @@ def parse_alb_lines(
     elif exact_ua and ua_strategy != "defer":
         # exact-parity per-row evaluator (the reference's code path)
         # as a mapInPandas stage over the projected frame; works for
-        # batch and streaming plans alike
+        # batch and streaming plans alike.
+        # ACCEPTED COST (ADVICE r13): the stage round-trips all 13
+        # projected columns through Arrow, where the old scalar UDF
+        # serialized only user_agent_full — roughly 2-3x the bytes
+        # (the UA string is the widest column of the 13). The
+        # alternatives are worse here: a key-join-back adds a full
+        # shuffle of the wide frame on a synthetic row key (streaming
+        # needs stateful ids), and the distinct-agent broadcast join
+        # is exactly what the probe ALREADY routes to when agent
+        # duplication makes it cheap (ua_strategy == "join" with
+        # prefer_wrapper=exact_ua above) — this branch only fires in
+        # the low-duplication regime where distinct ~= rows and the
+        # join degenerates, or under streaming. An Arrow round-trip
+        # bounded at ~3x one column beats a wide shuffle.
         out = classify_ua_rows(
             out.drop("ua_browser_family", "ua_os_family"),
             "user_agent_full",

@@ -119,3 +119,32 @@ def test_no_scalar_pandas_udf_in_expression_position():
             if "-> pd.Series" in tail or "-> pd.DataFrame" in tail:
                 offenders.append(str(path.relative_to(root)))
     assert offenders == [], offenders
+
+
+def test_arrow_stage_rejects_output_name_collisions(spark):
+    """ADVICE r13: an arrow_stage output name shadowing a surviving
+    input column must fail loudly at plan-build time, not as an
+    executor-side Arrow column-count mismatch."""
+    import pytest
+
+    from elb_log_to_mysql_spark.functions.vectorops import arrow_stage
+
+    df = spark.range(4).select(
+        F.col("id"), F.array(F.lit(1.0), F.lit(2.0)).alias("v")
+    )
+    with pytest.raises(ValueError, match="collide with"):
+        arrow_stage(df, [("v", "double", lambda pdf: [0.0] * len(pdf))])
+    with pytest.raises(ValueError, match="duplicate output"):
+        arrow_stage(
+            df,
+            [
+                ("a", "double", lambda pdf: [0.0] * len(pdf)),
+                ("a", "double", lambda pdf: [1.0] * len(pdf)),
+            ],
+        )
+    # dropping the consumed input clears the collision
+    ok = arrow_stage(
+        df, [("v", "double", lambda pdf: [0.0] * len(pdf))], drop=("v",)
+    )
+    assert ok.columns == ["id", "v"]
+    assert ok.count() == 4
