@@ -2,7 +2,18 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "v2": {"metric": ..., "value": ..., "queries": {...}}}
+
+The primary metric is the FROZEN 42-query set (comparable to
+BASELINE.md's 35.88 s row across every round). The nested "v2" block
+is the adopted headline-v2 extension (VERDICT r13 item 6): one
+representative per family added since the set froze — bm25_topk,
+hybrid_rrf, corpus_pipeline, stream_near_dedup, sql_interface_tpch_q1
+— reported as its OWN total so it starts its own series (r12/r13
+appendix rows in BASELINE.md are its pre-adoption trend). Both totals
+ride in the single JSON record because the driver contract parses one
+line.
 
 Each query is fully materialized through the noop sink (no driver
 collect, no result-size bias) after a small JVM warm-up. Designed to
@@ -64,6 +75,17 @@ HEADLINE = [
     "scd2_history",
     "incremental_agg",
     "sketch_rollup",
+]
+
+# headline v2 (+5): adopted per VERDICT r13 item 6; measured with the
+# same min-of-2 methodology but totaled SEPARATELY so the frozen-42
+# series stays comparable to its baseline.
+HEADLINE_V2 = [
+    "bm25_topk",
+    "hybrid_rrf",
+    "corpus_pipeline",
+    "stream_near_dedup",
+    "sql_interface_tpch_q1",
 ]
 
 
@@ -165,30 +187,42 @@ def main() -> None:
     # Per-query fault isolation: one broken query must never zero out
     # the whole round's perf evidence (round 3 lost its bench number
     # to a single type error) — it gets an "errors" entry instead.
-    timings: dict[str, float] = {}
-    errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = OVERRIDES.get(name, QUERIES[name])
-        best = float("inf")
-        try:
-            for _ in range(2):
-                t0 = time.perf_counter()
-                materialize(fn(spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        except Exception as ex:  # noqa: BLE001 — keep benching the rest
-            errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+    def run_set(names):
+        timings: dict[str, float] = {}
+        errors: dict[str, str] = {}
+        for name in names:
+            fn = OVERRIDES.get(name, QUERIES[name])
+            best = float("inf")
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    materialize(fn(spark, sf_dir))
+                    best = min(best, time.perf_counter() - t0)
+                timings[name] = round(best, 3)
+            except Exception as ex:  # noqa: BLE001 — keep benching the rest
+                errors[name] = f"{type(ex).__name__}: {ex}"[:200]
+        return timings, errors
 
-    total = round(sum(timings.values()), 3)
+    timings, errors = run_set(HEADLINE)
+    v2_timings, v2_errors = run_set(HEADLINE_V2)
+
     record = {
         "metric": "headline_queries_total_wall",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "v2": {
+            "metric": "headline_v2_plus5_total_wall",
+            "value": round(sum(v2_timings.values()), 3),
+            "unit": "sec",
+            "queries": v2_timings,
+        },
     }
     if errors:
         record["errors"] = errors
+    if v2_errors:
+        record["v2"]["errors"] = v2_errors
     print(json.dumps(record))
     spark.stop()
 
