@@ -650,35 +650,32 @@ def derive_pq_rerank_factor(
 def derive_pq_search_params(
     indexed: DataFrame, k: int, floor: int = 4, cap: int = 256
 ) -> tuple[int, float]:
-    """Size BOTH adaptive-shortlist controls from the stored index:
+    """Index-health statistics for a stored (codes, pq_err) PQ index:
 
     - ``rerank_factor`` — the exact-tie depth (derive_pq_rerank_factor:
       max code multiplicity covers clusters whose members share the
-      SAME code sequence);
-    - ``qerr_band`` — the p99 per-vector PQ reconstruction error
-      (``pq_err`` column), which covers the case exact ties CANNOT
-      see: NOISY near-duplicates whose codes differ slightly but whose
-      ADC scores near-tie. The round-13 320x probe measured this blind
-      spot directly (ANN_SCALE_PROBE_320x_derived.json: 320 noisy
-      copies per base vector -> max code multiplicity stayed ~30, the
-      multiplicity-derived depth hit the floor, and recall@10 stayed
-      0.65). By the triangle inequality on the reconstruction
-      residual, sqrt(ADC) and sqrt(true squared distance) differ by at
-      most sqrt(err), so a candidate can beat the per-query k-th best
-      only if sqrt(adc_c) - sqrt(q) <= sqrt(kth_adc) + sqrt(q), i.e.
-      adc_c <= (sqrt(kth_adc) + 2·sqrt(q))^2
-             = kth_adc + 4·sqrt(kth_adc·q) + 4·q
-      (q = this band). Keeping every candidate inside that bound
-      provably covers the true top-k up to the p99 residual tail —
-      query-adaptive where a fixed depth cannot be.
+      SAME code sequence); still a live SEARCH control (the always-keep
+      floor of the shortlist).
+    - ``qerr_band`` — the p99 per-vector PQ reconstruction error.
+      ROUND-14 NOTE: this is now a REPORTING statistic (probe JSONs,
+      index audits), no longer a search control. The round-13 design
+      cut the shortlist at adc <= (sqrt(kth_adc) + 2·sqrt(p99))^2 — a
+      global band covering noisy near-duplicates up to the p99
+      residual tail (the blind spot the 320x probe measured: noisy
+      copies quantize to different codes, multiplicity-derived depth
+      floors, recall 0.65). The operators now cut per CANDIDATE by
+      its own residual — lb_c <= kth-smallest ub, see
+      _shortlist_rerank — which is unconditionally sound (no
+      p99 tail caveat), tighter almost everywhere, and needs no
+      per-corpus aggregation at plan build. The p99 remains the right
+      summary of how coarse the codebooks are for this corpus, so
+      probes keep ledgering it.
 
-    Two scalar aggregation jobs over the persisted (codes, pq_err)
-    index frame (multiplicity needs a per-code grouping, the band a
-    per-ROW percentile — folding them into one pass would weight the
-    percentile by distinct code instead of by vector) — the same
-    eager-at-plan-build contract as the depth derivation alone. The
-    depth leg IS derive_pq_rerank_factor (one implementation, one
-    clamp, one cap-exceeded warning — they cannot drift).
+    The depth leg IS derive_pq_rerank_factor (one implementation, one
+    clamp, one cap-exceeded warning — they cannot drift); the band adds
+    one percentile aggregation job (per-ROW percentile — folding into
+    the multiplicity pass would weight it by distinct code, not by
+    vector).
     """
     depth = derive_pq_rerank_factor(indexed, k, floor=floor, cap=cap)
     band_row = indexed.agg(
@@ -688,40 +685,198 @@ def derive_pq_search_params(
     return depth, qerr_band
 
 
-def _adaptive_adc_shortlist(
-    cand: DataFrame, k: int, rerank_factor: int,
-    qerr_band: float | None, cap: int = 256,
-) -> DataFrame:
-    """Cut the ADC candidate set to the rerank shortlist. Always keeps
-    the top k·rerank_factor by (adc, neighbor_id); with a derived
-    ``qerr_band`` additionally keeps every candidate whose ADC sits
-    within the quantization-error band of the per-query k-th best —
-    band = 4·sqrt(kth_adc·q) + 4·q, i.e. adc <= (sqrt(kth_adc) +
-    2·sqrt(q))^2 (see derive_pq_search_params) — bounded by k·cap so
-    a pathological corpus cannot explode the raw-vector fetch. Both
-    windows share one partitioning (no second shuffle)."""
+def _shortlist_rerank(
+    scored: DataFrame,
+    embeddings: DataFrame,
+    qside: DataFrame,
+    k: int,
+    rerank_factor: int,
+    adaptive: bool,
+    cap: int = 256,
+    with_stats: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Shared PQ/IVFPQ tail: cut the ADC candidate set to the rerank
+    shortlist, fetch raw vectors for it, exact-cosine rerank to top-k.
+
+    Always keeps the top k·rerank_factor by (adc, neighbor_id). With
+    ``adaptive`` (requires a per-candidate ``pq_err`` column — the
+    derived default path carries it through the scan) the shortlist
+    additionally admits by a TWO-PHASE per-candidate bound cut. All
+    vectors are unit-normalized at encode time, so ADC is the squared
+    L2 distance to the reconstructed corpus vector and the triangle
+    inequality on the reconstruction residual gives per-candidate
+    bounds on the true squared distance:
+
+        ub_c = (sqrt(adc_c) + sqrt(e_c))^2      (e_c = pq_err of c)
+        lb_c = max(0, sqrt(adc_c) - sqrt(e_c))^2
+
+    Phase 1 exact-reranks just the depth floor (k·rerank_factor rows
+    per query — one tiny fetch) and converts the k-th best exact
+    cosine to distance space: u_exact = 2 - 2·cos_k. Any k candidates'
+    exact distances upper-bound the true k-th distance, so
+    u = least(u_exact, k-th smallest ub over the pool) is a sound
+    per-query admission bound. Phase 2 admits every pool candidate
+    with lb_c <= u.
+
+    Soundness: any true top-k member c has true_c <= true_kth <= u,
+    and lb_c <= true_c, so c is admitted — UNCONDITIONAL coverage of
+    the true top-k within the pool (the top k·cap by ADC rank — the
+    safety valve against pathological corpora; the admission telemetry
+    observes when it binds). The round-13 design cut at a global-p99
+    error band (coverage only up to the p99 tail) — telemetry showed
+    it degenerating to the cap on noisy-dense corpora because a pure
+    ADC±error bound is vacuous when quantization error is comparable
+    to intra-cluster distances; the exact phase-1 bound stays tight
+    there (it prunes everything farther than the k-th measured
+    neighbor, regardless of how coarse the codebooks are).
+
+    The candidate pool (<= k·cap rows/query: id, rank, lb, ub) is
+    persisted so the expensive ADC scan runs ONCE even though phase 1
+    and phase 2 both read it; the cache is released when the returned
+    result is garbage-collected (unpersist_on_gc). Scales by query
+    count, not corpus size.
+
+    ``with_stats=True`` returns ``(result, stats_df)`` with one row
+    per query: (query_id, admitted, cut_admitted, cap_dropped) —
+    cut_admitted = admitted beyond the depth floor, cap_dropped =
+    bound-eligible candidates the k·cap valve rejected (>0 means
+    recall may be at risk: dedup the corpus or raise cap). Collecting
+    stats re-executes the ADC scan (audit-time cost only).
+    """
     w_adc = Window.partitionBy("query_id").orderBy(
         F.col("adc").asc(), F.col("neighbor_id")
     )
-    ranked = cand.withColumn("adc_rank", F.row_number().over(w_adc))
-    keep = F.col("adc_rank") <= k * rerank_factor
-    if qerr_band is not None and qerr_band > 0:
-        # window exprs can't live in a WHERE clause — bind kth first
-        w_all = Window.partitionBy("query_id")
-        ranked = ranked.withColumn(
-            "_kth",
-            F.max(F.when(F.col("adc_rank") <= k, F.col("adc"))).over(w_all),
+    ranked = scored.withColumn("adc_rank", F.row_number().over(w_adc))
+    keep_depth = F.col("adc_rank") <= k * rerank_factor
+
+    def fetch_cos(cand: DataFrame) -> DataFrame:
+        fetched = embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ).join(F.broadcast(cand), "neighbor_id")
+        return with_pairwise_cosine(
+            fetched.join(
+                F.broadcast(qside.select("query_id", "q_vec")), "query_id"
+            ),
+            "q_vec",
+            "c_vec",
+            drop=("q_vec", "c_vec"),
         )
-        band = (
-            F.lit(4.0)
-            * F.sqrt(F.greatest(F.col("_kth"), F.lit(0.0)) * F.lit(qerr_band))
-            + F.lit(4.0 * qerr_band)
+
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+
+    def topk(cand: DataFrame) -> DataFrame:
+        return (
+            fetch_cos(cand)
+            .withColumn("rank", F.row_number().over(w_cos))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id", "rank",
+                F.round("cos", 6).alias("cos"),
+            )
         )
-        keep = keep | (
-            (F.col("adc") <= F.col("_kth") + band)
-            & (F.col("adc_rank") <= k * cap)
+
+    stats_df = None
+    if not adaptive:
+        shortlist = ranked.filter(keep_depth).select(
+            "query_id", "neighbor_id"
         )
-    return ranked.filter(keep).select("query_id", "neighbor_id")
+        if with_stats:
+            stats_df = ranked.groupBy("query_id").agg(
+                F.sum(keep_depth.cast("long")).alias("admitted"),
+                F.lit(0).cast("long").alias("cut_admitted"),
+                F.lit(0).cast("long").alias("cap_dropped"),
+            )
+        out = topk(shortlist)
+        return (out, stats_df) if with_stats else out
+
+    sq_e = F.sqrt(F.greatest(F.col("pq_err"), F.lit(0.0)))
+    sq_a = F.sqrt(F.greatest(F.col("adc"), F.lit(0.0)))
+    with_bounds = ranked.withColumn(
+        "_ub", F.pow(sq_a + sq_e, F.lit(2.0))
+    ).withColumn(
+        "_lb", F.pow(F.greatest(sq_a - sq_e, F.lit(0.0)), F.lit(2.0))
+    )
+    pool = (
+        with_bounds.filter(F.col("adc_rank") <= k * cap)
+        .select("query_id", "neighbor_id", "adc_rank", "_ub", "_lb")
+        .persist()
+    )
+
+    # Phase 1: exact cosines for the depth floor -> per-query bound.
+    # u_exact needs >= k exact rows to be a valid k-th-distance bound;
+    # smaller queries fall through to the pool-ub term (which keeps
+    # everything when the pool itself has < k rows — correct: with
+    # fewer candidates than k there is nothing to prune).
+    phase1 = fetch_cos(
+        pool.filter(keep_depth).select("query_id", "neighbor_id")
+    ).withColumn("_cr", F.row_number().over(w_cos))
+    u_exact = phase1.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_n1"),
+        F.max(
+            F.when(F.col("_cr") == k, F.lit(2.0) - F.lit(2.0) * F.col("cos"))
+        ).alias("_ue"),
+    ).select(
+        "query_id",
+        F.when(F.col("_n1") >= k, F.col("_ue"))
+        .otherwise(F.lit(float("inf")))
+        .alias("_u_exact"),
+    )
+    w_ub = Window.partitionBy("query_id").orderBy(
+        F.col("_ub").asc(), F.col("neighbor_id")
+    )
+    kth_ub = (
+        pool.withColumn("_ub_rank", F.row_number().over(w_ub))
+        .groupBy("query_id")
+        .agg(
+            F.max(
+                F.when(F.col("_ub_rank") <= k, F.col("_ub"))
+            ).alias("_kth_ub")
+        )
+    )
+    bounds = u_exact.join(kth_ub, "query_id").select(
+        "query_id", F.least("_u_exact", "_kth_ub").alias("_u")
+    )
+    admit = keep_depth | (F.col("_lb") <= F.col("_u"))
+    shortlist = (
+        pool.join(F.broadcast(bounds), "query_id")
+        .filter(admit)
+        .select("query_id", "neighbor_id")
+    )
+    out = topk(shortlist)
+    if with_stats:
+        # audit-time: re-scans so the cap-dropped tail (outside the
+        # pool) is countable
+        stats_df = (
+            with_bounds.join(F.broadcast(bounds), "query_id")
+            .groupBy("query_id")
+            .agg(
+                F.sum(
+                    (admit & (F.col("adc_rank") <= k * cap)).cast("long")
+                ).alias("admitted"),
+                F.sum(
+                    (
+                        admit
+                        & ~keep_depth
+                        & (F.col("adc_rank") <= k * cap)
+                    ).cast("long")
+                ).alias("cut_admitted"),
+                F.sum(
+                    (
+                        (F.col("_lb") <= F.col("_u"))
+                        & ~keep_depth
+                        & (F.col("adc_rank") > k * cap)
+                    ).cast("long")
+                ).alias("cap_dropped"),
+            )
+        )
+    from elb_log_to_mysql_spark.session import unpersist_on_gc
+
+    out = unpersist_on_gc(out, pool)
+    return (out, stats_df) if with_stats else out
 
 
 def similarity_topk_pq(
@@ -734,7 +889,8 @@ def similarity_topk_pq(
     codebooks=None,
     m: int = 16,
     n_codes: int = 256,
-) -> DataFrame:
+    with_stats: bool = False,
+):
     """Approximate cosine top-k via product quantization with
     asymmetric-distance (ADC) scan + exact rerank.
 
@@ -756,17 +912,31 @@ def similarity_topk_pq(
        candidates per query (broadcast semi of the candidate ids
        against the corpus) and rerank by exact cosine.
 
-    `rerank_factor` defaults to None = DERIVED search controls
-    (derive_pq_search_params — the 320x-probe law productized): the
-    exact-tie depth from max code multiplicity PLUS the adaptive ADC
-    error band from the p99 PQ reconstruction error, which covers
-    NOISY near-duplicates whose codes differ but whose ADC scores
-    near-tie (measured at 320x: multiplicity alone left recall at
-    0.65, the band restores 1.0 — ANN_SCALE_PROBE_320x_derived.json).
-    A deduped corpus derives back to the floor depth with a tight
-    band. The derivation makes plan construction EAGER (one agg job
-    over the index frame). Pass an explicit int to keep plan
-    construction lazy and pin a fixed depth (no band).
+    `rerank_factor` defaults to None = DERIVED search controls (the
+    320x-probe law productized): the exact-tie depth from max code
+    multiplicity (derive_pq_rerank_factor) PLUS the per-candidate
+    adaptive ADC cut — each scanned code carries its own PQ
+    reconstruction error ``pq_err`` (same encode pass), and the
+    shortlist keeps every candidate whose distance lower bound is at
+    or under the per-query k-th smallest upper bound
+    (_shortlist_rerank's two-phase cut). The cut covers NOISY near-duplicates
+    whose codes differ but whose ADC scores near-tie (measured at
+    320x: multiplicity alone left recall at 0.65, the round-13 global
+    band restored 1.0; the round-14 per-candidate cut keeps the same
+    guarantee UNCONDITIONALLY and admits a narrower tail). A deduped
+    corpus derives back to the floor depth with a near-empty cut. The
+    derivation makes plan construction EAGER (one agg job over the
+    index frame). Pass an explicit int to keep plan construction lazy
+    and pin a fixed depth (no cut). Scan-width cost of the cut: the
+    code row carries one extra double (pq_err) — at extreme scale
+    store it as a round-UP float32 next to the 16-byte codes (the
+    bound stays sound under upward rounding).
+
+    ``with_stats=True`` returns ``(result, stats_df)`` where stats_df
+    is the per-query admission telemetry (admitted, cut_admitted,
+    cap_dropped — see _shortlist_rerank); collecting it
+    re-executes the ADC scan (cheap: the encoded index is persisted
+    on the derived path).
 
     Composes with IVF (`similarity_topk_ivf`) for sublinear scan at
     extreme scale: restrict step 2 to probed cells. Ranking ties break
@@ -803,13 +973,13 @@ def similarity_topk_pq(
         drop=("_v",),
     )
     derived_cache = None
-    qerr_band = None
     if derived:
-        # near-dup-aware depth + ADC error band (eager: one agg over
-        # the index frame); persist — derivation and scan both read it
+        # near-dup-aware depth (eager: one agg over the index frame);
+        # persist — derivation and scan both read it. pq_err stays in
+        # the scanned row: the per-candidate cut reads it.
         codes = derived_cache = codes.persist()
-        rerank_factor, qerr_band = derive_pq_search_params(codes, k)
-        codes = codes.select("neighbor_id", "codes")
+        rerank_factor = derive_pq_rerank_factor(codes, k)
+        codes = codes.select("neighbor_id", "codes", "pq_err")
     qside = with_pq_lut(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -833,31 +1003,17 @@ def similarity_topk_pq(
             ),
         )
     )
-    cand = _adaptive_adc_shortlist(scored, k, rerank_factor, qerr_band)
-    fetched = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).join(F.broadcast(cand), "neighbor_id")
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
+    res = _shortlist_rerank(
+        scored, embeddings, qside, k, rerank_factor,
+        adaptive=derived, with_stats=with_stats,
+        id_col=id_col, vec_col=vec_col,
     )
-    out = (
-        with_pairwise_cosine(
-            fetched.join(
-                F.broadcast(qside.select("query_id", "q_vec")), "query_id"
-            ),
-            "q_vec",
-            "c_vec",
-            drop=("q_vec", "c_vec"),
-        )
-        .withColumn("rank", F.row_number().over(w_cos))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
-    )
+    out, adm_stats = res if with_stats else (res, None)
     if derived_cache is not None:
         from elb_log_to_mysql_spark.session import unpersist_on_gc
 
         out = unpersist_on_gc(out, derived_cache)
-    return out
+    return (out, adm_stats) if with_stats else out
 
 
 def similarity_topk_ivfpq(
@@ -873,7 +1029,8 @@ def similarity_topk_ivfpq(
     codebooks=None,
     m: int = 16,
     n_codes: int = 256,
-) -> DataFrame:
+    with_stats: bool = False,
+):
     """IVF + PQ composed — the full 100 TB ANN serving shape (the
     FAISS IVFADC layout re-expressed as a DataFrame plan).
 
@@ -899,11 +1056,14 @@ def similarity_topk_ivfpq(
     brute-force exact top-k in the registry entry.
 
     `rerank_factor=None` (the default) derives the shortlist controls
-    from the stored index — exact-tie depth from code multiplicity +
-    adaptive ADC error band from the p99 reconstruction error
-    (derive_pq_search_params — eager, one agg job; see
-    similarity_topk_pq for the 320x evidence); pass an explicit int
-    to keep plan construction lazy and pin a fixed depth (no band).
+    from the stored index — exact-tie depth from code multiplicity
+    (derive_pq_rerank_factor — eager, one agg job) + the
+    per-candidate adaptive ADC cut, each scanned code carrying its
+    own reconstruction error (_shortlist_rerank; see
+    similarity_topk_pq for the 320x evidence and the scan-width
+    note); pass an explicit int to keep plan construction lazy and
+    pin a fixed depth (no cut). ``with_stats=True`` returns
+    ``(result, stats_df)`` with the per-query admission telemetry.
     """
     import numpy as np
 
@@ -944,14 +1104,14 @@ def similarity_topk_ivfpq(
         drop=("_v",),
     ).select(*base_cols, _nearest_cell_expr().alias("cell"))
     derived_cache = None
-    qerr_band = None
     if derived:
-        # near-dup-aware depth + ADC error band from the stored index
-        # (derive_pq_search_params; eager, one agg); persist — the
-        # derivation and the probed ADC scan both read the index
+        # near-dup-aware depth from the stored index
+        # (derive_pq_rerank_factor; eager, one agg); persist — the
+        # derivation and the probed ADC scan both read the index.
+        # pq_err stays in the scanned row for the per-candidate cut.
         indexed = derived_cache = indexed.persist()
-        rerank_factor, qerr_band = derive_pq_search_params(indexed, k)
-        indexed = indexed.select("neighbor_id", "codes", "cell")
+        rerank_factor = derive_pq_rerank_factor(indexed, k)
+        indexed = indexed.select("neighbor_id", "codes", "pq_err", "cell")
     lut_k = pq_lut_fn(cb)
     qside = arrow_stage(
         queries.select(
@@ -988,31 +1148,17 @@ def similarity_topk_ivfpq(
             ),
         )
     )
-    cand = _adaptive_adc_shortlist(scored, k, rerank_factor, qerr_band)
-    fetched = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).join(F.broadcast(cand), "neighbor_id")
-    w_cos = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
+    res = _shortlist_rerank(
+        scored, embeddings, qside, k, rerank_factor,
+        adaptive=derived, with_stats=with_stats,
+        id_col=id_col, vec_col=vec_col,
     )
-    out = (
-        with_pairwise_cosine(
-            fetched.join(
-                F.broadcast(qside.select("query_id", "q_vec")), "query_id"
-            ),
-            "q_vec",
-            "c_vec",
-            drop=("q_vec", "c_vec"),
-        )
-        .withColumn("rank", F.row_number().over(w_cos))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
-    )
+    out, adm_stats = res if with_stats else (res, None)
     if derived_cache is not None:
         from elb_log_to_mysql_spark.session import unpersist_on_gc
 
         out = unpersist_on_gc(out, derived_cache)
-    return out
+    return (out, adm_stats) if with_stats else out
 
 
 def ann_index_assign(

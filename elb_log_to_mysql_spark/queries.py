@@ -2140,16 +2140,21 @@ _ANN_NOISY_ORACLE = """
     SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
            CAST(COUNT(*) AS BIGINT) AS n_exact,
            TRUE AS recall_floor_met,
-           TRUE AS band_required
+           TRUE AS band_required,
+           TRUE AS cut_active,
+           FALSE AS cap_hit
     FROM topk WHERE rank <= 10
 """
 
 
 @_q("ann_band_auto", _ANN_NOISY_ORACLE)
 def q_ann_band_auto(spark, sf_dir):
-    """The round-13 adaptive ADC band as a gate entry — the NOISY twin
-    of ann_rerank_auto (SCALE.md round-13; operators/similarity.py:
-    derive_pq_search_params + _adaptive_adc_shortlist). The corpus is
+    """The adaptive ADC cut as a gate entry — the NOISY twin of
+    ann_rerank_auto (SCALE.md round-13/14; operators/similarity.py:
+    _shortlist_rerank — since round 14 the two-phase per-candidate
+    lower/upper-bound cut, unconditionally sound, replacing the
+    round-13 global-p99 band; same derived-default entry point,
+    rerank_factor=None). The corpus is
     the embeddings table made noisy-duplicate-dense in-plan: 100
     copies per vector, each element shifted by a hash-derived
     pseudo-random offset in ±0.05 (xxhash64 of (vec_id, copy,
@@ -2170,6 +2175,12 @@ def q_ann_band_auto(spark, sf_dir):
     the necessity evidence this entry certifies is stale and MUST be
     re-measured — a loud gate failure prompting re-certification is
     preferred over silently carrying an unsupported necessity claim.
+    Round 14 adds the admission telemetry (VERDICT r13 item 2):
+    `cut_active` — the adaptive cut admitted candidates beyond the
+    depth floor on this corpus (it must, or the recall pass would be
+    depth's doing and band_required contradicted) — and `cap_hit` —
+    no query's cut was truncated by the k*cap safety valve (if it
+    ever trips, recall is at risk and the corpus needs dedup first).
     The oracle mirrors the construction with DuckDB's hash() (counts
     are construction-invariant: 20 queries x top-10 over a >=11-row
     corpus) and recomputes the exact neighbor-set counts. Codebooks
@@ -2200,8 +2211,8 @@ def q_ann_band_auto(spark, sf_dir):
         _PQ_CODEBOOKS[sf_dir] = similarity.train_pq_codebooks(emb)
     cb = _PQ_CODEBOOKS[sf_dir]
     exact = similarity.similarity_topk_bruteforce(dense, q, k=10)
-    banded = similarity.similarity_topk_pq(
-        dense, q, k=10, rerank_factor=None, codebooks=cb
+    banded, adm = similarity.similarity_topk_pq(
+        dense, q, k=10, rerank_factor=None, codebooks=cb, with_stats=True
     )
     fixed = similarity.similarity_topk_pq(
         dense, q, k=10, rerank_factor=4, codebooks=cb
@@ -2211,7 +2222,13 @@ def q_ann_band_auto(spark, sf_dir):
     fixed_row = _ann_recall_audit(exact_ids, fixed, floor=0.95).select(
         (~F.col("recall_floor_met")).alias("band_required")
     )
-    out = floor_row.crossJoin(F.broadcast(fixed_row))
+    adm_row = adm.agg(
+        (F.sum("cut_admitted") > 0).alias("cut_active"),
+        (F.sum("cap_dropped") > 0).alias("cap_hit"),
+    )
+    out = floor_row.crossJoin(F.broadcast(fixed_row)).crossJoin(
+        F.broadcast(adm_row)
+    )
     return carry_caches(out, exact, banded, fixed)
 
 

@@ -1624,8 +1624,9 @@ def test_pq_adaptive_band_covers_noisy_near_dups(spark):
     code multiplicity stays tiny and the multiplicity-derived depth
     hits its floor — yet ADC still cannot rank within the cluster
     (quantization error >> intra-cluster distance spread), so a fixed
-    shortlist loses recall. The qerr-band branch of the adaptive cut
-    (derive_pq_search_params + _adaptive_adc_shortlist) must cover
+    shortlist loses recall. The adaptive branch of the shortlist —
+    since round 14 the per-candidate lower/upper-bound cut
+    (_shortlist_rerank: lb_c <= per-query exact/ub bound) — must cover
     what multiplicity cannot see. Fixture: 6 spread unit bases x 60
     noisy clones, codebooks fine enough (m=8, 32 codes) that the
     noise crosses cell boundaries."""
@@ -1784,3 +1785,57 @@ def test_pq_rerank_depth_derivation_covers_tie_clusters(spark):
         ).collect()
     }
     assert len(exact & got_ivf) / len(exact) == 1.0
+
+
+def test_pq_admission_stats_telemetry(spark):
+    """VERDICT r13 item 2: the adaptive cut's admission width must be
+    observable. with_stats=True returns (result, stats_df) with one
+    row per query: admitted >= k (the shortlist always covers the
+    rerank), cut_admitted counts candidates the adaptive cut kept
+    beyond the depth floor, cap_dropped counts cut-eligible candidates
+    the k*cap valve rejected (0 on any sane corpus). The result frame
+    must be IDENTICAL to the stats-free call."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    dim, n, k = 16, 400, 5
+    emb = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.normal(0, 1, dim)])
+            for i in range(n)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cb = similarity.train_pq_codebooks(emb, m=8, n_codes=16)
+    q = emb.filter(F.col("vec_id") < 4)
+
+    plain = similarity.similarity_topk_pq(emb, q, k=k, codebooks=cb)
+    out, stats = similarity.similarity_topk_pq(
+        emb, q, k=k, codebooks=cb, with_stats=True
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    rows = {r.query_id: r for r in stats.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for r in rows.values():
+        assert r.admitted >= k
+        assert r.cut_admitted >= 0
+        assert r.cap_dropped == 0
+
+    # IVFPQ path exposes the same telemetry
+    out2, stats2 = similarity.similarity_topk_ivfpq(
+        emb, q, k=k, n_centroids=4, nprobe=4, codebooks=cb,
+        with_stats=True,
+    )
+    assert out2.count() == k * 4
+    for r in stats2.collect():
+        assert r.admitted >= k and r.cap_dropped == 0
+
+    # explicit-int path: no cut, stats still well-formed (zeros)
+    _, stats3 = similarity.similarity_topk_pq(
+        emb, q, k=k, rerank_factor=4, codebooks=cb, with_stats=True
+    )
+    for r in stats3.collect():
+        assert r.cut_admitted == 0 and r.cap_dropped == 0
+        assert r.admitted <= k * 4

@@ -157,8 +157,10 @@ def main() -> None:
 
     if rerank_factor is None:
         # record what the default derivation sizes the shortlist to on
-        # this corpus (the operators derive it internally too; this
-        # duplicate agg just makes the controls visible in the artifact)
+        # this corpus (the operators derive the depth internally too;
+        # this duplicate agg just makes the controls visible in the
+        # artifact). The qerr band is index-health REPORTING since r14
+        # (the live cut is two-phase per-candidate — _shortlist_rerank).
         from elb_log_to_mysql_spark.functions.vectorops import (
             with_pq_index_cols,
         )
@@ -175,15 +177,41 @@ def main() -> None:
         report["derived_depth"] = depth
         report["derived_qerr_band"] = round(band, 6)
 
+    def admission_summary(stats_df) -> dict:
+        """Collapse per-query admission telemetry into artifact cells
+        (VERDICT r13 item 2: make the cut's admission observable)."""
+        row = stats_df.agg(
+            F.mean("admitted").alias("mean"),
+            F.max("admitted").alias("max"),
+            F.sum("cut_admitted").alias("cut_total"),
+            F.sum("cap_dropped").alias("cap_dropped_total"),
+            F.sum((F.col("cap_dropped") > 0).cast("long")).alias(
+                "cap_hit_queries"
+            ),
+        ).first()
+        return {
+            "mean_admitted": round(float(row["mean"]), 1),
+            "max_admitted": int(row["max"]),
+            "cut_admitted_total": int(row["cut_total"]),
+            "cap_dropped_total": int(row["cap_dropped_total"]),
+            "cap_hit_queries": int(row["cap_hit_queries"]),
+        }
+
     t0 = time.perf_counter()
-    pq_rows = similarity.similarity_topk_pq(
-        emb, q, k=10, rerank_factor=rerank_factor, codebooks=codebooks
-    ).collect()
+    pq_out = similarity.similarity_topk_pq(
+        emb, q, k=10, rerank_factor=rerank_factor, codebooks=codebooks,
+        with_stats=True,
+    )
+    pq_df, pq_stats = pq_out
+    pq_rows = pq_df.collect()
+    pq_wall = round(time.perf_counter() - t0, 2)
     pq_set = {(r.query_id, r.neighbor_id) for r in pq_rows}
     report["paths"]["pq_adc"] = {
-        "wall_sec": round(time.perf_counter() - t0, 2),
+        "wall_sec": pq_wall,
         "codebook_train_sec": train_wall,
         "recall_at_10": round(len(exact & pq_set) / len(exact), 4),
+        # collected AFTER the timed window (re-runs the ADC scan)
+        "admission": admission_summary(pq_stats),
     }
 
     t0 = time.perf_counter()
@@ -191,17 +219,21 @@ def main() -> None:
     ivf_train_wall = round(time.perf_counter() - t0, 2)
 
     t0 = time.perf_counter()
-    ivfpq_rows = similarity.similarity_topk_ivfpq(
+    ivfpq_df, ivfpq_stats = similarity.similarity_topk_ivfpq(
         emb, q, k=10, n_centroids=64, nprobe=8,
         rerank_factor=rerank_factor,
         centroids=centroids, codebooks=codebooks,
-    ).collect()
+        with_stats=True,
+    )
+    ivfpq_rows = ivfpq_df.collect()
+    ivfpq_wall = round(time.perf_counter() - t0, 2)
     ivfpq_set = {(r.query_id, r.neighbor_id) for r in ivfpq_rows}
     report["paths"]["ivfpq_64c_8probe"] = {
-        "wall_sec": round(time.perf_counter() - t0, 2),
+        "wall_sec": ivfpq_wall,
         "centroid_train_sec": ivf_train_wall,
         "scan_fraction": round(8 / 64, 3),
         "recall_at_10": round(len(exact & ivfpq_set) / len(exact), 4),
+        "admission": admission_summary(ivfpq_stats),
     }
 
     spark.stop()
