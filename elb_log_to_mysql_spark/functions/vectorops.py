@@ -465,6 +465,30 @@ def with_pq_index_cols(
     return frame.mapInPandas(_gen, schema=schema)
 
 
+def with_unit_norm(
+    frame: DataFrame, vec_col: str, out: str = "_nv",
+    drop: tuple[str, ...] = (),
+) -> DataFrame:
+    """Append the L2-unit-normalized copy of a vector column (zero
+    vectors pass through unchanged). One batched numpy divide per
+    Arrow batch — the HOF equivalent (aggregate for the norm +
+    transform for the divide) is interpreted per row. Used by the
+    derived-nprobe IVF path, where cell pruning needs L2 geometry to
+    coincide with the cosine ranking (for unit vectors
+    ||a-b||^2 = 2 - 2*cos)."""
+
+    def fn(v: pd.Series):
+        x = _stack(v).astype(np.float64)
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return list(x / n)
+
+    return arrow_stage(
+        frame, [(out, "array<double>", lambda pdf: fn(pdf[vec_col]))],
+        drop=drop,
+    )
+
+
 def pq_codes_fn(codebooks: np.ndarray):
     """Product-quantization codes for a vector batch.
 

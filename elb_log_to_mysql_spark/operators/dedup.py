@@ -257,6 +257,161 @@ def near_dedup_minhash(
     return unpersist_on_gc(out, sh, banded_cached)
 
 
+def near_dedup_minhash_two_phase(
+    documents: DataFrame,
+    work_dir: str,
+    n_slices: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+    keep_work: bool = False,
+):
+    """Spill-friendly near_dedup_minhash for output-bound corpora
+    (VERDICT r13 item 5): identical pair semantics, but the candidate
+    emit and the exact-Jaccard verification are split into BOUNDED
+    jobs so a single box degrades to disk-streaming instead of dying —
+    and a cluster gets smaller per-stage shuffles for free.
+
+    Why: near_dedup_minhash verifies all candidates in ONE job whose
+    second shingle join shuffles ~(pairs x shingle-array bytes) at
+    once — at 640x the >=1.12G-pair output prices that transient above
+    the box's free disk (SCALE.md round-13: correct refusal). Here:
+
+    Phase 1 (one job): shingle -> minhash -> band -> bucket self-join,
+    then WRITE the raw candidate id pairs (two longs; pre-dedup, so
+    band-multiplicity duplicates included) to zstd parquet partitioned
+    by slice = pmod(xxhash64(a, b), n_slices); the shingle table
+    (doc_id, shingles) is also written once. No wide columns ride the
+    candidate shuffle — the write streams from the bucket join without
+    an extra exchange.
+
+    Phase 2 (n_slices bounded jobs): per slice, read its candidate
+    pairs, dropDuplicates (a pair always lands in one slice, so
+    in-slice dedup is global dedup), join the shingle table twice,
+    exact Jaccard, keep >= threshold, append the verified pairs to the
+    result parquet, then DELETE the slice's candidate files — peak
+    disk is phase-1's candidate spill plus ONE slice's verification
+    shuffle (~1/n_slices of the single-shot transient).
+
+    Returns (result_df, stats) where result_df reads the verified-pair
+    parquet (doc_id_a, doc_id_b, jaccard — same contract as
+    near_dedup_minhash) and stats is {"pairs": total, "slices": n,
+    "candidate_rows": pre-dedup emitted}. EAGER end-to-end (a
+    materializing pipeline, not a lazy plan) — that is the point: the
+    caller chose bounded disk over plan purity. Not for streaming.
+    """
+    import shutil as _shutil
+    import os as _os
+
+    spark = documents.sparkSession
+    rows_per_band = num_hashes // bands
+    cand_dir = _os.path.join(work_dir, "candidates")
+    sh_dir = _os.path.join(work_dir, "shingles")
+    out_dir = _os.path.join(work_dir, "verified")
+    for d in (cand_dir, sh_dir, out_dir):
+        _shutil.rmtree(d, ignore_errors=True)
+
+    documents = ensure_min_partitions(documents)
+    sh = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sh.write.mode("overwrite").parquet(sh_dir)
+    sh = spark.read.parquet(sh_dir)
+
+    sig = minhash_sig_rows(sh, num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
+            "band_idx", "band_hash"
+        ),
+    ).persist()
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    capped = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("bsz") > max_bucket)),
+        ["band_idx", "band_hash"],
+        "left_anti",
+    )
+    left = capped.select(
+        "band_idx", "band_hash", F.col("doc_id").alias("doc_id_a")
+    )
+    right = capped.select(
+        "band_idx", "band_hash", F.col("doc_id").alias("doc_id_b")
+    )
+    (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.pmod(F.xxhash64("doc_id_a", "doc_id_b"), F.lit(n_slices))
+            .cast("int")
+            .alias("slice"),
+        )
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .partitionBy("slice")
+        .parquet(cand_dir)
+    )
+    banded.unpersist()
+
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    total_pairs = 0
+    cand_rows = 0
+    for s in range(n_slices):
+        slice_path = _os.path.join(cand_dir, f"slice={s}")
+        if not _os.path.exists(slice_path):
+            continue
+        cand = spark.read.parquet(slice_path)
+        cand_rows += cand.count()
+        verified = (
+            cand.dropDuplicates(["doc_id_a", "doc_id_b"])
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("doc_id_a"),
+                    F.col("shingles").alias("sh_a"),
+                ),
+                "doc_id_a",
+            )
+            .join(
+                sh.select(
+                    F.col("doc_id").alias("doc_id_b"),
+                    F.col("shingles").alias("sh_b"),
+                ),
+                "doc_id_b",
+            )
+            .withColumn("jaccard", inter / union)
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_id_a", "doc_id_b", "jaccard")
+        )
+        verified.write.mode("append").parquet(out_dir)
+        _shutil.rmtree(slice_path, ignore_errors=True)
+        # nudge the ContextCleaner so the finished slice's shuffle
+        # files are deleted before the next slice's are written —
+        # the whole point is bounding transient disk
+        spark.sparkContext._jvm.System.gc()
+
+    result = spark.read.parquet(out_dir)
+    total_pairs = result.count()
+    stats = {
+        "pairs": int(total_pairs),
+        "slices": n_slices,
+        "candidate_rows": int(cand_rows),
+    }
+    if not keep_work:
+        _shutil.rmtree(cand_dir, ignore_errors=True)
+    return result, stats
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",

@@ -1839,3 +1839,142 @@ def test_pq_admission_stats_telemetry(spark):
     for r in stats3.collect():
         assert r.cut_admitted == 0 and r.cap_dropped == 0
         assert r.admitted <= k * 4
+
+
+def test_ivf_auto_exact_recall_and_pruning(spark):
+    """similarity_topk_ivf_auto (VERDICT r13 item 3): the derived
+    probe set's triangle-inequality prune must (a) return the EXACT
+    cosine top-k — coverage is provable, so equality not a floor —
+    on a scattered corpus where any fixed sub-full nprobe loses
+    cells, and (b) probe FEW cells on a tightly clustered corpus
+    where the bound is tight."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    dim, k = 16, 5
+
+    # (a) scattered: 300 near-uniform unit vectors
+    scatter = rng.normal(0, 1, size=(300, dim))
+    scatter /= np.linalg.norm(scatter, axis=1, keepdims=True)
+    emb_a = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(scatter)],
+        "vec_id long, embedding array<double>",
+    )
+    q_a = emb_a.filter(F.col("vec_id") < 5)
+    exact_a = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in similarity.similarity_topk_bruteforce(
+            emb_a, q_a, k=k
+        ).collect()
+    }
+    got_a, stats_a = similarity.similarity_topk_ivf_auto(
+        emb_a, q_a, k=k, n_centroids=8, with_stats=True
+    )
+    got_a = {(r.query_id, r.neighbor_id, r.rank) for r in got_a.collect()}
+    assert got_a == exact_a  # exact, not approximate
+
+    # (b) clustered: 8 tight far-apart clusters -> few cells probed
+    centers = rng.normal(0, 1, size=(8, dim)) * 10
+    rows = []
+    for i, c in enumerate(centers):
+        for j in range(40):
+            v = c + rng.normal(0, 0.01, size=dim)
+            rows.append((int(i * 100 + j), [float(x) for x in v]))
+    emb_b = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    q_b = emb_b.filter(F.col("vec_id") % 100 == 0)
+    exact_b = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(
+            emb_b, q_b, k=k
+        ).collect()
+    }
+    got_b, stats_b = similarity.similarity_topk_ivf_auto(
+        emb_b, q_b, k=k, n_centroids=8, with_stats=True
+    )
+    got_b = {(r.query_id, r.neighbor_id) for r in got_b.collect()}
+    assert got_b == exact_b
+    probed = {r.query_id: r.cells_probed for r in stats_b.collect()}
+    assert probed and all(p < 8 for p in probed.values()), probed
+
+
+def test_filtered_ann_chooser_and_branches(spark, sf_dir):
+    """similarity_topk_filtered (VERDICT r13 item 4): the selectivity
+    chooser picks pre for a selective predicate and post for a broad
+    one; the pre branch is exact under the predicate; the post branch
+    keeps only predicate survivors and meets the 0.95 floor."""
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    sel_pred = F.col("label") == 3
+    broad_pred = F.col("label") != 3
+    m_sel, s_sel = similarity.choose_filter_strategy(emb, sel_pred)
+    m_broad, s_broad = similarity.choose_filter_strategy(emb, broad_pred)
+    assert m_sel == "pre" and s_sel < 0.25
+    assert m_broad == "post" and s_broad > 0.25
+
+    exact_sel = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(
+            emb.filter(sel_pred), q, k=10
+        ).collect()
+    }
+    got_sel = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_filtered(
+            emb, q, sel_pred, k=10, method=m_sel
+        ).collect()
+    }
+    assert got_sel == exact_sel  # pre branch is exact
+
+    got_broad = similarity.similarity_topk_filtered(
+        emb, q, broad_pred, k=10, method=m_broad, selectivity=s_broad
+    )
+    rows = got_broad.collect()
+    # every returned neighbor satisfies the predicate
+    bad = (
+        got_broad.join(
+            emb.filter(broad_pred).select(
+                F.col("vec_id").alias("neighbor_id")
+            ),
+            "neighbor_id",
+            "left_anti",
+        ).count()
+    )
+    assert bad == 0
+    exact_broad = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(
+            emb.filter(broad_pred), q, k=10
+        ).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact_broad & got) / len(exact_broad)
+    assert recall >= 0.95, recall
+
+
+def test_near_dedup_two_phase_equals_single_shot(spark, sf_dir, tmp_path):
+    """VERDICT r13 item 5: the slice-partitioned two-phase pipeline
+    must produce EXACTLY the single-shot operator's verified pair set
+    (same bands, same skew cap, same Jaccard values)."""
+    from elb_log_to_mysql_spark.operators import dedup
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    single = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in dedup.near_dedup_minhash(docs).collect()
+    }
+    found, stats = dedup.near_dedup_minhash_two_phase(
+        docs, str(tmp_path / "nd2p"), n_slices=3
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in found.collect()
+    }
+    assert got == single
+    assert stats["pairs"] == len(single)
+    assert stats["candidate_rows"] >= stats["pairs"]

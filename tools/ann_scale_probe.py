@@ -97,8 +97,19 @@ def main() -> None:
     # the depth-64 rerun adjudicated the recovery. "auto" passes None:
     # the r13 DEFAULT, deriving the depth from the stored codes' tie
     # structure (operators/similarity.py:derive_pq_rerank_factor).
+    # arg3 forms: "auto" -> derived controls (depth agg + adaptive
+    # cut); "N" -> fixed depth N, no cut; "Na" (e.g. "4a") -> the
+    # PRODUCTION SERVING shape: precomputed depth N + the adaptive
+    # per-candidate cut, zero eager jobs at plan build.
     arg3 = sys.argv[3] if len(sys.argv) > 3 else "4"
-    rerank_factor = None if arg3 in ("auto", "none", "None") else int(arg3)
+    adaptive = None
+    if arg3 in ("auto", "none", "None"):
+        rerank_factor = None
+    elif arg3.endswith("a"):
+        rerank_factor = int(arg3[:-1])
+        adaptive = True
+    else:
+        rerank_factor = int(arg3)
     work = f"/tmp/ann_probe_{factor}x"
     os.makedirs(work, exist_ok=True)
     emb_path = os.path.join(work, "embeddings.parquet")
@@ -140,6 +151,7 @@ def main() -> None:
         "queries": 20,
         "k": 10,
         "rerank_factor": "derived" if rerank_factor is None else rerank_factor,
+        "adaptive_cut": bool(adaptive) if adaptive is not None else rerank_factor is None,
         "paths": {},
     }
 
@@ -200,7 +212,7 @@ def main() -> None:
     t0 = time.perf_counter()
     pq_out = similarity.similarity_topk_pq(
         emb, q, k=10, rerank_factor=rerank_factor, codebooks=codebooks,
-        with_stats=True,
+        with_stats=True, adaptive=adaptive,
     )
     pq_df, pq_stats = pq_out
     pq_rows = pq_df.collect()
@@ -223,7 +235,7 @@ def main() -> None:
         emb, q, k=10, n_centroids=64, nprobe=8,
         rerank_factor=rerank_factor,
         centroids=centroids, codebooks=codebooks,
-        with_stats=True,
+        with_stats=True, adaptive=adaptive,
     )
     ivfpq_rows = ivfpq_df.collect()
     ivfpq_wall = round(time.perf_counter() - t0, 2)
