@@ -279,33 +279,53 @@ def near_dedup_minhash_two_phase(
     Why: near_dedup_minhash verifies all candidates in ONE job whose
     second shingle join shuffles ~(pairs x shingle-array bytes) at
     once — at 640x the >=1.12G-pair output prices that transient above
-    the box's free disk (SCALE.md round-13: correct refusal). Here:
+    the box's free disk (SCALE.md round-13: correct refusal).
 
-    Phase 1 (one job): shingle -> minhash -> band -> bucket self-join,
-    then WRITE the raw candidate id pairs (two longs; pre-dedup, so
-    band-multiplicity duplicates included) to zstd parquet partitioned
-    by slice = pmod(xxhash64(a, b), n_slices); the shingle table
-    (doc_id, shingles) is also written once. No wide columns ride the
-    candidate shuffle — the write streams from the bucket join without
-    an extra exchange.
+    Phase 1 — FIRST-SURVIVING-BAND emit. The naive banded self-join
+    emits a clone pair once per colliding band (x16 here: identical
+    docs share all 16 band hashes), so the raw candidate stream is
+    band-multiplicity times the pair count and the usual
+    dropDuplicates pays a pair-volume shuffle — the very transient
+    this variant exists to avoid (the first 640x attempt died in the
+    partitionBy write's sorter, priced by exactly that
+    multiplicity). Instead, each exploded row carries its doc's FULL
+    band-hash array plus a survived-the-skew-cap mask, and the join
+    emits pair (a,b) at band i only when NO earlier band j<i has
+    equal hashes AND an uncapped bucket — every candidate pair is
+    emitted EXACTLY ONCE (same set as the single-shot operator's
+    dropDuplicates output, including cap semantics: hashes equal at
+    j means both docs sit in the SAME bucket j, so one side's mask
+    decides for both). The unique pairs stream straight to plain
+    zstd parquet: no dedup shuffle, no partitionBy sort. The shingle
+    table (doc_id, shingles) is written once alongside.
 
-    Phase 2 (n_slices bounded jobs): per slice, read its candidate
-    pairs, dropDuplicates (a pair always lands in one slice, so
-    in-slice dedup is global dedup), join the shingle table twice,
-    exact Jaccard, keep >= threshold, append the verified pairs to the
-    result parquet, then DELETE the slice's candidate files — peak
-    disk is phase-1's candidate spill plus ONE slice's verification
-    shuffle (~1/n_slices of the single-shot transient).
+    Phase 2 — bounded verification. Because pairs are globally
+    unique, ANY partition of the candidate FILES is a valid work
+    split: the files are chunked into n_slices groups; per group,
+    read, join the shingle table twice, exact Jaccard, keep >=
+    threshold, append to the result parquet, DELETE the group's
+    files, and nudge the ContextCleaner so the finished group's
+    shuffle files free before the next group's are written. Peak
+    disk = phase-1's candidate spill (unique pairs, ~10-16 B/pair
+    zstd) + ONE group's verification shuffle (~1/n_slices of the
+    single-shot transient).
+
+    The single-shot operator deliberately keeps its skinny
+    3-longs-per-row join + dropDuplicates: at non-degenerate dup
+    factors the wide-array join shuffle here (bh 16 longs + mask per
+    side) costs more than the dup collapse saves. First-band emit
+    pays off exactly in the output-bound regime this variant is for.
 
     Returns (result_df, stats) where result_df reads the verified-pair
     parquet (doc_id_a, doc_id_b, jaccard — same contract as
     near_dedup_minhash) and stats is {"pairs": total, "slices": n,
-    "candidate_rows": pre-dedup emitted}. EAGER end-to-end (a
+    "candidate_rows": unique candidate pairs}. EAGER end-to-end (a
     materializing pipeline, not a lazy plan) — that is the point: the
     caller chose bounded disk over plan purity. Not for streaming.
     """
-    import shutil as _shutil
+    import glob as _glob
     import os as _os
+    import shutil as _shutil
 
     spark = documents.sparkSession
     rows_per_band = num_hashes // bands
@@ -326,56 +346,107 @@ def near_dedup_minhash_two_phase(
     sh = spark.read.parquet(sh_dir)
 
     sig = minhash_sig_rows(sh, num_hashes)
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(band_hashes(F.col("sig"), bands, rows_per_band)).alias(
-            "band_idx", "band_hash"
-        ),
+    # per-doc band-hash ARRAY (not yet exploded) — both the join keys
+    # and the earlier-band test read it
+    bh_frame = sig.select(
+        "doc_id", band_hashes(F.col("sig"), bands, rows_per_band).alias("bh")
+    )
+    banded = bh_frame.select(
+        "doc_id", F.posexplode("bh").alias("band_idx", "band_hash")
     ).persist()
-    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
-        F.count(F.lit(1)).alias("bsz")
+    capped = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > max_bucket)
+        .withColumn("_capped", F.lit(True))
     )
-    capped = banded.join(
-        F.broadcast(bucket_sizes.filter(F.col("bsz") > max_bucket)),
-        ["band_idx", "band_hash"],
-        "left_anti",
+    # per-doc survived mask, band order preserved via array_sort on
+    # (band_idx, flag) structs; capped buckets are few (skew guard),
+    # so the flag join broadcasts
+    masks = (
+        banded.join(
+            F.broadcast(capped.select("band_idx", "band_hash", "_capped")),
+            ["band_idx", "band_hash"],
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "band_idx",
+                            F.coalesce("_capped", F.lit(False)).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: ~s.getField("c"),
+            ).alias("sv")
+        )
     )
-    left = capped.select(
-        "band_idx", "band_hash", F.col("doc_id").alias("doc_id_a")
+    banded.unpersist()
+    doc_side = bh_frame.join(masks, "doc_id")
+    # exploded emit rows: only bands whose own bucket survived
+    emit = doc_side.select(
+        "doc_id",
+        "bh",
+        "sv",
+        F.posexplode(
+            F.zip_with("bh", "sv", lambda h, s: F.struct(h.alias("h"), s.alias("s")))
+        ).alias("band_idx", "hs"),
+    ).filter(F.col("hs.s")).select(
+        "doc_id", "bh", "sv", "band_idx", F.col("hs.h").alias("band_hash")
     )
-    right = capped.select(
-        "band_idx", "band_hash", F.col("doc_id").alias("doc_id_b")
+    left = emit.select(
+        "band_idx",
+        "band_hash",
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("bh").alias("bh_a"),
+        F.col("sv").alias("sv_a"),
+    )
+    right = emit.select(
+        "band_idx",
+        "band_hash",
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("bh").alias("bh_b"),
+    )
+    # earlier surviving collision? hashes equal at j<i AND a's bucket
+    # j uncapped (equal hashes => same bucket => same capped status);
+    # band 0 has no earlier bands (slice of length 0 is guarded)
+    earlier = (F.col("band_idx") > 0) & F.exists(
+        F.zip_with(
+            F.zip_with(
+                F.slice("bh_a", F.lit(1), F.greatest("band_idx", F.lit(1))),
+                F.slice("bh_b", F.lit(1), F.greatest("band_idx", F.lit(1))),
+                lambda x, y: x == y,
+            ),
+            F.slice("sv_a", F.lit(1), F.greatest("band_idx", F.lit(1))),
+            lambda eq, s: eq & s,
+        ),
+        lambda x: x,
     )
     (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select(
-            "doc_id_a",
-            "doc_id_b",
-            F.pmod(F.xxhash64("doc_id_a", "doc_id_b"), F.lit(n_slices))
-            .cast("int")
-            .alias("slice"),
-        )
+        .filter(~earlier)
+        .select("doc_id_a", "doc_id_b")
         .write.mode("overwrite")
         .option("compression", "zstd")
-        .partitionBy("slice")
         .parquet(cand_dir)
     )
-    banded.unpersist()
 
+    files = sorted(_glob.glob(_os.path.join(cand_dir, "*.parquet")))
+    groups = [files[s::n_slices] for s in range(n_slices)]
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    total_pairs = 0
     cand_rows = 0
-    for s in range(n_slices):
-        slice_path = _os.path.join(cand_dir, f"slice={s}")
-        if not _os.path.exists(slice_path):
+    for group in groups:
+        if not group:
             continue
-        cand = spark.read.parquet(slice_path)
+        cand = spark.read.parquet(*group)
         cand_rows += cand.count()
         verified = (
-            cand.dropDuplicates(["doc_id_a", "doc_id_b"])
-            .join(
+            cand.join(
                 sh.select(
                     F.col("doc_id").alias("doc_id_a"),
                     F.col("shingles").alias("sh_a"),
@@ -394,16 +465,19 @@ def near_dedup_minhash_two_phase(
             .select("doc_id_a", "doc_id_b", "jaccard")
         )
         verified.write.mode("append").parquet(out_dir)
-        _shutil.rmtree(slice_path, ignore_errors=True)
-        # nudge the ContextCleaner so the finished slice's shuffle
-        # files are deleted before the next slice's are written —
+        for f in group:
+            try:
+                _os.remove(f)
+            except OSError:
+                pass
+        # nudge the ContextCleaner so the finished group's shuffle
+        # files are deleted before the next group's are written —
         # the whole point is bounding transient disk
         spark.sparkContext._jvm.System.gc()
 
     result = spark.read.parquet(out_dir)
-    total_pairs = result.count()
     stats = {
-        "pairs": int(total_pairs),
+        "pairs": int(result.count()),
         "slices": n_slices,
         "candidate_rows": int(cand_rows),
     }
