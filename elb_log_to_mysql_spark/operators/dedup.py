@@ -411,20 +411,23 @@ def near_dedup_minhash_two_phase(
         F.col("bh").alias("bh_b"),
     )
     # earlier surviving collision? hashes equal at j<i AND a's bucket
-    # j uncapped (equal hashes => same bucket => same capped status);
-    # band 0 has no earlier bands (slice of length 0 is guarded)
-    earlier = (F.col("band_idx") > 0) & F.exists(
-        F.zip_with(
-            F.zip_with(
-                F.slice("bh_a", F.lit(1), F.greatest("band_idx", F.lit(1))),
-                F.slice("bh_b", F.lit(1), F.greatest("band_idx", F.lit(1))),
-                lambda x, y: x == y,
-            ),
-            F.slice("sv_a", F.lit(1), F.greatest("band_idx", F.lit(1))),
-            lambda eq, s: eq & s,
-        ),
-        lambda x: x,
-    )
+    # j uncapped (equal hashes => same bucket => same capped status).
+    # Deliberately a FLAT short-circuit OR over the <=`bands` fixed
+    # positions, NOT slice/zip_with/exists: this predicate runs on
+    # every joined row (|bucket|^2 x bands rows before the a<b/emit
+    # filters — tens of billions at 640x), and Spark's higher-order
+    # array functions are interpreted with per-row array allocation
+    # (~5us/row), while element_at comparisons stay inside
+    # whole-stage codegen (~ns). Measured: the HOF form pinned 32
+    # cores for >30 min at 640x; the flat form finishes the stage in
+    # minutes.
+    earlier = F.lit(False)
+    for j in range(bands):
+        earlier = earlier | (
+            (F.col("band_idx") > j)
+            & (F.element_at("bh_a", j + 1) == F.element_at("bh_b", j + 1))
+            & F.element_at("sv_a", j + 1)
+        )
     (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
