@@ -135,7 +135,8 @@ def similarity_topk_lsh(
     dim: int = 64,
     n_planes: int = 4,
     n_tables: int = 8,
-) -> DataFrame:
+    with_stats: bool = False,
+):
     """Approximate cosine top-k: hyperplane-LSH candidates, exact rerank.
 
     Each vector lands in n_tables buckets (independent sign patterns);
@@ -146,7 +147,16 @@ def similarity_topk_lsh(
     p = 1 - θ/π; recall over tables = 1-(1-p^planes)^tables. Short
     patterns + more tables favor recall (defaults 4×8 give ~0.9+ for
     cos≈0.8 neighbors); raise n_planes as corpus density grows to
-    keep buckets small.
+    keep buckets small. `derive_lsh_params` replaces hand-picking
+    (planes, tables) with corpus-measured geometry (the round-14
+    derived-controls leg: depth/band → nprobe → LSH config).
+
+    ``with_stats=True`` returns ``(result, stats_df)`` where stats_df
+    is per-query candidate-volume telemetry (query_id, candidates =
+    pre-dedup bucket-join rows — the measured scan cost this config
+    actually paid). Collecting it re-executes the bucket join; on a
+    big corpus persist the result first or accept the second pass
+    (same contract as the PQ admission telemetry).
     """
 
     planes = _hyperplanes(n_tables, n_planes, dim)
@@ -181,11 +191,12 @@ def similarity_topk_lsh(
     # (query_id, neighbor_id, cos) triples. A same-pair collision in
     # multiple tables recomputes a cosine instead of shuffling two
     # dim-width arrays twice — compute is cheaper than exchange bytes.
+    joined = cb.join(F.broadcast(qb), ["table_idx", "bucket"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
     cand = (
         with_pairwise_cosine(
-            cb.join(F.broadcast(qb), ["table_idx", "bucket"]).filter(
-                F.col("query_id") != F.col("neighbor_id")
-            ),
+            joined,
             "q_vec",
             "c_vec",
             drop=("q_vec", "c_vec"),
@@ -196,10 +207,250 @@ def similarity_topk_lsh(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
-    return (
+    out = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+    if not with_stats:
+        return out
+    stats = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("candidates")
+    )
+    return out, stats
+
+
+def derive_lsh_params(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    floor: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 2048,
+    query_sample: int = 64,
+    max_planes: int = 16,
+    max_tables: int = 64,
+) -> dict:
+    """DERIVED hyperplane-LSH search controls (planes, tables) from
+    corpus-measured geometry — the last fixed ANN constants after the
+    PQ depth/band (round 12/13) and IVF nprobe (round 14) derivations.
+
+    Hand-picked LSH configs fail in two opposite ways, and only one of
+    them is visible in a recall gate:
+
+    - too few tables / too many planes → silent recall loss on
+      wide-angle neighbors (the failure the recall floor catches);
+    - too few planes / many tables → a config that PASSES every recall
+      audit while scanning MORE than the corpus per query batch. The
+      gate-certified fixed config (3 planes × 24 tables) is exactly
+      this: expected random-pair scan fraction 24/2^3 = 3.0 — recall
+      is bulletproof (≥0.95 even for neighbors at θ=90°) because the
+      config does three brute-force scans' worth of candidate work.
+      At 100 TB that is strictly worse than one exact scan; no recall
+      gate can ever flag it.
+
+    The derivation measures both angles the theory needs, on a
+    deterministic hash-ordered sample (one tiny eager job — the
+    established derived-controls cost):
+
+    1. θ_near — the WIDEST k-th-neighbor angle over sampled queries
+       vs the corpus sample. A sample's k-th best cosine lower-bounds
+       the corpus's (subset ⊆ corpus), so the sampled angle is wider,
+       i.e. CONSERVATIVE: configs chosen for θ_near cover the true
+       neighbors a fortiori. Clustered corpora need the sample dense
+       enough to catch ≥ k cluster siblings per query (sample_rows ≥
+       k·n/cluster_size, or the full corpus when n is small) — an
+       undersized sample sees only random-pair angles and errs toward
+       the brute fallback: sound, never fast-but-wrong.
+    2. θ_rand — the median query×corpus angle, the collision rate a
+       RANDOM (non-neighbor) row pays per plane; drives the cost model.
+
+    Per-table collision for a pair at angle θ is p(θ)^b with
+    p = 1-θ/π; recall over T independent tables is 1-(1-p^b)^T. The
+    search: for each b ≤ max_planes take the smallest T meeting a
+    design floor of (1+floor)/2 at θ_near (the ceil + the headroom
+    between design floor and gate floor + θ_near's conservatism are
+    the regeneration margin), reject T > max_tables, estimate the
+    scan fraction T·p(θ_rand)^b, reject ≥ 1 (an LSH config that
+    expects to scan the whole corpus is pointless), and keep the
+    cheapest survivor.
+
+    REFUSAL ARITHMETIC: when no (b, T) under the caps meets the floor
+    at sub-scan cost — neighbors at/beyond θ_rand make it provable:
+    p_near ≤ p_rand forces scan fraction ≥ -ln(1-floor') > 1 for any
+    covering T — the method returns ``{"method": "brute"}`` with a
+    RuntimeWarning: an exact scan is the only sound answer on data
+    whose neighbors are indistinguishable from noise, and the caller
+    falls back to similarity_topk_bruteforce.
+
+    Returns a dict: method ('lsh'|'brute'), n_planes, n_tables,
+    theta_near/theta_rand (radians), est_scan_fraction (the chosen
+    config's modeled fraction; None on brute), and fixed_scan_fraction
+    under the same measured θ_rand for any (b, T) via the included
+    ``scan_fraction(b, t)`` closure — the gate uses it to price the
+    certified fixed config on the same geometry.
+    """
+    import math
+    import warnings
+
+    if not 0.0 < floor < 1.0:
+        raise ValueError(f"floor must be in (0, 1), got {floor}")
+    if k < 1 or sample_rows < k + 1 or query_sample < 1:
+        raise ValueError(
+            f"need k >= 1, sample_rows > k, query_sample >= 1 "
+            f"(got k={k}, sample_rows={sample_rows}, "
+            f"query_sample={query_sample})"
+        )
+
+    # Deterministic samples: hash-order + limit is a partial top-k per
+    # partition + tiny driver merge, never a full sort of the corpus.
+    cs = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .orderBy(F.xxhash64(F.col("neighbor_id")))
+        .limit(sample_rows)
+    )
+    qs = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .orderBy(F.xxhash64(F.col("query_id")))
+        .limit(query_sample)
+    )
+    scored = with_pairwise_cosine(
+        cs.crossJoin(F.broadcast(qs)).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        ),
+        "q_vec",
+        "c_vec",
+        drop=("q_vec", "c_vec"),
+    ).select("query_id", "cos")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc())
+    row = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .agg(
+            F.min(F.when(F.col("rank") == k, F.col("cos"))).alias("kth_cos"),
+            F.percentile_approx("cos", 0.5).alias("med_cos"),
+        )
+        .collect()[0]
+    )
+    kth_cos = row["kth_cos"]
+    med_cos = row["med_cos"]
+    if kth_cos is None:
+        raise ValueError(
+            f"corpus sample too small: no query saw {k} neighbors"
+        )
+    theta_near = math.acos(max(-1.0, min(1.0, float(kth_cos))))
+    theta_rand = math.acos(max(-1.0, min(1.0, float(med_cos))))
+    p_near = max(1e-12, 1.0 - theta_near / math.pi)
+    p_rand = max(1e-12, 1.0 - theta_rand / math.pi)
+
+    design_floor = (1.0 + floor) / 2.0
+
+    def scan_fraction(b: int, t: int) -> float:
+        """Modeled fraction of the corpus a (b, t) config scans per
+        query: t tables × the random-pair per-table collision rate."""
+        return t * p_rand**b
+
+    def tables_for(b: int):
+        pb = p_near**b
+        if pb >= 1.0:
+            return 1
+        if pb <= 0.0:
+            return None
+        t = math.ceil(math.log(1.0 - design_floor) / math.log(1.0 - pb))
+        return t if t <= max_tables else None
+
+    best = None
+    for b in range(1, max_planes + 1):
+        t = tables_for(b)
+        if t is None:
+            continue
+        frac = scan_fraction(b, t)
+        if frac >= 1.0:
+            continue
+        if best is None or frac < best[2]:
+            best = (b, t, frac)
+
+    out = {
+        "theta_near": theta_near,
+        "theta_rand": theta_rand,
+        "kth_cos": float(kth_cos),
+        "design_floor": design_floor,
+        "scan_fraction": scan_fraction,
+    }
+    if best is None:
+        warnings.warn(
+            f"derive_lsh_params: no (planes <= {max_planes}, tables <= "
+            f"{max_tables}) meets recall {design_floor:.3f} at "
+            f"k-th-neighbor angle {math.degrees(theta_near):.1f}deg below "
+            f"full-scan cost — falling back to the exact brute scan, the "
+            f"only sound answer when neighbors are indistinguishable "
+            f"from random pairs (median angle "
+            f"{math.degrees(theta_rand):.1f}deg)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        out.update(method="brute", n_planes=None, n_tables=None,
+                   est_scan_fraction=None)
+        return out
+    b, t, frac = best
+    out.update(method="lsh", n_planes=b, n_tables=t,
+               est_scan_fraction=frac)
+    return out
+
+
+def similarity_topk_lsh_auto(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    floor: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    with_stats: bool = False,
+    params: dict | None = None,
+):
+    """Hyperplane-LSH top-k with DERIVED (planes, tables) — or the
+    exact brute scan when the derivation's refusal arithmetic proves
+    LSH cannot beat it at the recall floor (derive_lsh_params).
+
+    Plan construction is EAGER (the derivation samples the corpus,
+    one tiny job). The production serving shape mirrors the PQ depth
+    contract: run derive_lsh_params once at index build, store the
+    dict with the index, and pass it back via ``params`` — zero eager
+    jobs per query batch.
+    """
+    p = params or derive_lsh_params(
+        embeddings, queries, k=k, floor=floor,
+        id_col=id_col, vec_col=vec_col,
+    )
+    if p["method"] == "brute":
+        out = similarity_topk_bruteforce(
+            embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+        )
+        if not with_stats:
+            return out
+        # Brute scans the full corpus once per query — report it so
+        # cost telemetry stays comparable across branches.
+        n = embeddings.count()
+        stats = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.lit(n).cast("long").alias("candidates"),
+        )
+        return out, stats
+    return similarity_topk_lsh(
+        embeddings,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_planes=p["n_planes"],
+        n_tables=p["n_tables"],
+        with_stats=with_stats,
     )
 
 

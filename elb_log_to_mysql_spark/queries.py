@@ -2393,6 +2393,131 @@ def q_ann_nprobe_auto(spark, sf_dir):
     return carry_caches(out, exact, derived, fixed)
 
 
+_ANN_LSH_AUTO_ORACLE = """
+    WITH dense AS (
+      SELECT e.vec_id * 25 + (c.copy * 7) % 25 AS vec_id,
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]
+                    + 0.05 * ((hash(e.vec_id, c.copy, i) % 2048) / 1024.0
+                              - 1.0)) AS embedding
+      FROM embeddings e, (SELECT unnest(range(25)) AS copy) c
+    ), topk AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS rank
+      FROM dense q JOIN dense c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 25 = 0 AND q.vec_id < 500
+    )
+    SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_floor_met,
+           TRUE AS lsh_branch,
+           TRUE AS derived_cheaper,
+           TRUE AS fixed_scan_unsound,
+           TRUE AS base_refuses
+    FROM topk WHERE rank <= 10
+"""
+
+
+@_q("ann_lsh_auto", _ANN_LSH_AUTO_ORACLE)
+def q_ann_lsh_auto(spark, sf_dir):
+    """Derived LSH search controls as a gate entry (closes the
+    derived-controls program across every ANN leg: PQ depth r12, ADC
+    band r13, IVF nprobe r14, LSH planes/tables here). Unlike the
+    nprobe gate the necessity evidence is a COST proof, because the
+    certified fixed config (3 planes x 24 tables,
+    `similarity_topk_lsh`'s gate shape) cannot be made to fail a
+    recall floor at all: at 3 planes even theta=90deg neighbors
+    collide per table with p >= 0.125, so 24 tables give recall
+    >= 0.96 on ANY corpus — by expecting to scan 24/2^3 = 3x the
+    corpus per query batch (derive_lsh_params' scan_fraction under
+    the MEASURED random-pair angle: `fixed_scan_unsound` asserts
+    >= 1.0). No recall gate can flag that; only cost arithmetic can.
+
+    The corpus is the embeddings table made CLUSTER-dense in-plan
+    (ann_band_auto's +-0.05 construction at 25 copies): true top-10 =
+    noisy siblings at theta ~ 19deg, the geometry LSH exists for.
+    Audited, one row: `recall_floor_met` — the derived config meets
+    the 0.95 floor vs brute-force exact (measured 0.985/0.995 at
+    sf0.01/sf0.001; design floor (1+floor)/2 plus the sample
+    estimator's conservatism is the regeneration margin);
+    `lsh_branch` — the derivation chose a real LSH config with
+    modeled scan fraction < 1 (measured: 16 planes, ~21 tables, frac
+    3.3e-4); `derived_cheaper` — MEASURED candidate volume
+    (with_stats pre-dedup bucket-join rows) strictly below the fixed
+    config's on the same corpus (measured ~375x less); `base_refuses`
+    — on the RAW embeddings corpus (k-th neighbor at ~76deg,
+    indistinguishable from the ~90deg random-pair angle) the
+    derivation's refusal arithmetic returns method='brute' instead of
+    emitting any config that would scan more than the corpus. The
+    derivation samples the full 12.5k dense corpus (sample_rows
+    covers it): a sparser sample cannot catch >= k cluster siblings
+    per query and errs conservatively toward brute — sound, priced in
+    the docstring. The oracle mirrors the construction in DuckDB
+    (counts are construction-invariant) and recomputes the exact
+    neighbor-set counts."""
+    emb = _t(spark, sf_dir, "embeddings")
+    copies = spark.range(25).select(F.col("id").cast("int").alias("copy"))
+    dense = emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") * 25 + (F.col("copy") * 7) % 25).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.lit(0.05)
+            * (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), F.col("copy"), i),
+                    F.lit(2048),
+                )
+                / F.lit(1024.0)
+                - F.lit(1.0)
+            ),
+        ).alias("embedding"),
+    )
+    q = dense.filter(((F.col("vec_id") % 25) == 0) & (F.col("vec_id") < 500))
+    params = similarity.derive_lsh_params(
+        dense, q, k=10, floor=0.95, sample_rows=12500, query_sample=64
+    )
+    import warnings
+
+    with warnings.catch_warnings():
+        # The refusal warning is the point of this leg; the gate
+        # asserts it as base_refuses instead of logging it.
+        warnings.simplefilter("ignore", RuntimeWarning)
+        base_params = similarity.derive_lsh_params(
+            emb, emb.filter(F.col("vec_id") < 20), k=10, floor=0.95
+        )
+    exact = similarity.similarity_topk_bruteforce(dense, q, k=10)
+    derived, dstats = similarity.similarity_topk_lsh_auto(
+        dense, q, k=10, with_stats=True, params=params
+    )
+    fixed, fstats = similarity.similarity_topk_lsh(
+        dense, q, k=10, n_planes=3, n_tables=24, with_stats=True
+    )
+    floor_row = _ann_recall_audit(
+        exact.select("query_id", "neighbor_id"), derived, floor=0.95
+    )
+    cost_row = (
+        dstats.agg(F.sum("candidates").alias("_d"))
+        .crossJoin(F.broadcast(fstats.agg(F.sum("candidates").alias("_f"))))
+        .select((F.col("_d") < F.col("_f")).alias("derived_cheaper"))
+    )
+    out = floor_row.crossJoin(F.broadcast(cost_row)).select(
+        "n_queries",
+        "n_exact",
+        "recall_floor_met",
+        F.lit(params["method"] == "lsh").alias("lsh_branch"),
+        "derived_cheaper",
+        F.lit(params["scan_fraction"](3, 24) >= 1.0).alias(
+            "fixed_scan_unsound"
+        ),
+        F.lit(base_params["method"] == "brute").alias("base_refuses"),
+    )
+    return carry_caches(out, exact, derived, fixed)
+
+
 _ANN_FILTERED_ORACLE_SELECTIVE = """
     WITH topk AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -1978,3 +1978,106 @@ def test_near_dedup_two_phase_equals_single_shot(spark, sf_dir, tmp_path):
     assert got == single
     assert stats["pairs"] == len(single)
     assert stats["candidate_rows"] >= stats["pairs"]
+
+
+def test_derive_lsh_params_clustered_picks_sublinear_config(spark):
+    """Derived LSH controls (round 14 — the last fixed ANN constants):
+    on a corpus with genuine narrow-angle cluster structure the
+    derivation must choose a real (planes, tables) config with modeled
+    scan fraction < 1, meet the recall floor vs brute force, and pay
+    measurably fewer candidates than the gate-certified fixed (3, 24)
+    config, whose expected scan fraction is 24/2^3 = 3x the corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim, n_base, n_clone, k = 16, 40, 30, 5
+    base = rng.normal(0, 10.0, size=(n_base, dim))
+    rows = []
+    for i in range(n_base):
+        for j in range(n_clone):
+            vec = base[i] + rng.normal(0, 0.05, size=dim)
+            rows.append((int(i * 100 + j), [float(x) for x in vec]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+
+    p = similarity.derive_lsh_params(
+        emb, q, k=k, floor=0.95, sample_rows=n_base * n_clone,
+        query_sample=n_base, max_planes=16,
+    )
+    assert p["method"] == "lsh"
+    assert p["est_scan_fraction"] < 1.0
+    assert p["scan_fraction"](3, 24) >= 1.0  # the fixed config's cost
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(emb, q, k=k).collect()
+    }
+    derived, dstats = similarity.similarity_topk_lsh_auto(
+        emb, q, k=k, dim=dim, with_stats=True, params=p
+    )
+    got = {(r.query_id, r.neighbor_id) for r in derived.collect()}
+    assert len(exact & got) / len(exact) >= 0.95
+    _, fstats = similarity.similarity_topk_lsh(
+        emb, q, k=k, dim=dim, n_planes=3, n_tables=24, with_stats=True
+    )
+    d_cand = dstats.agg(F.sum("candidates")).collect()[0][0]
+    f_cand = fstats.agg(F.sum("candidates")).collect()[0][0]
+    assert d_cand < f_cand
+
+
+def test_derive_lsh_params_refuses_on_orthogonal_corpus(spark):
+    """Refusal arithmetic: with true neighbors at theta = 90deg
+    (orthonormal basis vectors — every pairwise cosine exactly 0) the
+    per-plane collision rate of a NEIGHBOR equals a random pair's, so
+    any table count covering the recall floor must scan >= the whole
+    corpus. The derivation must refuse (RuntimeWarning + brute), and
+    the auto operator must fall back to the exact scan with recall 1.0
+    and full-corpus candidate telemetry."""
+    import numpy as np
+    import pytest
+
+    dim = 64
+    eye = np.eye(dim)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in eye[i]]) for i in range(dim)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 4)
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        p = similarity.derive_lsh_params(
+            emb, q, k=5, floor=0.95, sample_rows=dim, query_sample=4
+        )
+    assert p["method"] == "brute"
+    assert p["n_planes"] is None and p["n_tables"] is None
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(emb, q, k=5).collect()
+    }
+    out, stats = similarity.similarity_topk_lsh_auto(
+        emb, q, k=5, dim=dim, with_stats=True, params=p
+    )
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert got == exact  # brute fallback IS the exact answer
+    for r in stats.collect():
+        assert r.candidates == dim  # full-corpus scan, priced honestly
+
+
+def test_derive_lsh_params_validation(spark):
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="floor"):
+        similarity.derive_lsh_params(emb, emb, floor=1.0)
+    with pytest.raises(ValueError, match="sample_rows"):
+        similarity.derive_lsh_params(emb, emb, k=5, sample_rows=5)
+    one = emb.filter(F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="corpus sample too small"):
+        # the sole corpus row is the query itself: no query reaches
+        # rank k, so the angle estimate has no data to stand on
+        similarity.derive_lsh_params(
+            one, one, k=1, sample_rows=2, query_sample=2
+        )
