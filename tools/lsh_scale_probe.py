@@ -17,7 +17,13 @@ Gaussian noise — the narrow-angle cluster geometry LSH exists for):
     candidate work per query batch at ANY scale — the cost-unsound
     shape the derivation exists to replace.
 
-Usage: python tools/lsh_scale_probe.py [factor] [out.json]
+Usage: python tools/lsh_scale_probe.py [factor] [out.json] [n_queries]
+
+n_queries (default 20) sizes the query batch: the corpus bucketize is
+query-count-INDEPENDENT (one Arrow matmul pass over the corpus), so a
+larger batch amortizes it while brute force scales linearly in
+|Q|·|corpus| — the serving-shape arithmetic the 20-query cells can't
+show.
 """
 
 from __future__ import annotations
@@ -41,6 +47,7 @@ from elb_log_to_mysql_spark.session import build_session  # noqa: E402
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     out_json = sys.argv[2] if len(sys.argv) > 2 else "LSH_SCALE_PROBE.json"
+    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     work = f"/tmp/ann_probe_{factor}x"
     os.makedirs(work, exist_ok=True)
     emb_path = os.path.join(work, "embeddings.parquet")
@@ -70,12 +77,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     emb = spark.read.parquet(emb_path).persist()
     emb.count()
-    q = emb.filter(F.col("vec_id") < 20)
+    q = emb.filter(F.col("vec_id") < n_queries)
 
     report: dict = {
         "factor": factor,
         "vectors": n_vec,
-        "queries": 20,
+        "queries": n_queries,
         "k": 10,
         "paths": {},
     }
@@ -94,7 +101,8 @@ def main() -> None:
     sample_rows = max(2048, math.ceil(2 * 10 * n_vec / factor))
     t0 = time.perf_counter()
     params = similarity.derive_lsh_params(
-        emb, q, k=10, floor=0.95, sample_rows=sample_rows, query_sample=20
+        emb, q, k=10, floor=0.95, sample_rows=sample_rows,
+        query_sample=min(n_queries, 64),
     )
     derive_wall = round(time.perf_counter() - t0, 2)
 
@@ -112,7 +120,7 @@ def main() -> None:
             "wall_sec": wall,
             "recall_at_10": round(len(exact & got) / len(exact), 4),
             "candidates_total": int(cand),
-            "scan_fraction_measured": round(cand / (20 * n_vec), 6),
+            "scan_fraction_measured": round(cand / (n_queries * n_vec), 6),
             "config": {
                 "n_planes": kw["n_planes"],
                 "n_tables": kw["n_tables"],
