@@ -220,6 +220,50 @@ def similarity_topk_lsh(
     return out, stats
 
 
+def lsh_config_search(
+    p_near: float,
+    p_rand: float,
+    design_floor: float,
+    max_planes: int,
+    max_tables: int,
+):
+    """Pure driver-side search for the cheapest sound LSH config.
+
+    For each plane count b take the smallest table count T whose
+    theoretical recall 1-(1-p_near^b)^T covers design_floor, reject
+    T > max_tables, price it at the modeled scan fraction
+    T·p_rand^b, reject >= 1 (expecting to scan the corpus means brute
+    wins), return the cheapest survivor as (b, T, fraction) — or None
+    when nothing qualifies (the caller's refusal path). Pure math, no
+    Spark: the hypothesis property suite re-derives every decision
+    against a from-scratch reimplementation and pins the soundness
+    and floor-monotonicity theorems."""
+    import math
+
+    best = None
+    for b in range(1, max_planes + 1):
+        pb = p_near**b
+        if pb >= 1.0:
+            t = 1
+        elif pb <= 0.0:
+            continue
+        else:
+            # log1p keeps the denominator nonzero when pb underflows
+            # 1.0-pb (tiny pb -> astronomically large t -> cap-skipped,
+            # instead of a ZeroDivisionError)
+            t = math.ceil(
+                math.log(1.0 - design_floor) / math.log1p(-pb)
+            )
+            if t > max_tables:
+                continue
+        frac = t * p_rand**b
+        if frac >= 1.0:
+            continue
+        if best is None or frac < best[2]:
+            best = (b, t, frac)
+    return best
+
+
 def derive_lsh_params(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -277,12 +321,20 @@ def derive_lsh_params(
     cheapest survivor.
 
     REFUSAL ARITHMETIC: when no (b, T) under the caps meets the floor
-    at sub-scan cost — neighbors at/beyond θ_rand make it provable:
-    p_near ≤ p_rand forces scan fraction ≥ -ln(1-floor') > 1 for any
-    covering T — the method returns ``{"method": "brute"}`` with a
+    at sub-scan cost the method returns ``{"method": "brute"}`` with a
     RuntimeWarning: an exact scan is the only sound answer on data
     whose neighbors are indistinguishable from noise, and the caller
-    falls back to similarity_topk_bruteforce.
+    falls back to similarity_topk_bruteforce. When neighbors collide
+    no better than random pairs (p_near ≤ p_rand), refusal is
+    PROVABLE unless a single table already covers the floor: any
+    covering T satisfies T ≥ L/-ln(1-p_near^b) with L = -ln(1-floor'),
+    so the modeled fraction T·p_rand^b ≥ L·g(p_near^b) with
+    g(x) = x/-ln(1-x) — and g(x) < 1/L requires p_near^b above ~x*
+    where -ln(1-x*) = L·x* (x* ≈ 0.972 at floor' 0.975), i.e. the
+    whole-cluster one-table regime, which IS a sound sublinear plan
+    when it exists. Everywhere below that, the fraction is pinned
+    ≥ 1 and the refusal fires. (The orthogonal-corpus unit test pins
+    the p_near = p_rand = 0.5 instance.)
 
     Returns a dict: method ('lsh'|'brute'), n_planes, n_tables,
     theta_near/theta_rand (radians), est_scan_fraction (the chosen
@@ -354,25 +406,9 @@ def derive_lsh_params(
         query: t tables × the random-pair per-table collision rate."""
         return t * p_rand**b
 
-    def tables_for(b: int):
-        pb = p_near**b
-        if pb >= 1.0:
-            return 1
-        if pb <= 0.0:
-            return None
-        t = math.ceil(math.log(1.0 - design_floor) / math.log(1.0 - pb))
-        return t if t <= max_tables else None
-
-    best = None
-    for b in range(1, max_planes + 1):
-        t = tables_for(b)
-        if t is None:
-            continue
-        frac = scan_fraction(b, t)
-        if frac >= 1.0:
-            continue
-        if best is None or frac < best[2]:
-            best = (b, t, frac)
+    best = lsh_config_search(
+        p_near, p_rand, design_floor, max_planes, max_tables
+    )
 
     out = {
         "theta_near": theta_near,

@@ -409,3 +409,107 @@ def test_cdc_apply_matches_python_replay(spark, evs):
         else:
             assert g["action"] == "carry" and g["state"] == base[u][1]
     assert set(got) == set(base) | set(chg)
+
+
+# ---- lsh_config_search: pure-math properties (no Spark job per example,
+# so these run at full hypothesis budget) ----
+
+_P = st.floats(min_value=1e-6, max_value=1.0, exclude_max=True)
+_FLOOR = st.floats(min_value=0.5, max_value=0.999)
+
+
+@given(p_near=_P, p_rand=_P, floor=_FLOOR)
+@settings(max_examples=300, deadline=None)
+def test_lsh_config_search_soundness(p_near, p_rand, floor):
+    """Any accepted config must actually satisfy everything the
+    docstring claims: theoretical recall at p_near covers the design
+    floor, both caps hold, and the modeled scan fraction is < 1."""
+    from elb_log_to_mysql_spark.operators.similarity import (
+        lsh_config_search,
+    )
+
+    got = lsh_config_search(p_near, p_rand, floor, 16, 64)
+    if got is None:
+        return
+    b, t, frac = got
+    assert 1 <= b <= 16 and 1 <= t <= 64
+    assert frac == t * p_rand**b < 1.0
+    recall = 1.0 - (1.0 - p_near**b) ** t
+    assert recall >= floor - 1e-9
+
+
+@given(p_near=_P, p_rand=_P, floor=_FLOOR)
+@settings(max_examples=300, deadline=None)
+def test_lsh_config_search_matches_exhaustive_oracle(p_near, p_rand, floor):
+    """The search's decision equals a from-scratch exhaustive
+    reimplementation: same accept/refuse verdict, same minimal
+    fraction (the chosen (b, T) may differ only on exact ties)."""
+    import math
+
+    from elb_log_to_mysql_spark.operators.similarity import (
+        lsh_config_search,
+    )
+
+    candidates = []
+    for b in range(1, 17):
+        pb = p_near**b
+        if pb <= 0.0:
+            continue
+        if pb >= 1.0:
+            t = 1
+        else:
+            t = math.ceil(math.log(1.0 - floor) / math.log1p(-pb))
+        if t < 1 or t > 64:
+            continue
+        frac = t * p_rand**b
+        if frac < 1.0:
+            candidates.append((frac, b, t))
+    got = lsh_config_search(p_near, p_rand, floor, 16, 64)
+    if not candidates:
+        assert got is None
+    else:
+        assert got is not None
+        assert got[2] == min(c[0] for c in candidates)
+
+
+@given(p_near=_P, p_rand=_P, f1=_FLOOR, f2=_FLOOR)
+@settings(max_examples=300, deadline=None)
+def test_lsh_config_search_floor_monotone(p_near, p_rand, f1, f2):
+    """A higher design floor can never buy a CHEAPER config: per-b
+    table counts grow weakly with the floor and the valid set
+    shrinks, so the minimal fraction is weakly larger — and an accept
+    can flip to a refusal but never the reverse."""
+    from elb_log_to_mysql_spark.operators.similarity import (
+        lsh_config_search,
+    )
+
+    lo, hi = sorted((f1, f2))
+    got_lo = lsh_config_search(p_near, p_rand, lo, 16, 64)
+    got_hi = lsh_config_search(p_near, p_rand, hi, 16, 64)
+    if got_hi is not None:
+        assert got_lo is not None
+        assert got_lo[2] <= got_hi[2] + 1e-12
+
+
+@given(p=st.floats(min_value=1e-6, max_value=0.5), floor=_FLOOR)
+@settings(max_examples=300, deadline=None)
+def test_lsh_config_search_refuses_noise_like_neighbors(p, floor):
+    """The provable-refusal regime (docstring): neighbors colliding no
+    better than random pairs (p_near = p_rand = p ≤ 0.5) with a floor
+    that needs more than whole-cluster one-table coverage. Every
+    covering T costs T·p^b ≥ L·g(p^b), g(x) = x/-ln(1-x) — below the
+    one-table regime that is pinned ≥ 1, so the search must refuse."""
+    import math
+
+    from elb_log_to_mysql_spark.operators.similarity import (
+        lsh_config_search,
+    )
+
+    # restrict to the provable region: even b=1 is far from the
+    # one-table cover (p ≤ 0.5 < x* for every floor ≥ 0.5)
+    L = -math.log(1.0 - floor)
+    if L * (p / -math.log(1.0 - p)) < 1.0:
+        # outside the provable region for this (p, floor): g(p)·L < 1
+        # means a near-full-scan single-table cover could qualify
+        return
+    assert lsh_config_search(p, p, floor, 16, 64) is None
