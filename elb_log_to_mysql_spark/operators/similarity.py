@@ -154,9 +154,11 @@ def similarity_topk_lsh(
     ``with_stats=True`` returns ``(result, stats_df)`` where stats_df
     is per-query candidate-volume telemetry (query_id, candidates =
     pre-dedup bucket-join rows — the measured scan cost this config
-    actually paid). Collecting it re-executes the bucket join; on a
-    big corpus persist the result first or accept the second pass
-    (same contract as the PQ admission telemetry).
+    actually paid; one row per DISTINCT query, candidates = 0 when a
+    query collided with nothing, which is exactly the recall-at-risk
+    case the telemetry exists to surface). Collecting it re-executes
+    the bucket join — an accepted second pass, same contract as the
+    PQ admission telemetry's re-run of the ADC scan.
     """
 
     planes = _hyperplanes(n_tables, n_planes, dim)
@@ -214,8 +216,19 @@ def similarity_topk_lsh(
     )
     if not with_stats:
         return out
-    stats = joined.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("candidates")
+    # left join from the distinct query set so zero-collision queries
+    # surface as candidates = 0 instead of vanishing from the frame
+    counts = joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    stats = (
+        queries.select(F.col(id_col).alias("query_id"))
+        .distinct()
+        .join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("_c", F.lit(0)).cast("long").alias("candidates"),
+        )
     )
     return out, stats
 
@@ -240,6 +253,10 @@ def lsh_config_search(
     and floor-monotonicity theorems."""
     import math
 
+    if not 0.0 < design_floor < 1.0:
+        raise ValueError(
+            f"design_floor must be in (0, 1), got {design_floor}"
+        )
     best = None
     for b in range(1, max_planes + 1):
         pb = p_near**b
@@ -256,12 +273,21 @@ def lsh_config_search(
             )
             if t > max_tables:
                 continue
-        frac = t * p_rand**b
+        frac = lsh_scan_fraction(p_rand, b, t)
         if frac >= 1.0:
             continue
         if best is None or frac < best[2]:
             best = (b, t, frac)
     return best
+
+
+def lsh_scan_fraction(p_rand: float, n_planes: int, n_tables: int) -> float:
+    """Modeled fraction of the corpus an LSH config scans per query:
+    tables × the random-pair per-table collision rate. Pure math —
+    prices ANY (planes, tables) under a measured geometry (the
+    ann_lsh_auto gate uses it to convict the certified fixed config
+    on the corpus's own p_rand)."""
+    return n_tables * p_rand**n_planes
 
 
 def derive_lsh_params(
@@ -336,12 +362,14 @@ def derive_lsh_params(
     ≥ 1 and the refusal fires. (The orthogonal-corpus unit test pins
     the p_near = p_rand = 0.5 instance.)
 
-    Returns a dict: method ('lsh'|'brute'), n_planes, n_tables,
-    theta_near/theta_rand (radians), est_scan_fraction (the chosen
-    config's modeled fraction; None on brute), and fixed_scan_fraction
-    under the same measured θ_rand for any (b, T) via the included
-    ``scan_fraction(b, t)`` closure — the gate uses it to price the
-    certified fixed config on the same geometry.
+    Returns a dict of PLAIN SCALARS (storable with the index as
+    JSON — the serving contract): method ('lsh'|'brute'), n_planes,
+    n_tables, theta_near/theta_rand (radians), p_near/p_rand (the
+    per-plane collision rates), design_floor, est_scan_fraction (the
+    chosen config's modeled fraction; None on brute). Price any other
+    (b, T) under the same measured geometry with
+    ``lsh_scan_fraction(p_rand, b, t)`` — the gate uses it to convict
+    the certified fixed config on the corpus's own angles.
     """
     import math
     import warnings
@@ -401,21 +429,21 @@ def derive_lsh_params(
 
     design_floor = (1.0 + floor) / 2.0
 
-    def scan_fraction(b: int, t: int) -> float:
-        """Modeled fraction of the corpus a (b, t) config scans per
-        query: t tables × the random-pair per-table collision rate."""
-        return t * p_rand**b
-
     best = lsh_config_search(
         p_near, p_rand, design_floor, max_planes, max_tables
     )
 
+    # plain scalars only: the serving contract stores this dict with
+    # the index (JSON/pickle), so no closures may ride in it — price
+    # other configs on the same geometry via lsh_scan_fraction(p_rand,
+    # b, t)
     out = {
         "theta_near": theta_near,
         "theta_rand": theta_rand,
+        "p_near": p_near,
+        "p_rand": p_rand,
         "kth_cos": float(kth_cos),
         "design_floor": design_floor,
-        "scan_fraction": scan_fraction,
     }
     if best is None:
         warnings.warn(
@@ -469,12 +497,19 @@ def similarity_topk_lsh_auto(
         )
         if not with_stats:
             return out
-        # Brute scans the full corpus once per query — report it so
-        # cost telemetry stays comparable across branches.
-        n = embeddings.count()
-        stats = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.lit(n).cast("long").alias("candidates"),
+        # Brute scans the full corpus once per query — report the
+        # corpus size (including the self row the scorer drops: this
+        # is rows SCANNED, not rows scored) so cost telemetry stays
+        # comparable across branches. The count rides as a lazy agg
+        # crossJoin, keeping the no-eager-jobs contract when params
+        # was precomputed.
+        cnt = embeddings.agg(
+            F.count(F.lit(1)).cast("long").alias("candidates")
+        )
+        stats = (
+            queries.select(F.col(id_col).alias("query_id"))
+            .distinct()
+            .crossJoin(F.broadcast(cnt))
         )
         return out, stats
     return similarity_topk_lsh(

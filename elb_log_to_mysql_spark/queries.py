@@ -2477,8 +2477,17 @@ def q_ann_lsh_auto(spark, sf_dir):
         ).alias("embedding"),
     )
     q = dense.filter(((F.col("vec_id") % 25) == 0) & (F.col("vec_id") < 500))
+    # the sample must cover the whole dense corpus (25 x the base
+    # table) so every query sees its >= k cluster siblings — a
+    # constant here would silently flip the derivation to the brute
+    # branch at larger SFs where 25x|embeddings| outgrows it
     params = similarity.derive_lsh_params(
-        dense, q, k=10, floor=0.95, sample_rows=12500, query_sample=64
+        dense,
+        q,
+        k=10,
+        floor=0.95,
+        sample_rows=25 * emb.count(),
+        query_sample=64,
     )
     import warnings
 
@@ -2510,9 +2519,9 @@ def q_ann_lsh_auto(spark, sf_dir):
         "recall_floor_met",
         F.lit(params["method"] == "lsh").alias("lsh_branch"),
         "derived_cheaper",
-        F.lit(params["scan_fraction"](3, 24) >= 1.0).alias(
-            "fixed_scan_unsound"
-        ),
+        F.lit(
+            similarity.lsh_scan_fraction(params["p_rand"], 3, 24) >= 1.0
+        ).alias("fixed_scan_unsound"),
         F.lit(base_params["method"] == "brute").alias("base_refuses"),
     )
     return carry_caches(out, exact, derived, fixed)

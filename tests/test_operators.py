@@ -2006,7 +2006,11 @@ def test_derive_lsh_params_clustered_picks_sublinear_config(spark):
     )
     assert p["method"] == "lsh"
     assert p["est_scan_fraction"] < 1.0
-    assert p["scan_fraction"](3, 24) >= 1.0  # the fixed config's cost
+    # the fixed config's cost under the same measured geometry
+    assert similarity.lsh_scan_fraction(p["p_rand"], 3, 24) >= 1.0
+    import json as _json
+
+    _json.dumps(p)  # the serving contract: storable next to the index
 
     exact = {
         (r.query_id, r.neighbor_id)
@@ -2074,6 +2078,10 @@ def test_derive_lsh_params_validation(spark):
         similarity.derive_lsh_params(emb, emb, floor=1.0)
     with pytest.raises(ValueError, match="sample_rows"):
         similarity.derive_lsh_params(emb, emb, k=5, sample_rows=5)
+    with pytest.raises(ValueError, match="design_floor"):
+        similarity.lsh_config_search(0.9, 0.5, 0.0, 16, 64)
+    with pytest.raises(ValueError, match="design_floor"):
+        similarity.lsh_config_search(0.9, 0.5, 1.0, 16, 64)
     one = emb.filter(F.col("vec_id") == 0)
     with pytest.raises(ValueError, match="corpus sample too small"):
         # the sole corpus row is the query itself: no query reaches

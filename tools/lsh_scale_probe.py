@@ -148,7 +148,9 @@ def main() -> None:
         "method": params["method"],
         "theta_near_deg": round(math.degrees(params["theta_near"]), 1),
         "theta_rand_deg": round(math.degrees(params["theta_rand"]), 1),
-        "fixed_3_24_scan_fraction": round(params["scan_fraction"](3, 24), 3),
+        "fixed_3_24_scan_fraction": round(
+            similarity.lsh_scan_fraction(params["p_rand"], 3, 24), 3
+        ),
     }
 
     run("lsh_fixed_3_24", n_planes=3, n_tables=24)
