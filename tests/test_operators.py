@@ -2089,3 +2089,21 @@ def test_derive_lsh_params_validation(spark):
         similarity.derive_lsh_params(
             one, one, k=1, sample_rows=2, query_sample=2
         )
+
+
+def test_derive_ivf_cells_gate_scale_identity_and_validation():
+    """At gate scale the clamps land exactly on the certified fixed
+    default (16 cells for the 500-row embeddings table) — deriving
+    changes nothing where the fixed value was already right. Scale
+    values and input validation pinned alongside."""
+    import pytest
+
+    assert similarity.derive_ivf_cells(500) == 16
+    assert similarity.derive_ivf_cells(640_000) == 2263  # 320x replica
+    assert similarity.derive_ivf_cells(10**9) == 4096  # broadcast cap
+    with pytest.raises(ValueError, match="n_rows"):
+        similarity.derive_ivf_cells(0)
+    with pytest.raises(ValueError, match="expected_probes"):
+        similarity.derive_ivf_cells(500, expected_probes=0)
+    with pytest.raises(ValueError, match="min_cells"):
+        similarity.derive_ivf_cells(500, min_cells=10, max_cells=5)

@@ -513,3 +513,31 @@ def test_lsh_config_search_refuses_noise_like_neighbors(p, floor):
         # means a near-full-scan single-table cover could qualify
         return
     assert lsh_config_search(p, p, floor, 16, 64) is None
+
+
+@given(
+    n=st.integers(min_value=1, max_value=10**12),
+    probes=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=300, deadline=None)
+def test_derive_ivf_cells_clamps_and_monotone(n, probes):
+    """Derived cell count respects every clamp, is weakly monotone in
+    corpus size, and in the unclamped region sits at the discrete
+    serving-cost optimum of f(C) = C + probes*n/C."""
+    from elb_log_to_mysql_spark.operators.similarity import (
+        derive_ivf_cells,
+    )
+
+    c = derive_ivf_cells(n, probes)
+    assert 16 <= c <= 4096
+    assert c <= max(16, n // 50 if n >= 50 * 16 else 16)
+    # weak monotonicity in n (one doubling step)
+    assert derive_ivf_cells(2 * n, probes) >= c
+    # local optimality when no clamp is binding
+    import math
+
+    raw = round(math.sqrt(probes * n))
+    if 16 < c < min(4096, n // 50) and c == raw:
+        f = lambda k: k + probes * n / k
+        assert f(c) <= f(max(1, c // 2)) + 1e-9 or f(c) <= f(c - 1) + 1
+        assert f(c) <= f(2 * c) + 1e-9 or f(c) <= f(c + 1) + 1
