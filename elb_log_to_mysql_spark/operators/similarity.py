@@ -813,6 +813,65 @@ def similarity_topk_ivf(
     )
 
 
+def _ivf_assign(normed: DataFrame, centers) -> DataFrame:
+    """Corpus→cell assignment frame (neighbor_id, c_vec, cell, _own_d)
+    — the index-build pass shared by the inline ivf_auto path and
+    build_ivf_index. Cost scales with n_cells·n_rows (one Arrow
+    matmul), which is why it belongs at index build, not per query
+    batch (IVF_CELLS_PROBE_320x: this pass dominates the inline wall
+    at the derived cell count)."""
+    return with_center_distances(normed, "c_vec", centers).select(
+        "neighbor_id",
+        "c_vec",
+        _nearest_cell_expr().alias("cell"),
+        F.sqrt(F.array_min("_dists")).alias("_own_d"),
+    )
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    centroids=None,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build-once IVF index artifacts for similarity_topk_ivf_auto's
+    ``index=`` handoff — the production shape the cell-count sqrt law
+    (derive_ivf_cells) is scoped to: training and the C·n assignment
+    pass run HERE, once; query batches then pay only the marginal
+    probe + scan. n_centroids defaults to derive_ivf_cells over the
+    corpus count when centroids are not supplied. The assigned corpus
+    is persisted and materialized; the caller owns its lifetime
+    (``index["corpus"].unpersist()`` when retiring the index — query
+    calls never release caller-owned state). At storage scale the
+    same frame is written partitioned by ``cell`` and the serving
+    scan prunes partitions instead of cached rows."""
+    import numpy as np
+
+    from elb_log_to_mysql_spark.functions.vectorops import with_unit_norm
+
+    normed = with_unit_norm(
+        ensure_min_partitions(embeddings).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
+        ),
+        "_v",
+        out="c_vec",
+        drop=("_v",),
+    )
+    if centroids is not None:
+        centers = np.asarray(centroids, dtype=np.float64)
+    else:
+        cells = (
+            n_centroids
+            if n_centroids is not None
+            else derive_ivf_cells(embeddings.count())
+        )
+        centers = train_ivf_centroids(normed, cells, "c_vec")
+    corpus = _ivf_assign(normed, centers).persist()
+    corpus.count()  # materialize: the build pays the assignment, not the first query
+    return {"centers": centers, "corpus": corpus}
+
+
 def similarity_topk_ivf_auto(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -823,6 +882,7 @@ def similarity_topk_ivf_auto(
     vec_col: str = "embedding",
     centroids=None,
     with_stats: bool = False,
+    index: dict | None = None,
 ):
     """IVF with a DERIVED, query-adaptive probe set — and because the
     derivation is a sound geometric prune, the result is the EXACT
@@ -868,37 +928,42 @@ def similarity_topk_ivf_auto(
 
     ``with_stats=True`` additionally returns a per-query telemetry
     frame (query_id, cells_probed, cells_total).
+
+    ``index=`` (from build_ivf_index) is the PRODUCTION handoff: the
+    C·n corpus→cell assignment — which dominates the inline wall at
+    the derived cell count (IVF_CELLS_PROBE_320x) — is paid once at
+    index build, and this call serves the query batch at marginal
+    cost (probe decision + pruned scan). ``embeddings``/``centroids``
+    are ignored when ``index`` is given; the caller owns the index's
+    cached lifetime.
     """
     import numpy as np
 
     from elb_log_to_mysql_spark.functions.vectorops import with_unit_norm
 
-    normed = with_unit_norm(
-        ensure_min_partitions(embeddings).select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
-        ),
-        "_v",
-        out="c_vec",
-        drop=("_v",),
-    )
-    centers = (
-        np.asarray(centroids, dtype=np.float64)
-        if centroids is not None
-        else train_ivf_centroids(normed, n_centroids, "c_vec")
-    )
+    if index is not None:
+        centers = np.asarray(index["centers"], dtype=np.float64)
+        corpus = index["corpus"]
+        owns_corpus = False
+    else:
+        normed = with_unit_norm(
+            ensure_min_partitions(embeddings).select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("_v"),
+            ),
+            "_v",
+            out="c_vec",
+            drop=("_v",),
+        )
+        centers = (
+            np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else train_ivf_centroids(normed, n_centroids, "c_vec")
+        )
+        corpus = _ivf_assign(normed, centers).persist()
+        owns_corpus = True
     n_cells = len(centers)
     floor_probe = max(1, min(floor_probe, n_cells))
-
-    corpus = (
-        with_center_distances(normed, "c_vec", centers)
-        .select(
-            "neighbor_id",
-            "c_vec",
-            _nearest_cell_expr().alias("cell"),
-            F.sqrt(F.array_min("_dists")).alias("_own_d"),
-        )
-        .persist()
-    )
     radii = corpus.groupBy("cell").agg(F.max("_own_d").alias("radius"))
 
     qside = with_center_distances(
@@ -990,9 +1055,12 @@ def similarity_topk_ivf_auto(
             "query_id", "neighbor_id", "rank", F.round("cos", 6).alias("cos")
         )
     )
-    from elb_log_to_mysql_spark.session import unpersist_on_gc
+    if owns_corpus:
+        # only release state this call created: a caller-owned prebuilt
+        # index outlives every query batch served from it
+        from elb_log_to_mysql_spark.session import unpersist_on_gc
 
-    out = unpersist_on_gc(out, corpus)
+        out = unpersist_on_gc(out, corpus)
     if with_stats:
         stats_df = probe_set.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("cells_probed"),

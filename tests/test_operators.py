@@ -2107,3 +2107,37 @@ def test_derive_ivf_cells_gate_scale_identity_and_validation():
         similarity.derive_ivf_cells(500, expected_probes=0)
     with pytest.raises(ValueError, match="min_cells"):
         similarity.derive_ivf_cells(500, min_cells=10, max_cells=5)
+
+
+def test_ivf_auto_prebuilt_index_equals_inline(spark, sf_dir):
+    """build_ivf_index + index= handoff must return exactly the inline
+    path's results (same centroids => same sound prune => same exact
+    top-k), serve MULTIPLE query batches from one build, and never
+    release the caller-owned cached corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = similarity.build_ivf_index(emb)  # derived cells (= 16 here)
+    assert idx["centers"].shape[0] == similarity.derive_ivf_cells(
+        emb.count()
+    )
+    for lo, hi in ((0, 10), (10, 20)):
+        q = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        inline = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.similarity_topk_ivf_auto(
+                emb, q, k=5, centroids=idx["centers"]
+            ).collect()
+        }
+        prebuilt = {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.similarity_topk_ivf_auto(
+                emb, q, k=5, index=idx
+            ).collect()
+        }
+        assert prebuilt == inline and len(prebuilt) > 0
+    import gc
+
+    gc.collect()
+    assert idx["corpus"].is_cached  # query calls never release the index
+    idx["corpus"].unpersist()

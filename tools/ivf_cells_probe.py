@@ -87,15 +87,10 @@ def main() -> None:
         emb.select(F.col("embedding").alias("_v")), "_v"
     )
 
-    def run(name: str, cells: int) -> None:
-        t0 = time.perf_counter()
-        centroids = similarity.train_ivf_centroids(
-            normed, n_centroids=cells, vec_col="_nv"
-        )
-        train_wall = round(time.perf_counter() - t0, 2)
+    def serve(cells: int, **kw) -> dict:
         t0 = time.perf_counter()
         out, stats = similarity.similarity_topk_ivf_auto(
-            emb, q, k=10, centroids=centroids, with_stats=True
+            emb, q, k=10, with_stats=True, **kw
         )
         rows = out.collect()
         wall = round(time.perf_counter() - t0, 2)
@@ -105,17 +100,32 @@ def main() -> None:
             F.mean("cells_probed").alias("mean_probed"),
             F.max("cells_probed").alias("max_probed"),
         ).first()
-        report["paths"][name] = {
-            "cells": cells,
-            "train_sec": train_wall,
+        return {
             "wall_sec": wall,
             "recall_at_10": round(len(exact & got) / len(exact), 4),
             "mean_cells_probed": round(float(srow["mean_probed"]), 1),
             "max_cells_probed": int(srow["max_probed"]),
-            "probe_fraction": round(
-                float(srow["mean_probed"]) / cells, 5
-            ),
+            "probe_fraction": round(float(srow["mean_probed"]) / cells, 5),
         }
+
+    def run(name: str, cells: int) -> None:
+        """One cell count, three costs: train (once), the INLINE wall
+        (assignment per call — the ad-hoc shape), and the prebuilt
+        split (assignment once at build, then the MARGINAL serving
+        wall — the production shape derive_ivf_cells is scoped to)."""
+        t0 = time.perf_counter()
+        centroids = similarity.train_ivf_centroids(
+            normed, n_centroids=cells, vec_col="_nv"
+        )
+        train_wall = round(time.perf_counter() - t0, 2)
+        cell = {"cells": cells, "train_sec": train_wall}
+        cell["inline"] = serve(cells, centroids=centroids)
+        t0 = time.perf_counter()
+        idx = similarity.build_ivf_index(emb, centroids=centroids)
+        cell["index_build_sec"] = round(time.perf_counter() - t0, 2)
+        cell["prebuilt_marginal"] = serve(cells, index=idx)
+        idx["corpus"].unpersist()
+        report["paths"][name] = cell
 
     run("ivf_auto_fixed64", 64)
     run("ivf_auto_derived", derived_cells)
