@@ -2527,6 +2527,70 @@ def q_ann_lsh_auto(spark, sf_dir):
     return carry_caches(out, exact, derived, fixed)
 
 
+_IVF_INDEX: dict[str, dict] = {}
+
+_ANN_INDEX_HANDOFF_ORACLE = _ANN_RECALL_ORACLE.replace(
+    "TRUE AS recall_floor_met",
+    "TRUE AS recall_floor_met,\n"
+    "           TRUE AS handoff_row_equal,\n"
+    "           TRUE AS derived_cells_ok",
+)
+
+
+@_q("ann_index_handoff", _ANN_INDEX_HANDOFF_ORACLE)
+def q_ann_index_handoff(spark, sf_dir):
+    """The IVF production handoff driver-certified (round 14): the
+    index — centroids at derive_ivf_cells(n) + the persisted
+    corpus→cell assignment — is built ONCE (build_ivf_index, memoized
+    per sf_dir like the PQ codebooks: the production shape where the
+    index predates queries) and the query batch is served through
+    `similarity_topk_ivf_auto(index=...)`, paying only the marginal
+    probe + pruned scan. Three asserted properties: the 0.95 recall
+    floor vs the brute-force exact twin (the sound prune makes true
+    recall 1.0 by construction — the floor is regeneration margin);
+    `handoff_row_equal` — the prebuilt path's result rows are
+    EXACTLY the inline path's on the same centroids (exceptAll both
+    ways, rank and rounded cosine included: the handoff changes where
+    the assignment cost is paid, never the answer); and
+    `derived_cells_ok` — the build defaulted its cell count to
+    derive_ivf_cells over the corpus statistics (= the certified 16
+    at gate scale, where the clamps land on the fixed default). At
+    320× the same split serves 3.7× faster than the fixed-cell index
+    (IVF_CELLS_PROBE_320x_prebuilt.json; SCALE.md round-14). The
+    oracle recomputes the exact neighbor counts in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    if sf_dir not in _IVF_INDEX:
+        _IVF_INDEX[sf_dir] = similarity.build_ivf_index(emb)
+    idx = _IVF_INDEX[sf_dir]
+    exact = similarity.similarity_topk_bruteforce(emb, q, k=10)
+    inline = similarity.similarity_topk_ivf_auto(
+        emb, q, k=10, centroids=idx["centers"]
+    )
+    prebuilt = similarity.similarity_topk_ivf_auto(emb, q, k=10, index=idx)
+    floor_row = _ann_recall_audit(
+        exact.select("query_id", "neighbor_id"), prebuilt, floor=0.95
+    )
+    d1 = inline.exceptAll(prebuilt).agg(F.count(F.lit(1)).alias("_a"))
+    d2 = prebuilt.exceptAll(inline).agg(F.count(F.lit(1)).alias("_b"))
+    eq_row = d1.crossJoin(F.broadcast(d2)).select(
+        ((F.col("_a") == 0) & (F.col("_b") == 0)).alias(
+            "handoff_row_equal"
+        )
+    )
+    out = floor_row.crossJoin(F.broadcast(eq_row)).select(
+        "n_queries",
+        "n_exact",
+        "recall_floor_met",
+        "handoff_row_equal",
+        F.lit(
+            len(idx["centers"])
+            == similarity.derive_ivf_cells(emb.count())
+        ).alias("derived_cells_ok"),
+    )
+    return carry_caches(out, exact, inline, prebuilt)
+
+
 _ANN_FILTERED_ORACLE_SELECTIVE = """
     WITH topk AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
