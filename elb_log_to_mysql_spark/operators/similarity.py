@@ -257,6 +257,11 @@ def lsh_config_search(
         raise ValueError(
             f"design_floor must be in (0, 1), got {design_floor}"
         )
+    if max_planes < 1 or max_tables < 1:
+        raise ValueError(
+            f"need max_planes >= 1 and max_tables >= 1, got "
+            f"({max_planes}, {max_tables})"
+        )
     best = None
     for b in range(1, max_planes + 1):
         pb = p_near**b
@@ -271,8 +276,11 @@ def lsh_config_search(
             t = math.ceil(
                 math.log(1.0 - design_floor) / math.log1p(-pb)
             )
-            if t > max_tables:
-                continue
+        # the cap applies to BOTH branches: with max_tables = 0 the
+        # pb >= 1.0 path's t = 1 would otherwise leak a config past
+        # the caller's cap instead of refusing (ADVICE r14)
+        if t > max_tables:
+            continue
         frac = lsh_scan_fraction(p_rand, b, t)
         if frac >= 1.0:
             continue
@@ -297,7 +305,7 @@ def derive_lsh_params(
     floor: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sample_rows: int = 2048,
+    sample_rows: int | None = 2048,
     query_sample: int = 64,
     max_planes: int = 16,
     max_tables: int = 64,
@@ -376,22 +384,28 @@ def derive_lsh_params(
 
     if not 0.0 < floor < 1.0:
         raise ValueError(f"floor must be in (0, 1), got {floor}")
-    if k < 1 or sample_rows < k + 1 or query_sample < 1:
+    if (
+        k < 1
+        or (sample_rows is not None and sample_rows < k + 1)
+        or query_sample < 1
+    ):
         raise ValueError(
-            f"need k >= 1, sample_rows > k, query_sample >= 1 "
+            f"need k >= 1, sample_rows > k (or None), query_sample >= 1 "
             f"(got k={k}, sample_rows={sample_rows}, "
             f"query_sample={query_sample})"
         )
 
     # Deterministic samples: hash-order + limit is a partial top-k per
     # partition + tiny driver merge, never a full sort of the corpus.
-    cs = (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-        )
-        .orderBy(F.xxhash64(F.col("neighbor_id")))
-        .limit(sample_rows)
+    # sample_rows=None means the corpus IS the sample: callers whose
+    # coverage law (sample >= safety*k*n/cluster_size) already demands
+    # ~the whole corpus skip the pointless global hash-order entirely
+    # (ADVICE r14: the sort+limit were pure cost when limit >= n).
+    cs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
+    if sample_rows is not None:
+        cs = cs.orderBy(F.xxhash64(F.col("neighbor_id"))).limit(sample_rows)
     qs = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -687,7 +701,11 @@ def derive_ivf_cells(
         )
     c = round(math.sqrt(expected_probes * n_rows))
     c = min(c, max_cells, max(1, n_rows // train_rows_per_cell))
-    return max(min_cells, c)
+    # n_rows is the outermost cap: min_cells is a floor for training
+    # quality, not a license to ask Lloyd for more centers than there
+    # are points (k > n breaks len(centers) == derive_ivf_cells(n)
+    # consistency on tiny corpora — ADVICE r14)
+    return min(n_rows, max(min_cells, c))
 
 
 def train_ivf_centroids(

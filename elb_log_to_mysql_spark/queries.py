@@ -2477,16 +2477,20 @@ def q_ann_lsh_auto(spark, sf_dir):
         ).alias("embedding"),
     )
     q = dense.filter(((F.col("vec_id") % 25) == 0) & (F.col("vec_id") < 500))
-    # the sample must cover the whole dense corpus (25 x the base
-    # table) so every query sees its >= k cluster siblings — a
-    # constant here would silently flip the derivation to the brute
-    # branch at larger SFs where 25x|embeddings| outgrows it
+    # Coverage law (tools/lsh_scale_probe.py): each query must see
+    # >= k cluster siblings in the sample, so the required rate is
+    # safety*k/cluster_size = 2*10/25 = 0.8 of the corpus — at this
+    # construction subsampling cannot help (cluster_size ~ 2k), so
+    # pass sample_rows=None: the corpus is the sample, WITHOUT the
+    # global hash-order+limit or the eager count() the old
+    # 25*emb.count() sizing paid (ADVICE r14). A constant would
+    # silently flip the derivation to the brute branch at larger SFs.
     params = similarity.derive_lsh_params(
         dense,
         q,
         k=10,
         floor=0.95,
-        sample_rows=25 * emb.count(),
+        sample_rows=None,
         query_sample=64,
     )
     import warnings
@@ -2529,6 +2533,35 @@ def q_ann_lsh_auto(spark, sf_dir):
 
 _IVF_INDEX: dict[str, dict] = {}
 
+
+def _ivf_index_for(spark, sf_dir, emb):
+    """Memoized build_ivf_index per sf_dir (the production shape: the
+    index predates queries), with a LIVENESS guard (ADVICE r14):
+    unlike the _PQ_CODEBOOKS precedent this cache holds a persisted,
+    session-bound DataFrame, so a hit from a stopped or sibling
+    SparkSession would serve a dead frame opaquely. Rebuild — and
+    release the stale frame — whenever the cached corpus does not
+    belong to the CURRENT live session."""
+    cached = _IVF_INDEX.get(sf_dir)
+    if cached is not None:
+        try:
+            alive = (
+                cached["corpus"].sparkSession is spark
+                and not spark.sparkContext._jsc.sc().isStopped()
+            )
+        except Exception:
+            alive = False
+        if alive:
+            return cached
+        try:
+            cached["corpus"].unpersist()
+        except Exception:
+            pass
+    idx = similarity.build_ivf_index(emb)
+    _IVF_INDEX[sf_dir] = idx
+    return idx
+
+
 _ANN_INDEX_HANDOFF_ORACLE = _ANN_RECALL_ORACLE.replace(
     "TRUE AS recall_floor_met",
     "TRUE AS recall_floor_met,\n"
@@ -2560,9 +2593,7 @@ def q_ann_index_handoff(spark, sf_dir):
     oracle recomputes the exact neighbor counts in DuckDB."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 20)
-    if sf_dir not in _IVF_INDEX:
-        _IVF_INDEX[sf_dir] = similarity.build_ivf_index(emb)
-    idx = _IVF_INDEX[sf_dir]
+    idx = _ivf_index_for(spark, sf_dir, emb)
     exact = similarity.similarity_topk_bruteforce(emb, q, k=10)
     inline = similarity.similarity_topk_ivf_auto(
         emb, q, k=10, centroids=idx["centers"]

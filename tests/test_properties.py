@@ -529,7 +529,9 @@ def test_derive_ivf_cells_clamps_and_monotone(n, probes):
     )
 
     c = derive_ivf_cells(n, probes)
-    assert 16 <= c <= 4096
+    # n_rows is the outermost cap (ADVICE r14): never more centers
+    # than points, min_cells floor otherwise
+    assert min(n, 16) <= c <= 4096 and c <= n
     assert c <= max(16, n // 50 if n >= 50 * 16 else 16)
     # weak monotonicity in n (one doubling step)
     assert derive_ivf_cells(2 * n, probes) >= c
