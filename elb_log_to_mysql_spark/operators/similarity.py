@@ -890,6 +890,119 @@ def build_ivf_index(
     return {"centers": centers, "corpus": corpus}
 
 
+IVF_INDEX_FORMAT = "ivf-index"
+IVF_INDEX_VERSION = 1
+
+
+def persist_ivf_index(index: dict, path: str) -> dict:
+    """Write a build_ivf_index result to DURABLE storage — the last
+    step from "cached DataFrame" to production index (VERDICT r14
+    item 1). Layout under ``path``:
+
+    - ``corpus/``  — the assigned corpus (neighbor_id, c_vec, _own_d)
+      as parquet PARTITIONED BY ``cell``: at serving time the probe
+      set becomes a static partition filter, so a FileSourceScan
+      reads ONLY the probed cells' directories (the
+      partition_pruning pattern applied to ANN — at 100 TB the
+      difference between reading E[probed]/C of the corpus and all
+      of it, across restarts).
+    - ``cells/``   — one row per cell: the float64 centroid (parquet
+      doubles are EXACT, so the reloaded geometry is bit-identical —
+      a lossy JSON round trip could shave the triangle-inequality
+      radii and unsound the prune), the cell RADIUS (max member
+      distance, the prune's r_j) and member count. Radii move from a
+      per-serving corpus aggregation to an index artifact: a fresh
+      session never scans the full corpus just to re-derive them.
+    - ``manifest/``— one JSON row (format, version, n_cells, dim,
+      n_rows) for validation and capacity planning.
+
+    Everything goes through the DataFrame writer, so ``path`` may be
+    any Hadoop-compatible URI (local, HDFS, s3a). Returns a summary
+    dict (n_cells, dim, n_rows). The in-memory ``index`` stays
+    usable; reload with load_ivf_index."""
+    import os as _os
+
+    corpus = index["corpus"]
+    centers = index["centers"]
+    spark = corpus.sparkSession
+    corpus.write.partitionBy("cell").mode("overwrite").parquet(
+        _os.path.join(path, "corpus")
+    )
+    stats = {
+        int(r["cell"]): (float(r["radius"]), int(r["n_members"]))
+        for r in corpus.groupBy("cell")
+        .agg(
+            F.max("_own_d").alias("radius"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .collect()
+    }
+    cells_rows = [
+        (
+            c,
+            [float(x) for x in centers[c]],
+            stats.get(c, (0.0, 0))[0],
+            stats.get(c, (0.0, 0))[1],
+        )
+        for c in range(len(centers))
+    ]
+    spark.createDataFrame(
+        cells_rows,
+        "cell int, center array<double>, radius double, n_members bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(path, "cells"))
+    n_rows = sum(n for _, n in stats.values())
+    dim = int(len(centers[0])) if len(centers) else 0
+    spark.createDataFrame(
+        [(IVF_INDEX_FORMAT, IVF_INDEX_VERSION, len(centers), dim, n_rows)],
+        "format string, version int, n_cells int, dim int, n_rows bigint",
+    ).coalesce(1).write.mode("overwrite").json(_os.path.join(path, "manifest"))
+    return {"n_cells": len(centers), "dim": dim, "n_rows": n_rows}
+
+
+def load_ivf_index(spark, path: str) -> dict:
+    """Reload a persist_ivf_index artifact in a (possibly fresh)
+    session. The centroid matrix and per-cell radii — tiny by
+    construction (n_cells × dim, bounded by derive_ivf_cells'
+    max_cells clamp) — come to the driver; the corpus stays a LAZY
+    partitioned-parquet scan that similarity_topk_ivf_auto prunes to
+    the probed cells per query batch. Raises on a missing/foreign
+    manifest so a wrong path fails loudly, not with empty results."""
+    import os as _os
+
+    import numpy as np
+
+    m = spark.read.json(_os.path.join(path, "manifest")).first()
+    if m is None or m["format"] != IVF_INDEX_FORMAT:
+        raise ValueError(f"not an IVF index: {path}")
+    if int(m["version"]) > IVF_INDEX_VERSION:
+        raise ValueError(
+            f"IVF index version {m['version']} newer than supported "
+            f"{IVF_INDEX_VERSION}: {path}"
+        )
+    cells = sorted(
+        spark.read.parquet(_os.path.join(path, "cells")).collect(),
+        key=lambda r: r["cell"],
+    )
+    if len(cells) != int(m["n_cells"]):
+        raise ValueError(
+            f"IVF index corrupt: manifest says {m['n_cells']} cells, "
+            f"found {len(cells)}: {path}"
+        )
+    centers = np.asarray([list(r["center"]) for r in cells], dtype=np.float64)
+    radii = [
+        (int(r["cell"]), float(r["radius"]))
+        for r in cells
+        if int(r["n_members"]) > 0
+    ]
+    return {
+        "centers": centers,
+        "radii": radii,
+        "corpus": spark.read.parquet(_os.path.join(path, "corpus")),
+        "path": path,
+        "n_rows": int(m["n_rows"]),
+    }
+
+
 def similarity_topk_ivf_auto(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -954,11 +1067,22 @@ def similarity_topk_ivf_auto(
     cost (probe decision + pruned scan). ``embeddings``/``centroids``
     are ignored when ``index`` is given; the caller owns the index's
     cached lifetime.
+
+    A DISK-BACKED index (from load_ivf_index — has ``path`` and
+    stored ``radii``) is served restart-safely: radii come from the
+    index's cells table (no full-corpus aggregation), and both corpus
+    reads become STATICALLY partition-pruned scans of the
+    cell-partitioned parquet — the probe decisions (tiny, |Q| x
+    n_cells bounded) are collected driver-side and pushed as
+    partition filters, so a FileSourceScan touches only the probed
+    cells' directories. Same answers as the in-memory handoff
+    (ann_index_persist gate: exceptAll both ways).
     """
     import numpy as np
 
     from elb_log_to_mysql_spark.functions.vectorops import with_unit_norm
 
+    disk_index = index is not None and "path" in index
     if index is not None:
         centers = np.asarray(index["centers"], dtype=np.float64)
         corpus = index["corpus"]
@@ -982,7 +1106,16 @@ def similarity_topk_ivf_auto(
         owns_corpus = True
     n_cells = len(centers)
     floor_probe = max(1, min(floor_probe, n_cells))
-    radii = corpus.groupBy("cell").agg(F.max("_own_d").alias("radius"))
+    if index is not None and index.get("radii") is not None:
+        # disk-backed index: radii are index-build artifacts (cells/
+        # table), so serving NEVER aggregates the full corpus — the
+        # whole point of the durable layout is that no stage reads
+        # more than the probed partitions
+        radii = corpus.sparkSession.createDataFrame(
+            index["radii"], "cell int, radius double"
+        )
+    else:
+        radii = corpus.groupBy("cell").agg(F.max("_own_d").alias("radius"))
 
     qside = with_center_distances(
         with_unit_norm(
@@ -1012,6 +1145,27 @@ def similarity_topk_ivf_auto(
             drop=("q_vec", "c_vec"),
         )
 
+    # Disk-backed serving: the probe decisions are collected (tiny —
+    # bounded by |Q| x n_cells ids, the coordinator-side metadata any
+    # ANN serving system holds) and pushed as STATIC partition
+    # filters, so both corpus scans read only the probed cell
+    # directories of the partitioned-parquet layout. qside is
+    # persisted because the collect and the later phases share it.
+    corpus_p1 = corpus
+    if disk_index:
+        qside = qside.persist()
+        fc = sorted(
+            r["cell"]
+            for r in qside.select(F.explode("_floor_cells").alias("cell"))
+            .distinct()
+            .collect()
+        )
+        corpus_p1 = (
+            corpus.filter(F.col("cell").isin(fc))
+            if fc
+            else corpus.filter(F.lit(False))
+        )
+
     # Phase 1: floor-cell exact distances -> per-query bound u
     floor_probe_set = qside.select(
         "query_id", "q_vec", F.explode("_floor_cells").alias("cell")
@@ -1020,7 +1174,7 @@ def similarity_topk_ivf_auto(
         F.col("cos").desc(), F.col("neighbor_id")
     )
     phase1 = cos_scored(
-        corpus.select("neighbor_id", "c_vec", "cell").join(
+        corpus_p1.select("neighbor_id", "c_vec", "cell").join(
             F.broadcast(floor_probe_set), "cell"
         )
     ).withColumn("_cr", F.row_number().over(w_cos))
@@ -1059,7 +1213,22 @@ def similarity_topk_ivf_auto(
         )
         .select("query_id", "cell")
     )
-    cand = corpus.select("neighbor_id", "c_vec", "cell").join(
+    corpus_p2 = corpus
+    probed_cells = None
+    if disk_index:
+        # materializing the probe set executes phase 1 (over the
+        # floor-pruned scan) and yields the phase-2 partition list;
+        # the rebuilt local frame keeps phase 1 out of phase 2's plan
+        spark = corpus.sparkSession
+        probe_rows = probe_set.collect()
+        probed_cells = sorted({r["cell"] for r in probe_rows})
+        probe_set = spark.createDataFrame(probe_rows, probe_set.schema)
+        corpus_p2 = (
+            corpus.filter(F.col("cell").isin(probed_cells))
+            if probed_cells
+            else corpus.filter(F.lit(False))
+        )
+    cand = corpus_p2.select("neighbor_id", "c_vec", "cell").join(
         F.broadcast(
             probe_set.join(qside.select("query_id", "q_vec"), "query_id")
         ),
@@ -1079,6 +1248,14 @@ def similarity_topk_ivf_auto(
         from elb_log_to_mysql_spark.session import unpersist_on_gc
 
         out = unpersist_on_gc(out, corpus)
+    if disk_index:
+        from elb_log_to_mysql_spark.session import unpersist_on_gc
+
+        out = unpersist_on_gc(out, qside)
+        # test-facing telemetry: the partition list the pruned scan is
+        # limited to (tests/test_plans.py pins the FileSourceScan's
+        # numPartitions metric to exactly this length)
+        out._ivf_probed_cells = probed_cells
     if with_stats:
         stats_df = probe_set.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("cells_probed"),

@@ -2393,6 +2393,31 @@ def q_ann_nprobe_auto(spark, sf_dir):
     return carry_caches(out, exact, derived, fixed)
 
 
+def _dense_corpus_25(spark, emb, jitter: float = 0.05):
+    """Cluster-dense ANN corpus: 25 noisy copies per base vector
+    (hash-deterministic +-jitter; 0.05 -> theta ~ 19deg clusters, the
+    LSH geometry; 0.02 -> ~8deg, tight enough for the IVF prune's
+    phase-1 bound to bite) — mirrored verbatim in the DuckDB oracles
+    (ann_lsh_auto, ann_index_persist)."""
+    copies = spark.range(25).select(F.col("id").cast("int").alias("copy"))
+    return emb.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") * 25 + (F.col("copy") * 7) % 25).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + F.lit(jitter)
+            * (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), F.col("copy"), i),
+                    F.lit(2048),
+                )
+                / F.lit(1024.0)
+                - F.lit(1.0)
+            ),
+        ).alias("embedding"),
+    )
+
+
 _ANN_LSH_AUTO_ORACLE = """
     WITH dense AS (
       SELECT e.vec_id * 25 + (c.copy * 7) % 25 AS vec_id,
@@ -2459,23 +2484,7 @@ def q_ann_lsh_auto(spark, sf_dir):
     (counts are construction-invariant) and recomputes the exact
     neighbor-set counts."""
     emb = _t(spark, sf_dir, "embeddings")
-    copies = spark.range(25).select(F.col("id").cast("int").alias("copy"))
-    dense = emb.crossJoin(F.broadcast(copies)).select(
-        (F.col("vec_id") * 25 + (F.col("copy") * 7) % 25).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: x
-            + F.lit(0.05)
-            * (
-                F.pmod(
-                    F.xxhash64(F.col("vec_id"), F.col("copy"), i),
-                    F.lit(2048),
-                )
-                / F.lit(1024.0)
-                - F.lit(1.0)
-            ),
-        ).alias("embedding"),
-    )
+    dense = _dense_corpus_25(spark, emb)
     q = dense.filter(((F.col("vec_id") % 25) == 0) & (F.col("vec_id") < 500))
     # Coverage law (tools/lsh_scale_probe.py): each query must see
     # >= k cluster siblings in the sample, so the required rate is
@@ -2620,6 +2629,99 @@ def q_ann_index_handoff(spark, sf_dir):
         ).alias("derived_cells_ok"),
     )
     return carry_caches(out, exact, inline, prebuilt)
+
+
+_ANN_INDEX_PERSIST_ORACLE = """
+    WITH dense AS (
+      SELECT e.vec_id * 25 + (c.copy * 7) % 25 AS vec_id,
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]
+                    + 0.02 * ((hash(e.vec_id, c.copy, i) % 2048) / 1024.0
+                              - 1.0)) AS embedding
+      FROM embeddings e, (SELECT unnest(range(25)) AS copy) c
+    ), topk AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS rank
+      FROM dense q JOIN dense c ON q.vec_id != c.vec_id
+      WHERE q.vec_id % 25 = 0 AND q.vec_id < 500
+    )
+    SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_floor_met,
+           TRUE AS reload_row_equal,
+           TRUE AS scan_pruned,
+           TRUE AS manifest_ok
+    FROM topk WHERE rank <= 10
+"""
+
+
+@_q("ann_index_persist", _ANN_INDEX_PERSIST_ORACLE)
+def q_ann_index_persist(spark, sf_dir):
+    """The DURABLE half of the IVF production story (VERDICT r15
+    item 1): build_ivf_index's session-persisted frame is written to
+    cell-partitioned parquet + a cells table (exact float64
+    centroids, per-cell radii, member counts) + a manifest
+    (persist_ivf_index), reloaded from disk (load_ivf_index — the
+    fresh-session path: nothing from the in-memory index is reused;
+    tests/test_operators.py additionally reloads in a
+    spark.newSession() to pin session-state independence), and the
+    query batch is served through similarity_topk_ivf_auto(index=
+    <reloaded>) where the probe decisions become STATIC partition
+    filters on the corpus scan. Corpus: the cluster-dense 25-copy
+    construction (so the prune has structure to bite on — on the raw
+    noisy table the sound answer is a full scan and nothing would be
+    pruned). Asserted, one row: the 0.95 recall floor vs brute force
+    on the reloaded artifacts; `reload_row_equal` — disk serving ≡
+    in-memory-index serving, exceptAll both ways (rank and rounded
+    cosine included: durability changes where the index lives, never
+    the answer); `scan_pruned` — the executed probe set covered
+    strictly fewer cells than the index holds (the partition-pruned
+    scan's work bound; the FileSourceScan numPartitions metric is
+    pinned to exactly this list by tests/test_plans.py); and
+    `manifest_ok` — the reloaded manifest/cells agree with what was
+    written (cell count, row count). The oracle recomputes the exact
+    neighbor counts on the mirrored construction in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dense = _dense_corpus_25(spark, emb, jitter=0.02)
+    q = dense.filter(((F.col("vec_id") % 25) == 0) & (F.col("vec_id") < 500))
+    # fixed 64 cells: the derived-cell default is ann_index_handoff's
+    # certified property; here 64 keeps the KMeans build bounded while
+    # leaving the prune room to show (clusters >> cells probed)
+    idx = similarity.build_ivf_index(dense, n_centroids=64)
+    path = os.path.join(_work_dir("ivfidx"), "index")
+    info = similarity.persist_ivf_index(idx, path)
+    idx2 = similarity.load_ivf_index(spark, path)
+    exact = similarity.similarity_topk_bruteforce(dense, q, k=10)
+    mem = similarity.similarity_topk_ivf_auto(dense, q, k=10, index=idx)
+    disk = similarity.similarity_topk_ivf_auto(dense, q, k=10, index=idx2)
+    floor_row = _ann_recall_audit(
+        exact.select("query_id", "neighbor_id"), disk, floor=0.95
+    )
+    d1 = mem.exceptAll(disk).agg(F.count(F.lit(1)).alias("_a"))
+    d2 = disk.exceptAll(mem).agg(F.count(F.lit(1)).alias("_b"))
+    eq_row = d1.crossJoin(F.broadcast(d2)).select(
+        ((F.col("_a") == 0) & (F.col("_b") == 0)).alias("reload_row_equal")
+    )
+    out = floor_row.crossJoin(F.broadcast(eq_row)).select(
+        "n_queries",
+        "n_exact",
+        "recall_floor_met",
+        "reload_row_equal",
+        F.lit(
+            len(disk._ivf_probed_cells) < len(idx2["centers"])
+        ).alias("scan_pruned"),
+        F.lit(
+            info["n_cells"] == len(idx2["centers"])
+            and info["n_rows"] == idx2["n_rows"]
+            and len(idx2["radii"]) > 0
+        ).alias("manifest_ok"),
+    )
+    return unpersist_on_gc(
+        carry_caches(out, exact, mem, disk), idx["corpus"]
+    )
 
 
 _ANN_FILTERED_ORACLE_SELECTIVE = """

@@ -2141,3 +2141,51 @@ def test_ivf_auto_prebuilt_index_equals_inline(spark, sf_dir):
     gc.collect()
     assert idx["corpus"].is_cached  # query calls never release the index
     idx["corpus"].unpersist()
+
+
+def test_ivf_index_persist_reload_fresh_session(spark, sf_dir, tmp_path):
+    """persist_ivf_index -> load_ivf_index in a FRESH SparkSession
+    (newSession: clean session state, nothing shared with the build
+    session's caches/temp views) must serve the exact same answers as
+    the in-memory index — the restart-survival contract of the
+    durable layout. Also pins the artifact shape: exact float64
+    centroid round trip, stored radii, manifest validation."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    idx = similarity.build_ivf_index(emb)
+    path = str(tmp_path / "ivf_index")
+    info = similarity.persist_ivf_index(idx, path)
+    assert info["n_cells"] == idx["centers"].shape[0]
+    assert info["n_rows"] == emb.count()
+
+    mem_rows = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos)
+        for r in similarity.similarity_topk_ivf_auto(
+            emb, q, k=5, index=idx
+        ).collect()
+    }
+
+    fresh = spark.newSession()
+    idx2 = similarity.load_ivf_index(fresh, path)
+    # bit-exact geometry round trip: parquet doubles, not lossy JSON
+    assert np.array_equal(idx2["centers"], idx["centers"])
+    assert idx2["n_rows"] == info["n_rows"] and len(idx2["radii"]) > 0
+    q2 = load_table(fresh, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    disk = similarity.similarity_topk_ivf_auto(
+        None, q2, k=5, index=idx2
+    )
+    disk_rows = {
+        (r.query_id, r.neighbor_id, r.rank, r.cos) for r in disk.collect()
+    }
+    assert disk_rows == mem_rows and len(disk_rows) > 0
+    # the serving call recorded the partition list it pruned the scan to
+    assert 0 < len(disk._ivf_probed_cells) <= idx2["centers"].shape[0]
+
+    # manifest validation fails loudly on wrong/foreign paths
+    import pytest
+
+    with pytest.raises(Exception):
+        similarity.load_ivf_index(fresh, str(tmp_path / "nope"))
+    idx["corpus"].unpersist()

@@ -268,3 +268,67 @@ def test_lm_perplexity_filter_stays_jvm_side(spark, sf_dir):
     assert rep["read_schemas"] and all(
         "text" in s or s == "struct<>" for s in rep["read_schemas"]
     )
+
+
+def test_ivf_disk_index_partition_pruned_scan(spark, sf_dir, tmp_path):
+    """The durable ANN index's serving contract (VERDICT r15 item 1):
+    a disk-backed IVF index is a parquet layout PARTITIONED BY cell,
+    and serving must read ONLY the probed cells' directories — the
+    FileSourceScan's own numPartitions metric must equal the probe
+    list exactly (the hive partition_pruning assertion applied to
+    ANN). At 100 TB this is the difference between scanning
+    E[probed]/C of the corpus and scanning all of it on every query
+    batch after a restart."""
+    from elb_log_to_mysql_spark.operators import similarity
+    from elb_log_to_mysql_spark.queries import _dense_corpus_25
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = _dense_corpus_25(spark, emb, jitter=0.02)
+    q = dense.filter(((F.col("vec_id") % 25) == 0) & (F.col("vec_id") < 250))
+    idx = similarity.build_ivf_index(dense, n_centroids=32)
+    path = str(tmp_path / "ivf_index")
+    similarity.persist_ivf_index(idx, path)
+    idx["corpus"].unpersist()
+    idx2 = similarity.load_ivf_index(spark, path)
+    out = similarity.similarity_topk_ivf_auto(None, q, k=5, index=idx2)
+    assert len(out.collect()) > 0
+
+    probed = out._ivf_probed_cells
+    n_cells = idx2["centers"].shape[0]
+    assert 0 < len(probed) < n_cells  # the prune actually bit
+
+    def corpus_scans(node):
+        """FileSourceScans over the index corpus, descending into AQE
+        query stages (their subtrees hide behind collectLeaves)."""
+        found = []
+        leaves = node.collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            name = leaf.nodeName()
+            if "QueryStage" in name:
+                found.extend(corpus_scans(leaf.plan()))
+            elif "Scan parquet" in name:
+                # the corpus scan is the only parquet scan producing
+                # the unit-vector column (toString truncates the
+                # location, so match on output schema, not path)
+                if "c_vec" in leaf.schemaString():
+                    found.append(leaf)
+        return found
+
+    ep = out._jdf.queryExecution().executedPlan()
+    final = (
+        ep.finalPhysicalPlan()
+        if ep.nodeName().startswith("AdaptiveSparkPlan")
+        else ep
+    )
+    scans = corpus_scans(final)
+    assert scans, "no corpus FileSourceScan in the executed plan"
+    for scan in scans:
+        m = scan.metrics()
+        num_parts = m.apply("numPartitions").value()
+        num_files = m.apply("numFiles").value()
+        # the scan touched exactly the probed cell partitions
+        assert num_parts == len(probed), (num_parts, len(probed))
+        assert 0 < num_files
+    plan_str = final.toString()
+    assert "PartitionFilters" in plan_str and "cell" in plan_str
