@@ -852,6 +852,7 @@ def build_ivf_index(
     n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    expected_probes: int = 8,
 ) -> dict:
     """Build-once IVF index artifacts for similarity_topk_ivf_auto's
     ``index=`` handoff — the production shape the cell-count sqrt law
@@ -882,12 +883,24 @@ def build_ivf_index(
         cells = (
             n_centroids
             if n_centroids is not None
-            else derive_ivf_cells(embeddings.count())
+            else derive_ivf_cells(
+                embeddings.count(), expected_probes=expected_probes
+            )
         )
         centers = train_ivf_centroids(normed, cells, "c_vec")
     corpus = _ivf_assign(normed, centers).persist()
     corpus.count()  # materialize: the build pays the assignment, not the first query
-    return {"centers": centers, "corpus": corpus}
+    return {
+        "centers": centers,
+        "corpus": corpus,
+        # the ANTICIPATED per-query corpus-scan fraction (the design
+        # probe width over the cell count) — what filtered ANN's
+        # chooser compares against the predicate's selectivity; the
+        # ivf_auto prune then derives the ACTUAL probe set per query
+        "expected_scan_fraction": min(
+            1.0, expected_probes / max(1, len(centers))
+        ),
+    }
 
 
 IVF_INDEX_FORMAT = "ivf-index"
@@ -952,9 +965,24 @@ def persist_ivf_index(index: dict, path: str) -> dict:
     ).coalesce(1).write.mode("overwrite").parquet(_os.path.join(path, "cells"))
     n_rows = sum(n for _, n in stats.values())
     dim = int(len(centers[0])) if len(centers) else 0
+    frac = float(
+        index.get(
+            "expected_scan_fraction", min(1.0, 8 / max(1, len(centers)))
+        )
+    )
     spark.createDataFrame(
-        [(IVF_INDEX_FORMAT, IVF_INDEX_VERSION, len(centers), dim, n_rows)],
-        "format string, version int, n_cells int, dim int, n_rows bigint",
+        [
+            (
+                IVF_INDEX_FORMAT,
+                IVF_INDEX_VERSION,
+                len(centers),
+                dim,
+                n_rows,
+                frac,
+            )
+        ],
+        "format string, version int, n_cells int, dim int, n_rows bigint, "
+        "expected_scan_fraction double",
     ).coalesce(1).write.mode("overwrite").json(_os.path.join(path, "manifest"))
     return {"n_cells": len(centers), "dim": dim, "n_rows": n_rows}
 
@@ -994,12 +1022,18 @@ def load_ivf_index(spark, path: str) -> dict:
         for r in cells
         if int(r["n_members"]) > 0
     ]
+    md = m.asDict()
     return {
         "centers": centers,
         "radii": radii,
         "corpus": spark.read.parquet(_os.path.join(path, "corpus")),
         "path": path,
         "n_rows": int(m["n_rows"]),
+        "expected_scan_fraction": (
+            float(md["expected_scan_fraction"])
+            if md.get("expected_scan_fraction") is not None
+            else None
+        ),
     }
 
 
@@ -1269,6 +1303,7 @@ def choose_filter_strategy(
     embeddings: DataFrame,
     predicate: Column,
     threshold: float = 0.25,
+    post_scan_fraction: float | None = None,
 ) -> tuple[str, float]:
     """Pre- vs post-filter decision for filtered ANN (VERDICT r13
     item 4), from ONE cheap count aggregation (the same eager
@@ -1288,6 +1323,14 @@ def choose_filter_strategy(
     under-fills k when the predicate is selective (k/s over-fetch
     explodes); always-pre rebuilds/rescans per predicate when the
     filter keeps 90% of the corpus.
+
+    ``post_scan_fraction`` — the post plan's REAL modeled corpus-scan
+    fraction (an IVF index's expected_scan_fraction, a derived LSH
+    config's est_scan_fraction) — replaces the fixed threshold with
+    the actual cost comparison (VERDICT r14 item 4): the pre branch
+    scans s*N survivor rows per query batch, the indexed post branch
+    ~fraction*N, so pre wins exactly when s <= fraction. The fixed
+    default exists only for callers with no index geometry in hand.
     """
     row = embeddings.agg(
         F.count(F.lit(1)).alias("n"),
@@ -1295,7 +1338,8 @@ def choose_filter_strategy(
     ).first()
     n = int(row["n"] or 0)
     s = (int(row["p"] or 0) / n) if n else 0.0
-    return ("pre" if s <= threshold else "post"), s
+    thr = post_scan_fraction if post_scan_fraction is not None else threshold
+    return ("pre" if s <= thr else "post"), s
 
 
 def similarity_topk_filtered(
@@ -1309,15 +1353,17 @@ def similarity_topk_filtered(
     selectivity: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 3,
-    n_tables: int = 24,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    index: dict | None = None,
+    lsh_params: dict | None = None,
 ) -> DataFrame:
     """Top-k cosine under a metadata predicate — the production RAG
     shape (retrieve nearest neighbors among documents matching a
     source/quality/language filter).
 
     ``method="auto"`` runs choose_filter_strategy (one eager count
-    agg); pass ``"pre"``/``"post"`` to pin the plan (lazy) — with an
+    agg); pass ``"pre"``/``"post"`` to pin the plan — with an
     optional precomputed ``selectivity`` so a pinned post branch still
     scales its over-fetch (callers that already ran the chooser pass
     both and pay the count agg once).
@@ -1326,24 +1372,79 @@ def similarity_topk_filtered(
       column predicate down to parquet), exact brute-force top-k over
       the survivors. Right when selective: recall 1.0, cost
       |Q| * s*N.
-    - post: hyperplane-LSH over the FULL corpus (the stored-index
-      shape — the bucketed scan doesn't depend on the predicate) with
+    - post: an index-shaped scan over the FULL corpus (the stored
+      index doesn't depend on the predicate) with
       k' = clamp(ceil(over_fetch*k/s), k, 64k) per query, then the
       ranked candidates semi-join the predicate survivors and the
       filtered ranking is cut to k. Under-fill risk (the reason naive
       post-filtering fails) is controlled by the s-scaled over-fetch;
       the registry entries audit the recall floor at both regimes.
 
+    The post branch's engine composes with the rest of the ANN family
+    (VERDICT r14 item 4 — no hand-picked constants left here):
+
+    - ``index=`` (build_ivf_index / load_ivf_index): serve through
+      similarity_topk_ivf_auto's sound prune — EXACT top-k' over the
+      full corpus, partition-pruned when the index is disk-backed.
+      The metadata filter thereby composes with the cell-partitioned
+      production index.
+    - otherwise the DERIVED LSH config (``lsh_params`` from
+      derive_lsh_params, or derived here when omitted) via
+      similarity_topk_lsh_auto — refusal-safe: on geometry where LSH
+      cannot beat an exact scan it serves the exact scan.
+    - explicit ``n_planes``/``n_tables`` pin the legacy fixed config
+      (kept for comparison probes; the derived path priced the old
+      (3, 24) default cost-unsound — scan fraction 3.0 — at 320x).
+
+    In auto mode the chooser uses the post plan's REAL modeled scan
+    fraction when one is in hand (the index's
+    expected_scan_fraction, the derived config's est_scan_fraction)
+    instead of the fixed 0.25: pre wins exactly when the survivor
+    scan (s*N) is cheaper than the indexed scan (fraction*N). When
+    the broad regime's derivation REFUSES (neighbors
+    indistinguishable from noise), the sound answer is an exact scan
+    — and the exact scan over s*N survivors is strictly cheaper than
+    over the corpus, so the chooser falls back to pre.
+
     Both branches return (query_id, neighbor_id, rank, cos) with rank
     recomputed under the predicate, so the output contract is
     branch-independent.
     """
-    if method == "auto":
-        method, s = choose_filter_strategy(
-            embeddings, predicate, selectivity_threshold
+    fixed_config = n_planes is not None or n_tables is not None
+
+    def _params_frac(p: dict) -> float:
+        # a refused derivation prices the post engine at an exact full
+        # scan: fraction 1.0 (so pre always wins the comparison)
+        return (
+            p["est_scan_fraction"] if p.get("method") == "lsh" else 1.0
         )
-    else:
-        s = selectivity
+
+    s = selectivity
+    if method == "auto":
+        known_frac = None
+        if index is not None:
+            known_frac = index.get("expected_scan_fraction")
+        elif lsh_params is not None:
+            known_frac = _params_frac(lsh_params)
+        method, s = choose_filter_strategy(
+            embeddings,
+            predicate,
+            selectivity_threshold,
+            post_scan_fraction=known_frac,
+        )
+        if (
+            method == "post"
+            and known_frac is None
+            and not fixed_config
+            and index is None
+        ):
+            # broad regime with no geometry in hand: derive it (one
+            # tiny eager job) and re-decide on the REAL cost
+            lsh_params = derive_lsh_params(
+                embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+            )
+            if _params_frac(lsh_params) >= s:
+                method = "pre"
     if method == "pre":
         return similarity_topk_bruteforce(
             embeddings.filter(predicate), queries, k=k,
@@ -1358,11 +1459,23 @@ def similarity_topk_filtered(
         if s
         else over_fetch * k
     )
-    ranked = similarity_topk_lsh(
-        embeddings, queries, k=k_over,
-        id_col=id_col, vec_col=vec_col,
-        n_planes=n_planes, n_tables=n_tables,
-    )
+    if index is not None:
+        ranked = similarity_topk_ivf_auto(
+            embeddings, queries, k=k_over,
+            id_col=id_col, vec_col=vec_col, index=index,
+        )
+    elif fixed_config:
+        ranked = similarity_topk_lsh(
+            embeddings, queries, k=k_over,
+            id_col=id_col, vec_col=vec_col,
+            n_planes=n_planes if n_planes is not None else 3,
+            n_tables=n_tables if n_tables is not None else 24,
+        )
+    else:
+        ranked = similarity_topk_lsh_auto(
+            embeddings, queries, k=k_over,
+            id_col=id_col, vec_col=vec_col, params=lsh_params,
+        )
     survivors = embeddings.filter(predicate).select(
         F.col(id_col).alias("neighbor_id")
     )

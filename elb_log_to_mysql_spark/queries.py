@@ -2776,39 +2776,79 @@ def q_similarity_topk_filtered(spark, sf_dir):
     return carry_caches(out, res)
 
 
-_ANN_FILTERED_ORACLE_BROAD = _ANN_FILTERED_ORACLE_SELECTIVE.replace(
-    "AND c.label = 3", "AND c.label != 3"
-).replace("TRUE AS branch_pre", "TRUE AS branch_post")
+_ANN_FILTERED_ORACLE_BROAD = """
+    WITH dense AS (
+      SELECT e.vec_id * 25 + (c.copy * 7) % 25 AS vec_id,
+             list_transform(range(1, len(e.embedding) + 1),
+               i -> e.embedding[i]
+                    + 0.05 * ((hash(e.vec_id, c.copy, i) % 2048) / 1024.0
+                              - 1.0)) AS embedding
+      FROM embeddings e, (SELECT unnest(range(25)) AS copy) c
+    ), topk AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id) AS rank
+      FROM dense q JOIN dense c
+        ON q.vec_id != c.vec_id AND c.vec_id % 8 != 0
+      WHERE q.vec_id % 25 = 0 AND q.vec_id < 500
+    )
+    SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           TRUE AS recall_floor_met,
+           TRUE AS branch_post,
+           TRUE AS derived_leg
+    FROM topk WHERE rank <= 10
+"""
 
 
 @_q("similarity_topk_filtered_broad", _ANN_FILTERED_ORACLE_BROAD)
 def q_similarity_topk_filtered_broad(spark, sf_dir):
-    """Filtered ANN, BROAD regime — the complementary predicate
-    (label != 3 keeps ~88%), above the selectivity threshold, so the
-    chooser must pick the POST-filter branch: the full-corpus
-    LSH-bucketed scan (the stored-index shape — at scale the index is
-    reused as-is) over-fetches k' = ceil(4k/s) candidates, the ranked
-    result semi-joins the predicate survivors, and the filtered
-    ranking is cut to k. The 0.95 recall floor audits the under-fill
-    risk that makes naive post-filtering fail (here the s-scaled
-    over-fetch covers it; measured recall 1.0 at sf0.001/sf0.01).
-    `branch_post` asserts the chooser's decision. The oracle
-    recomputes the exact under-predicate counts in DuckDB."""
+    """Filtered ANN, BROAD regime, re-certified on the DERIVED leg
+    (VERDICT r14 item 4): the corpus is the cluster-dense 25-copy
+    construction (the geometry where a sublinear index genuinely
+    exists), the predicate keeps 7/8 of it, and the post branch runs
+    the corpus-DERIVED LSH config (derive_lsh_params — the old fixed
+    (3, 24) pin here was exactly the config ann_lsh_auto priced
+    cost-unsound at 320x, scan fraction 3.0). The chooser compares
+    the predicate's selectivity against the derived config's REAL
+    modeled scan fraction (est_scan_fraction ~ 3e-4 here) instead of
+    a fixed 0.25 — post wins because the indexed scan reads orders of
+    magnitude less than the 87.5% survivor set. Over-fetch
+    k' = ceil(4k/s), semi-join survivors, cut to k; the 0.95 floor
+    audits the under-fill risk. `branch_post` asserts the cost-based
+    decision, `derived_leg` that the derivation actually chose an LSH
+    config (not the refusal path). The oracle recomputes the exact
+    under-predicate counts on the mirrored construction in DuckDB."""
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 20)
-    pred = F.col("label") != 3
-    strategy, s = similarity.choose_filter_strategy(emb, pred)
+    dense = _dense_corpus_25(spark, emb)
+    q = dense.filter(((F.col("vec_id") % 25) == 0) & (F.col("vec_id") < 500))
+    pred = F.col("vec_id") % 8 != 0
+    # production shape: derive once at index build (corpus-as-sample,
+    # the ann_lsh_auto coverage law), store, pass back per query batch
+    params = similarity.derive_lsh_params(
+        dense, q, k=10, floor=0.95, sample_rows=None, query_sample=64
+    )
+    post_frac = (
+        params["est_scan_fraction"] if params["method"] == "lsh" else 1.0
+    )
+    strategy, s = similarity.choose_filter_strategy(
+        dense, pred, post_scan_fraction=post_frac
+    )
     res = similarity.similarity_topk_filtered(
-        emb, q, pred, k=10, method=strategy, selectivity=s
+        dense, q, pred, k=10, method=strategy, selectivity=s,
+        lsh_params=params,
     )
     exact = similarity.similarity_topk_bruteforce(
-        emb.filter(pred), q, k=10
+        dense.filter(pred), q, k=10
     ).select("query_id", "neighbor_id")
     out = _ann_recall_audit(exact, res, floor=0.95).select(
         "n_queries",
         "n_exact",
         "recall_floor_met",
         F.lit(strategy == "post").alias("branch_post"),
+        F.lit(params["method"] == "lsh").alias("derived_leg"),
     )
     return carry_caches(out, res)
 

@@ -1956,6 +1956,48 @@ def test_filtered_ann_chooser_and_branches(spark, sf_dir):
     assert recall >= 0.95, recall
 
 
+def test_filtered_ann_cost_chooser_and_index_leg(spark, sf_dir):
+    """VERDICT r14 item 4: the filtered-ANN chooser compares the
+    predicate's selectivity against the post plan's REAL modeled scan
+    fraction when one is in hand, and the post branch composes with
+    the IVF index handoff (exact prune => the filtered result is
+    exact whenever the over-fetch covers the survivors)."""
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    broad_pred = F.col("label") != 3
+
+    # real-cost rule: pre exactly when s <= fraction
+    m_cheap, s = similarity.choose_filter_strategy(
+        emb, broad_pred, post_scan_fraction=0.01
+    )
+    m_dear, _ = similarity.choose_filter_strategy(
+        emb, broad_pred, post_scan_fraction=0.99
+    )
+    assert s > 0.5 and m_cheap == "post" and m_dear == "pre"
+
+    idx = similarity.build_ivf_index(emb)
+    assert 0.0 < idx["expected_scan_fraction"] <= 1.0
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_filtered(
+            emb, q, broad_pred, k=10, method="post",
+            selectivity=s, index=idx,
+        ).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.similarity_topk_bruteforce(
+            emb.filter(broad_pred), q, k=10
+        ).collect()
+    }
+    # ivf_auto is exact over the full corpus, so with the s-scaled
+    # over-fetch the filtered top-k is exact here, not just >= floor
+    assert got == exact and len(got) > 0
+    idx["corpus"].unpersist()
+
+
 def test_near_dedup_two_phase_equals_single_shot(spark, sf_dir, tmp_path):
     """VERDICT r13 item 5: the slice-partitioned two-phase pipeline
     must produce EXACTLY the single-shot operator's verified pair set
