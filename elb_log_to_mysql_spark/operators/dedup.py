@@ -269,6 +269,8 @@ def near_dedup_minhash_two_phase(
     threshold: float = 0.6,
     max_bucket: int = 1000,
     keep_work: bool = False,
+    recover_max_bucket: int | None = None,
+    recover_batch_members: int = 2_000_000,
 ):
     """Spill-friendly near_dedup_minhash for output-bound corpora
     (VERDICT r13 item 5): identical pair semantics, but the candidate
@@ -316,12 +318,29 @@ def near_dedup_minhash_two_phase(
     side) costs more than the dup collapse saves. First-band emit
     pays off exactly in the output-bound regime this variant is for.
 
+    Skew-cap RECOVERY (``recover_max_bucket``, VERDICT r14 item 3):
+    with the default (None = max_bucket) the pair set EQUALS the
+    single-shot operator's — capped buckets dropped whole. Setting
+    recover_max_bucket > max_bucket processes buckets in
+    (max_bucket, recover_max_bucket] through a dedicated bounded
+    path (side-spilled member lists, per-batch self-joins packed by
+    ``recover_batch_members``), making the result a SUPERSET of the
+    single-shot contract: exactly the pairs whose first collision
+    lives in a recoverable bucket are added back — at 640x those are
+    the 147 whole clone clusters (30.06M pairs, 2.9% of the floor)
+    the r14 run lost to the cap. Ownership stays globally unique
+    (first PROCESSED collision owns the pair, whether its bucket is
+    a main or a recovery site), so no dedup shuffle appears anywhere.
+    Buckets beyond recover_max_bucket are still dropped whole and
+    pair-exactly accounted in stats.
+
     Returns (result_df, stats) where result_df reads the verified-pair
     parquet (doc_id_a, doc_id_b, jaccard — same contract as
-    near_dedup_minhash) and stats is {"pairs": total, "slices": n,
-    "candidate_rows": unique candidate pairs}. EAGER end-to-end (a
-    materializing pipeline, not a lazy plan) — that is the point: the
-    caller chose bounded disk over plan purity. Not for streaming.
+    near_dedup_minhash) and stats adds the recovery/degradation
+    accounting (recovered_buckets/members, dropped_buckets/members/
+    max_bucket). EAGER end-to-end (a materializing pipeline, not a
+    lazy plan) — that is the point: the caller chose bounded disk
+    over plan purity. Not for streaming.
     """
     import glob as _glob
     import os as _os
@@ -345,6 +364,13 @@ def near_dedup_minhash_two_phase(
     sh.write.mode("overwrite").parquet(sh_dir)
     sh = spark.read.parquet(sh_dir)
 
+    eff_cap = max_bucket if recover_max_bucket is None else recover_max_bucket
+    if eff_cap < max_bucket:
+        raise ValueError(
+            f"recover_max_bucket must be >= max_bucket, got "
+            f"({recover_max_bucket}, {max_bucket})"
+        )
+
     sig = minhash_sig_rows(sh, num_hashes)
     # per-doc band-hash ARRAY (not yet exploded) — both the join keys
     # and the earlier-band test read it
@@ -358,85 +384,167 @@ def near_dedup_minhash_two_phase(
         banded.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("bsz"))
         .filter(F.col("bsz") > max_bucket)
-        .withColumn("_capped", F.lit(True))
+        .persist()  # mask join + recovery batching + accounting read it
     )
-    # per-doc survived mask, band order preserved via array_sort on
-    # (band_idx, flag) structs; capped buckets are few (skew guard),
-    # so the flag join broadcasts
+    # per-doc band masks, band order preserved via array_sort on
+    # (band_idx, size) structs; capped buckets are few (skew guard),
+    # so the size join broadcasts. sv[i] = band i's bucket is an
+    # UNCAPPED (main-path) emit site; pv[i] = the bucket is PROCESSED
+    # at all (uncapped OR capped-but-recoverable) — the global
+    # pair-ownership test. Equal hashes at a band => same bucket =>
+    # same masks on both sides, so one side's mask decides.
     masks = (
         banded.join(
-            F.broadcast(capped.select("band_idx", "band_hash", "_capped")),
+            F.broadcast(capped.select("band_idx", "band_hash", "bsz")),
             ["band_idx", "band_hash"],
             "left",
         )
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "band_idx",
-                            F.coalesce("_capped", F.lit(False)).alias("c"),
-                        )
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "band_idx",
+                        F.coalesce("bsz", F.lit(0)).alias("z"),
                     )
-                ),
-                lambda s: ~s.getField("c"),
-            ).alias("sv")
+                )
+            ).alias("_zs")
+        )
+        .select(
+            "doc_id",
+            F.transform("_zs", lambda s: s.getField("z") == 0).alias("sv"),
+            F.transform("_zs", lambda s: s.getField("z") <= eff_cap).alias(
+                "pv"
+            ),
         )
     )
     banded.unpersist()
     doc_side = bh_frame.join(masks, "doc_id")
-    # exploded emit rows: only bands whose own bucket survived
-    emit = doc_side.select(
+    exploded = doc_side.select(
         "doc_id",
         "bh",
-        "sv",
-        F.posexplode(
-            F.zip_with("bh", "sv", lambda h, s: F.struct(h.alias("h"), s.alias("s")))
-        ).alias("band_idx", "hs"),
-    ).filter(F.col("hs.s")).select(
-        "doc_id", "bh", "sv", "band_idx", F.col("hs.h").alias("band_hash")
+        "pv",
+        F.posexplode(F.arrays_zip("bh", "sv", "pv")).alias("band_idx", "z"),
     )
-    left = emit.select(
-        "band_idx",
-        "band_hash",
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("bh").alias("bh_a"),
-        F.col("sv").alias("sv_a"),
+    # main-path emit rows: uncapped bands only — the self-join stays
+    # skinny (the skew cap's whole point); recovery rows: the
+    # capped-but-recoverable bands, spilled separately below
+    emit = exploded.filter(F.col("z.sv")).select(
+        "doc_id", "bh", "pv", "band_idx", F.col("z.bh").alias("band_hash")
     )
-    right = emit.select(
-        "band_idx",
-        "band_hash",
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("bh").alias("bh_b"),
-    )
-    # earlier surviving collision? hashes equal at j<i AND a's bucket
-    # j uncapped (equal hashes => same bucket => same capped status).
-    # Deliberately a FLAT short-circuit OR over the <=`bands` fixed
-    # positions, NOT slice/zip_with/exists: this predicate runs on
-    # every joined row (|bucket|^2 x bands rows before the a<b/emit
-    # filters — tens of billions at 640x), and Spark's higher-order
-    # array functions are interpreted with per-row array allocation
-    # (~5us/row), while element_at comparisons stay inside
-    # whole-stage codegen (~ns). Measured: the HOF form pinned 32
-    # cores for >30 min at 640x; the flat form finishes the stage in
-    # minutes.
-    earlier = F.lit(False)
-    for j in range(bands):
-        earlier = earlier | (
-            (F.col("band_idx") > j)
-            & (F.element_at("bh_a", j + 1) == F.element_at("bh_b", j + 1))
-            & F.element_at("sv_a", j + 1)
+
+    def _pair_join(eleft, eright):
+        """a<b pairs colliding at band_idx whose FIRST processed
+        collision is this band — every pair emitted exactly once
+        across the main and recovery paths combined.
+
+        The earlier-collision test (hashes equal at j<i AND bucket j
+        processed) is deliberately a FLAT short-circuit OR over the
+        <=`bands` fixed positions, NOT slice/zip_with/exists: it runs
+        on every joined row (|bucket|^2 x bands rows before the
+        a<b/emit filters — tens of billions at 640x), and Spark's
+        higher-order array functions are interpreted with per-row
+        array allocation (~5us/row), while element_at comparisons
+        stay inside whole-stage codegen (~ns). Measured: the HOF form
+        pinned 32 cores for >30 min at 640x; the flat form finishes
+        the stage in minutes."""
+        earlier = F.lit(False)
+        for j in range(bands):
+            earlier = earlier | (
+                (F.col("band_idx") > j)
+                & (F.element_at("bh_a", j + 1) == F.element_at("bh_b", j + 1))
+                & F.element_at("pv_a", j + 1)
+            )
+        return (
+            eleft.join(eright, ["band_idx", "band_hash"])
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .filter(~earlier)
+            .select("doc_id_a", "doc_id_b")
         )
-    (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .filter(~earlier)
-        .select("doc_id_a", "doc_id_b")
-        .write.mode("overwrite")
-        .option("compression", "zstd")
-        .parquet(cand_dir)
+
+    def _sides(e):
+        return (
+            e.select(
+                "band_idx",
+                "band_hash",
+                F.col("doc_id").alias("doc_id_a"),
+                F.col("bh").alias("bh_a"),
+                F.col("pv").alias("pv_a"),
+            ),
+            e.select(
+                "band_idx",
+                "band_hash",
+                F.col("doc_id").alias("doc_id_b"),
+                F.col("bh").alias("bh_b"),
+            ),
+        )
+
+    left, right = _sides(emit)
+    _pair_join(left, right).write.mode("overwrite").option(
+        "compression", "zstd"
+    ).parquet(cand_dir)
+
+    # Skew-cap RECOVERY (VERDICT r14 item 3): capped buckets hold
+    # precisely the spammiest/most-duplicated docs — dropping them
+    # whole is the worst miss a dedup can make. Buckets in
+    # (max_bucket, recover_max_bucket] get a dedicated bounded path:
+    # their member rows (ids + band arrays, no text) spill ONCE to a
+    # side parquet, then batches packed by member count self-join
+    # per batch under the same first-processed-collision ownership —
+    # each batch's transient is bounded by recover_batch_members^2 /
+    # bucket-count, and the appended candidate files flow through the
+    # same sliced phase-2 verification. Buckets beyond
+    # recover_max_bucket are still dropped whole, pair-exactly
+    # accounted in stats (the explicit degradation contract).
+    rec_buckets = (
+        capped.filter(F.col("bsz") <= eff_cap)
+        .select("band_idx", "band_hash", "bsz")
+        .collect()
+        if eff_cap > max_bucket
+        else []
     )
+    dropped_row = (
+        capped.filter(F.col("bsz") > eff_cap)
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("bsz"), F.lit(0)).alias("nm"),
+            F.coalesce(F.max("bsz"), F.lit(0)).alias("mx"),
+        )
+        .first()
+    )
+    capped.unpersist()
+    if rec_buckets:
+        rec_dir = _os.path.join(work_dir, "recovery_members")
+        exploded.filter(F.col("z.pv") & ~F.col("z.sv")).select(
+            "doc_id", "bh", "pv", "band_idx", F.col("z.bh").alias("band_hash")
+        ).write.mode("overwrite").option("compression", "zstd").parquet(
+            rec_dir
+        )
+        rm = spark.read.parquet(rec_dir)
+        rleft, rright = _sides(rm)
+        batches, cur, cur_members = [], [], 0
+        for r in sorted(
+            rec_buckets, key=lambda r: (r["band_idx"], r["band_hash"])
+        ):
+            if cur and cur_members + r["bsz"] > recover_batch_members:
+                batches.append(cur)
+                cur, cur_members = [], 0
+            cur.append((r["band_idx"], r["band_hash"]))
+            cur_members += r["bsz"]
+        if cur:
+            batches.append(cur)
+        for batch in batches:
+            keys = spark.createDataFrame(
+                batch, "band_idx int, band_hash bigint"
+            )
+            _pair_join(
+                rleft.join(F.broadcast(keys), ["band_idx", "band_hash"]),
+                rright.join(F.broadcast(keys), ["band_idx", "band_hash"]),
+            ).write.mode("append").option("compression", "zstd").parquet(
+                cand_dir
+            )
+        if not keep_work:
+            _shutil.rmtree(rec_dir, ignore_errors=True)
 
     files = sorted(_glob.glob(_os.path.join(cand_dir, "*.parquet")))
     groups = [files[s::n_slices] for s in range(n_slices)]
@@ -483,6 +591,11 @@ def near_dedup_minhash_two_phase(
         "pairs": int(result.count()),
         "slices": n_slices,
         "candidate_rows": int(cand_rows),
+        "recovered_buckets": len(rec_buckets),
+        "recovered_members": int(sum(r["bsz"] for r in rec_buckets)),
+        "dropped_buckets": int(dropped_row["nb"]),
+        "dropped_members": int(dropped_row["nm"]),
+        "dropped_max_bucket": int(dropped_row["mx"]),
     }
     if not keep_work:
         _shutil.rmtree(cand_dir, ignore_errors=True)

@@ -1806,7 +1806,8 @@ def _near_dedup_audit(exact, found):
 
 ORACLE_SQL["near_dedup_two_phase"] = ORACLE_SQL["near_dedup"].replace(
     "TRUE AS recall_floor_met",
-    "TRUE AS recall_floor_met,\n           TRUE AS same_as_single_shot",
+    "TRUE AS recall_floor_met,\n           TRUE AS same_as_single_shot,"
+    "\n           TRUE AS recovery_restores_cap",
 )
 
 
@@ -1826,7 +1827,16 @@ def q_near_dedup_two_phase(spark, sf_dir):
     cap, same Jaccard arithmetic; only the execution schedule
     differs). Eager by design (a materializing pipeline over a /tmp
     workdir) — the entry certifies semantics at gate SF; the 640x
-    execution evidence lives in SCALE.md."""
+    execution evidence lives in SCALE.md.
+
+    Round 15 adds `recovery_restores_cap` (VERDICT r14 item 3): the
+    pipeline runs AGAIN with max_bucket=1 — the degenerate worst case
+    where the skew cap drops EVERY pair-bearing bucket — and
+    recover_max_bucket=1000, asserting the dedicated bounded recovery
+    path alone reproduces the default-cap pair set exactly (the
+    first-processed-collision ownership makes main+recovery a
+    partition of one pair set, so this is equality, not a floor) with
+    nothing left in the dropped accounting."""
     import tempfile
 
     docs = _t(spark, sf_dir, "documents")
@@ -1834,7 +1844,14 @@ def q_near_dedup_two_phase(spark, sf_dir):
     single = dedup.near_dedup_minhash(docs)
     with tempfile.TemporaryDirectory(prefix="nd2p_") as work:
         found, _stats = dedup.near_dedup_minhash_two_phase(
-            docs, work, n_slices=4
+            docs, os.path.join(work, "plain"), n_slices=4
+        )
+        recovered, rec_stats = dedup.near_dedup_minhash_two_phase(
+            docs,
+            os.path.join(work, "rec"),
+            n_slices=4,
+            max_bucket=1,
+            recover_max_bucket=1000,
         )
         audit = _near_dedup_audit(exact, found)
         sym_diff = (
@@ -1846,10 +1863,20 @@ def q_near_dedup_two_phase(spark, sf_dir):
             )
             .agg(F.count(F.lit(1)).alias("n_union"))
         )
+        rec_diff = (
+            recovered.select("doc_id_a", "doc_id_b")
+            .join(
+                found.select("doc_id_a", "doc_id_b"),
+                ["doc_id_a", "doc_id_b"],
+                "full_outer",
+            )
+            .agg(F.count(F.lit(1)).alias("n_runion"))
+        )
         n_single = single.agg(F.count(F.lit(1)).alias("n_single"))
         n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
         out = (
             audit.crossJoin(F.broadcast(sym_diff))
+            .crossJoin(F.broadcast(rec_diff))
             .crossJoin(F.broadcast(n_single))
             .crossJoin(F.broadcast(n_found))
             .select(
@@ -1860,6 +1887,10 @@ def q_near_dedup_two_phase(spark, sf_dir):
                     (F.col("n_union") == F.col("n_single"))
                     & (F.col("n_union") == F.col("n_found"))
                 ).alias("same_as_single_shot"),
+                (
+                    (F.col("n_runion") == F.col("n_found"))
+                    & F.lit(rec_stats["dropped_buckets"] == 0)
+                ).alias("recovery_restores_cap"),
             )
         )
         # materialize before the TemporaryDirectory vanishes (the

@@ -2022,6 +2022,52 @@ def test_near_dedup_two_phase_equals_single_shot(spark, sf_dir, tmp_path):
     assert stats["candidate_rows"] >= stats["pairs"]
 
 
+def test_near_dedup_two_phase_skew_cap_recovery(spark, sf_dir, tmp_path):
+    """Skew-cap recovery (VERDICT r14 item 3): with max_bucket=1 every
+    multi-doc bucket is capped, so WITHOUT recovery the candidate set
+    is empty — and with recover_max_bucket=1000 the dedicated
+    recovery path alone must reproduce the single-shot pair set at
+    cap 1000 exactly (the first-processed-collision ownership makes
+    main+recovery a partition of the same pair set). Also pins the
+    accounting: recovered buckets counted, nothing dropped."""
+    from elb_log_to_mysql_spark.operators import dedup
+    from elb_log_to_mysql_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    single = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+        for r in dedup.near_dedup_minhash(docs, max_bucket=1000).collect()
+    }
+    assert single  # the corpus actually has near-dup pairs
+
+    bare, bare_stats = dedup.near_dedup_minhash_two_phase(
+        docs, str(tmp_path / "bare"), n_slices=2, max_bucket=1
+    )
+    assert bare.count() == 0  # cap 1 drops every pair-bearing bucket
+    assert bare_stats["dropped_buckets"] > 0
+
+    rec, rec_stats = dedup.near_dedup_minhash_two_phase(
+        docs,
+        str(tmp_path / "rec"),
+        n_slices=2,
+        max_bucket=1,
+        recover_max_bucket=1000,
+        recover_batch_members=64,  # force multiple recovery batches
+    )
+    got = {
+        (r.doc_id_a, r.doc_id_b, round(r.jaccard, 9)) for r in rec.collect()
+    }
+    assert got == single
+    assert rec_stats["recovered_buckets"] > 0
+    assert rec_stats["dropped_buckets"] == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="recover_max_bucket"):
+        dedup.near_dedup_minhash_two_phase(
+            docs, str(tmp_path / "bad"), max_bucket=10, recover_max_bucket=5
+        )
+
+
 def test_derive_lsh_params_clustered_picks_sublinear_config(spark):
     """Derived LSH controls (round 14 — the last fixed ANN constants):
     on a corpus with genuine narrow-angle cluster structure the

@@ -17,7 +17,12 @@ and the peak disk usage of the work dir (sampled after each slice).
 
 Run with SPARK_DRIVER_MEMORY=48g inside tmux (expect ~40-90 min).
 Usage: python tools/scale_probe_neardedup640_twophase.py [factor]
-       [out.json] [n_slices]
+       [out.json] [n_slices] [recover_max_bucket]
+
+Round 15: pass recover_max_bucket > 1000 to route the skew-capped
+buckets (the 147 whole clone clusters the r14 run lost, 30.06M pairs)
+through the dedicated bounded recovery path — the floor_met gap
+closes and the report records the recovery/dropped accounting.
 """
 
 from __future__ import annotations
@@ -59,6 +64,7 @@ def main() -> None:
         else f"SCALE_PROBE_NEARDEDUP_{factor}x_twophase.json"
     )
     n_slices = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    recover_cap = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     spark = build_session(app_name=f"neardedup-2phase-{factor}x")
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,7 +83,8 @@ def main() -> None:
 
     t0 = time.perf_counter()
     found, stats = dedup.near_dedup_minhash_two_phase(
-        docs, work, n_slices=n_slices, threshold=0.6, keep_work=False
+        docs, work, n_slices=n_slices, threshold=0.6, keep_work=False,
+        recover_max_bucket=recover_cap,
     )
     wall = round(time.perf_counter() - t0, 2)
     n_nd = stats["pairs"]
@@ -88,6 +95,12 @@ def main() -> None:
         "probe": "near_dedup_two_phase_execution",
         "factor": factor,
         "n_slices": n_slices,
+        "recover_max_bucket": recover_cap,
+        "recovered_buckets": stats["recovered_buckets"],
+        "recovered_members": stats["recovered_members"],
+        "dropped_buckets": stats["dropped_buckets"],
+        "dropped_members": stats["dropped_members"],
+        "dropped_max_bucket": stats["dropped_max_bucket"],
         "docs": docs.count(),
         "found_pairs": n_nd,
         "candidate_rows_predup": stats["candidate_rows"],
