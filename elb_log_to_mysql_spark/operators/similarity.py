@@ -907,7 +907,12 @@ IVF_INDEX_FORMAT = "ivf-index"
 IVF_INDEX_VERSION = 1
 
 
-def persist_ivf_index(index: dict, path: str) -> dict:
+def persist_ivf_index(
+    index: dict,
+    path: str,
+    codebooks=None,
+    rerank_depth: int | None = None,
+) -> dict:
     """Write a build_ivf_index result to DURABLE storage — the last
     step from "cached DataFrame" to production index (VERDICT r14
     item 1). Layout under ``path``:
@@ -928,6 +933,14 @@ def persist_ivf_index(index: dict, path: str) -> dict:
       session never scans the full corpus just to re-derive them.
     - ``manifest/``— one JSON row (format, version, n_cells, dim,
       n_rows) for validation and capacity planning.
+    - ``pq/`` (optional) — the PQ codebooks (train_pq_codebooks'
+      (m, n_codes, d_sub) tensor as (subspace, code, center) rows,
+      float64-exact) plus the stored exact-rerank depth
+      (derive_pq_rerank_factor) in the manifest, when given. With
+      them the artifact carries the FULL serving-control set —
+      centroids, radii, codebooks, depth — so both the exact IVF
+      prune and the IVFPQ/ADC path serve from one durable layout
+      with zero derivations at query time.
 
     Everything goes through the DataFrame writer, so ``path`` may be
     any Hadoop-compatible URI (local, HDFS, s3a). Returns a summary
@@ -970,6 +983,22 @@ def persist_ivf_index(index: dict, path: str) -> dict:
             "expected_scan_fraction", min(1.0, 8 / max(1, len(centers)))
         )
     )
+    pq_shape = None
+    if codebooks is not None:
+        import numpy as np
+
+        cb = np.asarray(codebooks, dtype=np.float64)
+        pq_shape = [int(x) for x in cb.shape]  # (m, n_codes, d_sub)
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in cb[j, c]])
+                for j in range(cb.shape[0])
+                for c in range(cb.shape[1])
+            ],
+            "subspace int, code int, center array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(path, "pq")
+        )
     spark.createDataFrame(
         [
             (
@@ -979,10 +1008,13 @@ def persist_ivf_index(index: dict, path: str) -> dict:
                 dim,
                 n_rows,
                 frac,
+                pq_shape,
+                rerank_depth,
             )
         ],
         "format string, version int, n_cells int, dim int, n_rows bigint, "
-        "expected_scan_fraction double",
+        "expected_scan_fraction double, pq_shape array<int>, "
+        "rerank_depth int",
     ).coalesce(1).write.mode("overwrite").json(_os.path.join(path, "manifest"))
     return {"n_cells": len(centers), "dim": dim, "n_rows": n_rows}
 
@@ -1023,7 +1055,7 @@ def load_ivf_index(spark, path: str) -> dict:
         if int(r["n_members"]) > 0
     ]
     md = m.asDict()
-    return {
+    out = {
         "centers": centers,
         "radii": radii,
         "corpus": spark.read.parquet(_os.path.join(path, "corpus")),
@@ -1035,6 +1067,18 @@ def load_ivf_index(spark, path: str) -> dict:
             else None
         ),
     }
+    if md.get("pq_shape"):
+        mm, n_codes, d_sub = (int(x) for x in md["pq_shape"])
+        cb = np.zeros((mm, n_codes, d_sub), dtype=np.float64)
+        for r in spark.read.parquet(_os.path.join(path, "pq")).collect():
+            cb[int(r["subspace"]), int(r["code"])] = list(r["center"])
+        out["codebooks"] = cb
+        out["rerank_depth"] = (
+            int(md["rerank_depth"])
+            if md.get("rerank_depth") is not None
+            else None
+        )
+    return out
 
 
 def similarity_topk_ivf_auto(

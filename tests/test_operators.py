@@ -2277,3 +2277,35 @@ def test_ivf_index_persist_reload_fresh_session(spark, sf_dir, tmp_path):
     with pytest.raises(Exception):
         similarity.load_ivf_index(fresh, str(tmp_path / "nope"))
     idx["corpus"].unpersist()
+
+
+def test_ivf_index_persist_pq_artifacts(spark, sf_dir, tmp_path):
+    """The durable index carries the FULL serving-control set: PQ
+    codebooks round-trip float64-exact and the stored rerank depth
+    reloads, so the IVFPQ/ADC path serves from the reloaded artifacts
+    with answers identical to the originals'."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = similarity.build_ivf_index(emb)
+    cb = similarity.train_pq_codebooks(emb)
+    path = str(tmp_path / "ivfpq_index")
+    similarity.persist_ivf_index(idx, path, codebooks=cb, rerank_depth=4)
+    idx2 = similarity.load_ivf_index(spark, path)
+    assert np.array_equal(idx2["codebooks"], cb)
+    assert idx2["rerank_depth"] == 4
+
+    def serve(centers, books, depth):
+        return {
+            (r.query_id, r.neighbor_id, r.rank)
+            for r in similarity.similarity_topk_ivfpq(
+                emb, q, k=5, centroids=centers, codebooks=books,
+                rerank_factor=depth,
+            ).collect()
+        }
+
+    orig = serve(idx["centers"], cb, 4)
+    reloaded = serve(idx2["centers"], idx2["codebooks"], idx2["rerank_depth"])
+    assert orig == reloaded and len(orig) > 0
+    idx["corpus"].unpersist()
