@@ -1784,23 +1784,28 @@ def _near_dedup_audit(exact, found):
     `stream_near_dedup_join` (all three share
     ORACLE_SQL["near_dedup"]), so a change to the audit contract can
     never silently diverge between the batch and stream entries."""
-    joined = exact.select("doc_id_a", "doc_id_b").join(
+    # ONE pass over `found` (r15, guide §2.4): the former left-join +
+    # separate found-count formulation consumed the found pipeline in
+    # two plan branches; the full-outer join derives n_exact / n_hit /
+    # n_found from the same joined rows (both pair sets are unique by
+    # construction, so the join is 1:1 and the sums are exact counts).
+    # Values and dtypes are identical to the two-branch form (verified
+    # cell-equal at sf0.1 before adoption).
+    e = F.coalesce("e", F.lit(0))
+    f = F.coalesce("f", F.lit(0))
+    joined = exact.select("doc_id_a", "doc_id_b", F.lit(1).alias("e")).join(
         found.select("doc_id_a", "doc_id_b", F.lit(1).alias("f")),
         ["doc_id_a", "doc_id_b"],
-        "left",
+        "full_outer",
     )
-    recall_stats = joined.agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.sum(F.coalesce("f", F.lit(0))).alias("n_hit"),
-    )
-    found_stats = found.agg(F.count(F.lit(1)).alias("n_found"))
-    return recall_stats.crossJoin(F.broadcast(found_stats)).select(
-        "n_exact",
-        (F.col("n_found") - F.col("n_hit")).alias("false_pairs"),
-        (
-            (F.col("n_exact") == 0)
-            | (F.col("n_hit") >= F.lit(0.9) * F.col("n_exact"))
-        ).alias("recall_floor_met"),
+    n_exact = F.sum(e)
+    n_hit = F.sum(e * f)
+    return joined.agg(
+        n_exact.alias("n_exact"),
+        F.sum(f * (F.lit(1) - e)).alias("false_pairs"),
+        ((n_exact == 0) | (n_hit >= F.lit(0.9) * n_exact)).alias(
+            "recall_floor_met"
+        ),
     )
 
 
