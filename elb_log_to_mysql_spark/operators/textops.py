@@ -410,51 +410,85 @@ def repetition_filter(
       more than once / total trigrams ("duplicate n-gram fraction");
     - ``keep`` — both fractions under their thresholds.
 
-    Shape at scale: explode n-grams → two-stage agg keyed
-    (doc_id, gram) then (doc_id). Both aggs combine map-side (partial
-    aggregation), the shuffle carries (doc_id, gram-hash) pairs, and
-    per-doc state is bounded by document length — no global state, no
-    skew beyond a single pathological document, which AQE splits.
-    Fractions are int/int divisions — bit-identical across engines.
+    Shape at scale (r15 single-pass form, guide §2.3/§2.4): ONE
+    explode pass emits BOTH gram kinds — position i of a null-padded
+    3-slice zip carries (toks[i], toks[i+1], toks[i+2]-or-null), so
+    each exploded row yields the bigram hash always and the trigram
+    hash when the third token exists — then one agg chain keyed
+    (doc_id, kind, gram-hash) → (doc_id) with conditional aggregates
+    replaces the former two independent bigram/trigram chains: half
+    the text passes, half the shuffles (4 → 2), one doc join instead
+    of two. A kind=2 and kind=3 row can never merge (the kind tag is
+    in the group key), so per-kind counts are exactly the two-chain
+    form's; both aggs still combine map-side, the shuffle carries
+    (doc_id, kind, gram-hash) triples, and per-doc state is bounded by
+    document length. Fractions are int/int divisions — bit-identical
+    across engines (verified value-equal to the two-chain form and
+    oracle-green before adoption).
     """
     docs = ensure_min_partitions(documents)
 
-    def gram_stats(n: int):
-        grams = docs.select(
+    toks = _tokens(F.col("text"))
+    m = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    # arrays_zip pads the short third slice with null: position i has
+    # w3 null exactly when no trigram starts there (the last bigram
+    # position, and every position of a 2-token doc).
+    zipped = F.arrays_zip(*[F.slice(toks, j + 1, m) for j in range(3)])
+    z = F.col("z")
+    w1, w2, w3 = (z.getField(str(j)) for j in range(3))
+    pairs = (
+        docs.select("doc_id", F.explode(zipped).alias("z"))
+        .select(
             "doc_id",
-            F.explode(_word_ngram_structs(F.col("text"), n)).alias("gs"),
-        ).select(
-            "doc_id",
-            F.xxhash64(*[F.col("gs").getField(str(j)) for j in range(n)])
-            .alias("g"),
+            F.explode(
+                F.array_compact(
+                    F.array(
+                        F.struct(
+                            F.lit(2).alias("kind"),
+                            F.xxhash64(w1, w2).alias("g"),
+                        ),
+                        F.when(
+                            w3.isNotNull(),
+                            F.struct(
+                                F.lit(3).alias("kind"),
+                                F.xxhash64(w1, w2, w3).alias("g"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("kg"),
         )
-        per_gram = grams.groupBy("doc_id", "g").agg(
-            F.count(F.lit(1)).alias("c")
-        )
-        return per_gram.groupBy("doc_id").agg(
-            F.sum("c").alias("tot"),
-            F.max("c").alias("top_c"),
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_c"),
-        )
-
-    bi = gram_stats(2).select(
-        "doc_id",
-        (F.col("top_c") / F.col("tot")).alias("frac_top_bigram"),
+        .select("doc_id", F.col("kg.kind").alias("kind"), F.col("kg.g").alias("g"))
     )
-    tri = gram_stats(3).select(
-        "doc_id",
-        (F.col("dup_c") / F.col("tot")).alias("frac_dup_trigrams"),
+    per_gram = pairs.groupBy("doc_id", "kind", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    is2 = F.col("kind") == 2
+    is3 = F.col("kind") == 3
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum(F.when(is2, F.col("c"))).alias("tot2"),
+        F.max(F.when(is2, F.col("c"))).alias("top2"),
+        F.coalesce(F.sum(F.when(is3, F.col("c"))), F.lit(0)).alias("tot3"),
+        F.coalesce(
+            F.sum(F.when(is3 & (F.col("c") > 1), F.col("c"))), F.lit(0)
+        ).alias("dup3"),
     )
     out = (
         docs.select("doc_id", "lang", "n_chars")
-        .join(bi, "doc_id", "left")
-        .join(tri, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "lang",
             "n_chars",
-            F.coalesce("frac_top_bigram", F.lit(0.0)).alias("frac_top_bigram"),
-            F.coalesce("frac_dup_trigrams", F.lit(0.0)).alias("frac_dup_trigrams"),
+            # a doc present in per_doc always has bigram rows (any gram
+            # implies a bigram), so top2/tot2 is the two-chain value;
+            # tot3=0 reproduces the old missing-trigram-row coalesce.
+            F.coalesce(F.col("top2") / F.col("tot2"), F.lit(0.0)).alias(
+                "frac_top_bigram"
+            ),
+            F.when(F.col("tot3") > 0, F.col("dup3") / F.col("tot3"))
+            .otherwise(F.lit(0.0))
+            .alias("frac_dup_trigrams"),
         )
     )
     return out.withColumn(
