@@ -83,11 +83,12 @@ def test_asof_join_is_join_free(spark, sf_dir):
     assert rep["exchanges"] == 1
 
 
-def test_q21_pair_sets_stay_semi_anti(spark, sf_dir):
-    """Q21's EXISTS/NOT-EXISTS must compile to one semi and one anti
-    join over deduplicated pair sets — never a row-multiplying inner
-    join that re-aggregates, which explodes on multi-line orders at
-    scale."""
+def test_q21_single_fact_scan_no_pair_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS folds into per-order cardinality
+    aggregates (r15): the fact table must be scanned exactly once and
+    no sort-merge join (the old semi/anti pair-set probes scanned
+    lineitem 3x) — and never a row-multiplying inner join that
+    re-aggregates, which explodes on multi-line orders at scale."""
     df = tpch.tpch_q21(
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "lineitem"),
@@ -96,8 +97,9 @@ def test_q21_pair_sets_stay_semi_anti(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     df.collect()
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
 
 
 def test_q9_single_fact_shuffle(spark, sf_dir):
