@@ -626,21 +626,31 @@ def ngram_jaccard_pairs(
     # the pair-count aggregation — that bound needs no intersection
     # knowledge, and it cuts the second shuffle's input, which at scale
     # is the dominant one (every co-occurring pair × shared shingles).
+    # The count is `size(arr)` taken BEFORE the explode (r15, guide
+    # §2.4): identical to the former groupBy-count over the exploded
+    # rows (explode drops exactly the empty-array docs both ways), but
+    # it deletes one aggregation and two doc_id joins from the plan.
     documents = ensure_min_partitions(documents)
     sh = (
         documents.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(text_col, shingle_n)).alias("shingle_s"),
+            word_shingles(text_col, shingle_n).alias("arr"),
         )
-        .select("doc_id", F.xxhash64("shingle_s").alias("shingle"))
-        .persist()  # feeds sizes + both join legs — compute shingles once
+        # bind `arr` one projection below so size() and explode() both
+        # read the materialized column (CollapseProject refuses to
+        # inline a multiply-referenced non-trivial expression, so the
+        # shingle computation stays single-evaluation per row)
+        .select(
+            "doc_id", F.size("arr").alias("n_sh"), F.explode("arr").alias("shingle_s")
+        )
+        .select("doc_id", "n_sh", F.xxhash64("shingle_s").alias("shingle"))
+        .persist()  # feeds both join legs — compute shingles once
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.join(sizes, "doc_id").select(
+    a = sh.select(
         F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"), "shingle"
     )
-    b = sh.join(sizes, "doc_id").select(
+    b = sh.select(
         F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"), "shingle"
     )
     inter = (
