@@ -767,47 +767,41 @@ def corpus_pipeline(
     from elb_log_to_mysql_spark.operators.textops import quality_filter
     from elb_log_to_mysql_spark.session import unpersist_on_gc
 
-    # The stage id-sets are persisted (narrow doc_id frames) exactly
-    # as in curation_audit: composed lazily, the text-heavy stages
-    # (quality stats, fingerprinting, gram decontamination) re-execute
-    # per consuming join branch once the id-sets outgrow broadcast,
-    # and the 160x probe measured the resulting knee — 61.8 s at 80x
-    # -> 548.6 s at 160x for the unpersisted form while the persisted
-    # audit twin stayed linear (52.7 -> 97.3 s). SCALE.md round-9.
+    # Persist policy (r15 re-measured; SCALE.md round-9 for the
+    # original knee): a cache is placed exactly where a subtree has
+    # MORE THAN ONE consumer, and nowhere else.
+    # - kept_ids: the quality gate's id-set (narrow).
+    # - sel: the selected (doc_id, source) set. mixture_sample and
+    #   shuffle_index each consume their input twice (bucket-count
+    #   pass + rank pass of the two-pass prefix sum), so without this
+    #   cache the whole dedup+decontamination chain re-executes up to
+    #   4x. Caching `sel` instead of the intermediate surv/clean
+    #   id-sets (the round-9 layout) truncates those re-executions
+    #   AND drops two cache materializations — measured 4.72 -> 3.90 s
+    #   min at sf0.1 (interleaved A/B, output bit-equal).
     kept_ids = (
         quality_filter(documents).filter("keep").select("doc_id").persist()
     )
     kept = documents.join(kept_ids, "doc_id", "left_semi")
-    surv_ids = (
-        exact_dedup(
-            kept.withColumn("_fp", content_fingerprint("text")),
-            ["_fp"],
-            ["doc_id"],
-        )
-        .select("doc_id")
-        .persist()
-    )
-    clean_ids = (
-        decontaminate(
-            documents, bench_mod=bench_mod, ngram=ngram, benchmark=benchmark
-        )
-        .select("doc_id")
-        .persist()
-    )
+    surv_ids = exact_dedup(
+        kept.withColumn("_fp", content_fingerprint("text")),
+        ["_fp"],
+        ["doc_id"],
+    ).select("doc_id")
+    clean_ids = decontaminate(
+        documents, bench_mod=bench_mod, ngram=ngram, benchmark=benchmark
+    ).select("doc_id")
     clean_surv = surv_ids.join(clean_ids, "doc_id", "left_semi")
-    mixed = mixture_sample(
-        documents.join(clean_surv, "doc_id", "left_semi").select(
-            "doc_id", "source"
-        ),
-        "source",
-        "doc_id",
-        quotas,
-        salt,
+    sel = (
+        documents.join(clean_surv, "doc_id", "left_semi")
+        .select("doc_id", "source")
+        .persist()
     )
+    mixed = mixture_sample(sel, "source", "doc_id", quotas, salt)
     out = shuffle_index(mixed, "doc_id", salt).select(
         "doc_id", "source", "mix_rank", "pos"
     )
-    return unpersist_on_gc(out, kept_ids, surv_ids, clean_ids)
+    return unpersist_on_gc(out, kept_ids, sel)
 
 
 def prewarm(spark, build, documents: DataFrame, sample_rows: int = 20000) -> float:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from elb_log_to_mysql_spark.session import ensure_min_partitions
+from elb_log_to_mysql_spark.session import ensure_min_partitions, unpersist_on_gc
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit
 # heuristic language classifier. Deliberately small: the classifier
@@ -283,9 +283,15 @@ def tfidf(
         # (the default) AQE turns the join into a broadcast and the
         # repartition would be pure overhead — skip it.
         tf = tf.repartition("term")
+    # tf feeds BOTH the df aggregate (broadcast build side) and the
+    # join probe; without the persist the planner duplicated the whole
+    # explode→aggregate chain (two full text passes — ReuseExchange
+    # never fired on it, r15 measured). The broadcast build runs
+    # first, materializing the cache the probe side then reads.
+    tf = tf.persist()
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     df_ = df_.filter(F.col("df") >= vocab_size_min_df)
-    return (
+    out = (
         tf.join(df_, "term")
         .withColumn(
             "tfidf",
@@ -295,6 +301,7 @@ def tfidf(
         )
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+    return unpersist_on_gc(out, tf)
 
 
 def chunk_documents(
@@ -1140,10 +1147,15 @@ def bm25_topk(
     doc_id, tf, dl, rank): tf/dl are exact ints and the float score
     stays internal, mirroring the ANN entries' determinism contract.
     """
+    # toks feeds FOUR derivations (dl, corpus scalars, df_, tf): persist
+    # the token arrays so the corpus is tokenized once, not per branch
+    # (the unpersisted plan replicated the scan+tokenize chain 4x —
+    # 8 parquet scans at r15 measurement; cache lifetime is GC-scoped).
     toks = (
         ensure_min_partitions(documents)
         .select("doc_id", _tokens(F.col(text_col)).alias("t"))
         .filter(F.size("t") > 0)
+        .persist()
     )
     dl = toks.select("doc_id", F.size("t").cast("long").alias("dl"))
     corpus = dl.agg(
@@ -1184,8 +1196,9 @@ def bm25_topk(
         .withColumn("_score", score)
     )
     w = Window.partitionBy("term").orderBy(F.col("_score").desc(), "doc_id")
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("term", "doc_id", "tf", "dl", "rank")
     )
+    return unpersist_on_gc(out, toks)
