@@ -6331,9 +6331,11 @@ _sql_interface_entry(
     "sql_interface_percentile",
     """
     SELECT l_returnflag,
-           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+           ROUND(PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                 * 100, 0) / 100
              AS median_price,
-           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 2)
+           ROUND(PERCENTILE_CONT(0.9) WITHIN GROUP (ORDER BY l_extendedprice)
+                 * 100, 0) / 100
              AS p90_price,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM lineitem
@@ -6341,7 +6343,15 @@ _sql_interface_entry(
     """,
     "Ordered-set aggregate PERCENTILE_CONT ... WITHIN GROUP through "
     "the SQL front end: linear interpolation on the sorted group is "
-    "deterministic, so exact doubles must agree across engines.",
+    "deterministic, so exact doubles must agree across engines. The "
+    "cent rounding is spelled ROUND(x*100,0)/100 rather than "
+    "ROUND(x,2): a 2-decimal-price median interpolates to an exact "
+    "half-cent whose double sits 1 ulp off x.xx5, where Spark "
+    "(HALF_UP on the shortest decimal repr) and DuckDB "
+    "(std::round(x*100)/100) disagree; both engines compute the "
+    "identical IEEE product x*100 and round exact-.5 away from "
+    "zero, so this form is engine-agnostic and preserves every "
+    "previously-agreed value.",
 )
 
 _sql_interface_entry(
