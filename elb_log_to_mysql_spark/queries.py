@@ -1798,11 +1798,16 @@ def _near_dedup_audit(exact, found):
         ["doc_id_a", "doc_id_b"],
         "full_outer",
     )
-    n_exact = F.sum(e)
-    n_hit = F.sum(e * f)
+    # The outer coalesce covers the EMPTY-join edge (r16, VERDICT r15
+    # item 4): sum() over zero rows is NULL, and the pre-r15 two-branch
+    # form used count(*) — 0 on empty inputs, recall_floor_met true. A
+    # corpus with no near-dup pairs at all must reproduce that row
+    # (n_exact=0, false_pairs=0, recall_floor_met=true), not NULLs.
+    n_exact = F.coalesce(F.sum(e), F.lit(0))
+    n_hit = F.coalesce(F.sum(e * f), F.lit(0))
     return joined.agg(
         n_exact.alias("n_exact"),
-        F.sum(f * (F.lit(1) - e)).alias("false_pairs"),
+        F.coalesce(F.sum(f * (F.lit(1) - e)), F.lit(0)).alias("false_pairs"),
         ((n_exact == 0) | (n_hit >= F.lit(0.9) * n_exact)).alias(
             "recall_floor_met"
         ),

@@ -2309,3 +2309,27 @@ def test_ivf_index_persist_pq_artifacts(spark, sf_dir, tmp_path):
     reloaded = serve(idx2["centers"], idx2["codebooks"], idx2["rerank_depth"])
     assert orig == reloaded and len(orig) > 0
     idx["corpus"].unpersist()
+
+
+def test_near_dedup_audit_empty_inputs(spark):
+    """The shared audit frame over two EMPTY pair sets must reproduce
+    the pre-r15 two-branch row — n_exact=0, false_pairs=0,
+    recall_floor_met=true — not NULLs: sum() over the empty full-outer
+    join is NULL without the outer coalesce (VERDICT r15 item 4), and
+    a zero-near-dup corpus is a legitimate production input."""
+    from elb_log_to_mysql_spark.queries import _near_dedup_audit
+
+    empty = spark.createDataFrame(
+        [], "doc_id_a bigint, doc_id_b bigint"
+    )
+    out = _near_dedup_audit(empty, empty)
+    [row] = out.collect()
+    assert row.n_exact == 0
+    assert row.false_pairs == 0
+    assert row.recall_floor_met is True
+    # dtypes unchanged from the populated path (oracle schema contract)
+    assert dict(out.dtypes) == {
+        "n_exact": "bigint",
+        "false_pairs": "bigint",
+        "recall_floor_met": "boolean",
+    }
