@@ -120,6 +120,22 @@ BUCKET_STATE_SCHEMA = T.StructType(
     [T.StructField("doc_ids", T.ArrayType(T.LongType()))]
 )
 
+# Sharded state layout (r16): one state row per SHARD of buckets —
+# parallel arrays keyed positionally, bucket i spanning
+# doc_ids_flat[offset_i : offset_i + counts[i]] with
+# offset_i = sum(counts[:i]). last_touch_ms powers the per-bucket
+# idle horizon (pruned lazily at shard touch; the shard-level
+# GroupStateTimeout reclaims fully idle shards).
+SHARD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("band_idxs", T.ArrayType(T.IntegerType())),
+        T.StructField("band_hashes", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.IntegerType())),
+        T.StructField("doc_ids_flat", T.ArrayType(T.LongType())),
+        T.StructField("last_touch_ms", T.ArrayType(T.LongType())),
+    ]
+)
+
 PAIR_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id_a", T.LongType()),
@@ -178,6 +194,113 @@ def make_bucket_update_fn(
     return _update
 
 
+def make_shard_update_fn(
+    max_per_bucket: int = 1000, idle_timeout_ms: int | None = None
+):
+    """Sharded twin of `make_bucket_update_fn` (r16, guide §4): state
+    is keyed on a SHARD of buckets instead of one bucket, so a
+    micro-batch pays one Python callback + state (de)serialization
+    per shard (~thousands) rather than per bucket (~O(corpus) — at
+    sf0.1, 76.5k groups each paying the boundary crossing was the
+    stream leg's dominant cost). Bucket identity stays the exact
+    (band_idx, band_hash) pair, carried as DATA columns: pairs are
+    emitted per true bucket with the identical per-bucket logic
+    (doc_id order, exactly-once redelivery set, max_per_bucket cap),
+    so the emitted candidate set is bit-equal to the per-bucket
+    operator's.
+
+    Idle horizon stays per BUCKET: each bucket's last-touch
+    processing time is stored in state, and any bucket idle longer
+    than `idle_timeout_ms` is pruned at the next shard invocation
+    BEFORE arrivals are processed — a re-arrival therefore starts a
+    fresh bucket and never pairs against occupants older than the
+    horizon, exactly the fine-grained eviction semantics (the bytes
+    just linger until the shard is next touched; the shard-level
+    timeout reclaims fully idle shards)."""
+
+    def _update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        buckets: dict[tuple[int, int], list[int]] = {}
+        touched: dict[tuple[int, int], int] = {}
+        if state.exists:
+            band_idxs, band_hashes, counts, flat, touch = state.get
+            pos = 0
+            for bi, bh, n, t in zip(band_idxs, band_hashes, counts, touch):
+                bkey = (int(bi), int(bh))
+                buckets[bkey] = [int(d) for d in flat[pos : pos + n]]
+                touched[bkey] = int(t)
+                pos += n
+        # without a timeout, pin the touch stamp to 0 so state stays a
+        # pure function of the input (the bit-for-bit gate property)
+        now_ms = (
+            state.getCurrentProcessingTimeMs()
+            if idle_timeout_ms is not None
+            else 0
+        )
+        if idle_timeout_ms is not None:
+            # per-bucket horizon: forget buckets idle past the horizon
+            # BEFORE pairing, so stale occupants never pair
+            dead = [
+                k for k, t in touched.items() if now_ms - t > idle_timeout_ms
+            ]
+            for k in dead:
+                del buckets[k]
+                del touched[k]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        # concat once: per-bucket doc order is then global doc_id order
+        # within the micro-batch — a pure function of the input corpus,
+        # independent of Arrow chunking
+        pdfs = [p for p in batches if len(p)]
+        if pdfs:
+            rows = pd.concat(pdfs) if len(pdfs) > 1 else pdfs[0]
+            rows = rows.sort_values("doc_id")
+            for (bi, bh), g in rows.groupby(
+                ["band_idx", "band_hash"], sort=False
+            ):
+                bkey = (int(bi), int(bh))
+                seen = buckets.get(bkey)
+                if seen is None:
+                    seen = buckets[bkey] = []
+                touched[bkey] = now_ms
+                seen_set = set(seen)
+                for doc_id in g["doc_id"]:
+                    doc_id = int(doc_id)
+                    if doc_id in seen_set:
+                        continue  # redelivered input: exactly-once emission
+                    if len(seen) >= max_per_bucket:
+                        break  # skew guard: degenerate bucket stops pairing
+                    for other in seen:
+                        lo, hi = (
+                            (other, doc_id) if other < doc_id else (doc_id, other)
+                        )
+                        out_a.append(lo)
+                        out_b.append(hi)
+                    seen.append(doc_id)
+                    seen_set.add(doc_id)
+        state.update(
+            (
+                [k[0] for k in buckets],
+                [k[1] for k in buckets],
+                [len(v) for v in buckets.values()],
+                [d for v in buckets.values() for d in v],
+                [touched[k] for k in buckets],
+            )
+        )
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        if out_a:
+            yield pd.DataFrame({"doc_id_a": out_a, "doc_id_b": out_b})
+
+    return _update
+
+
 def stream_band_collisions(
     documents,
     id_col: str = "doc_id",
@@ -187,6 +310,7 @@ def stream_band_collisions(
     bands: int = 16,
     max_per_bucket: int = 1000,
     idle_timeout_ms: int | None = None,
+    state_shards: int | None = None,
 ) -> DataFrame:
     """Streaming LSH candidate pairs over a documents stream.
 
@@ -194,7 +318,20 @@ def stream_band_collisions(
     pairs (doc_id_a < doc_id_b; the same pair may surface from
     several bands — dedupe downstream, where the verifier joins the
     shingle sets anyway). `idle_timeout_ms` bounds bucket state to
-    the dedup horizon (see module docstring)."""
+    the dedup horizon (see module docstring).
+
+    State is sharded (r16): the stateful operator groups on
+    `pmod(xxhash64(band_idx, band_hash), state_shards)` and each
+    state row holds ALL of its shard's buckets, so a micro-batch pays
+    O(shards) Python callbacks instead of O(buckets) — the guide §4
+    boundary-crossing cost, measured dominant at 76.5k bucket groups.
+    Bucket semantics (pair emission, skew cap, per-bucket idle
+    horizon) are unchanged — see `make_shard_update_fn`. The default
+    shard count scales with the cluster (64 x defaultParallelism,
+    floor 1024): enough shards that state rows stay small and every
+    state partition has work, while the per-callback overhead is
+    amortized over ~dozens of buckets. `state_shards=0` selects the
+    legacy per-bucket keying (one state row per bucket)."""
     banded = band_rows(
         documents,
         id_col=id_col,
@@ -203,16 +340,32 @@ def stream_band_collisions(
         num_hashes=num_hashes,
         bands=bands,
     )
-    return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
-        make_bucket_update_fn(max_per_bucket, idle_timeout_ms),
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    if state_shards == 0:
+        return banded.groupBy("band_idx", "band_hash").applyInPandasWithState(
+            make_bucket_update_fn(max_per_bucket, idle_timeout_ms),
+            outputStructType=PAIR_OUTPUT_SCHEMA,
+            stateStructType=BUCKET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=timeout_conf,
+        )
+    if state_shards is None:
+        parallelism = documents.sparkSession.sparkContext.defaultParallelism
+        state_shards = max(64 * parallelism, 1024)
+    sharded = banded.withColumn(
+        "_shard",
+        F.pmod(F.xxhash64("band_idx", "band_hash"), F.lit(int(state_shards))),
+    )
+    return sharded.groupBy("_shard").applyInPandasWithState(
+        make_shard_update_fn(max_per_bucket, idle_timeout_ms),
         outputStructType=PAIR_OUTPUT_SCHEMA,
-        stateStructType=BUCKET_STATE_SCHEMA,
+        stateStructType=SHARD_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if idle_timeout_ms is None
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=timeout_conf,
     )
 
 

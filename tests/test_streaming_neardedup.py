@@ -495,3 +495,88 @@ def test_stream_cdc_fold_is_batch_boundary_invariant():
     final = pd.concat(rows).iloc[-1].to_dict()
     assert final["action"] == "update" and final["state"] == "signup"
     assert final["in_snapshot"]
+
+
+def _run_shard_update(fn, state, rows, now_ms=0):
+    """rows: list of (band_idx, band_hash, doc_id)."""
+    state.now_ms = now_ms
+    pdf = pd.DataFrame(rows, columns=["band_idx", "band_hash", "doc_id"])
+    out = list(fn((0,), iter([pdf]), state))
+    if not out:
+        return []
+    cat = pd.concat(out)
+    return sorted(zip(cat["doc_id_a"], cat["doc_id_b"]))
+
+
+class _FakeShardState(_FakeState):
+    def __init__(self):
+        super().__init__()
+        self.now_ms = 0
+        self.removed = False
+        self.timeout_set = None
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now_ms
+
+    def remove(self):
+        self._v = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_shard_update_fn_matches_bucket_semantics():
+    """The sharded update fn must reproduce the per-bucket operator's
+    semantics exactly — per-bucket pairing in doc_id order, redelivery
+    dedup, the skew cap — with several buckets riding one state row."""
+    fn = neardedup.make_shard_update_fn(max_per_bucket=3)
+    st = _FakeShardState()
+    # two buckets in one shard; bucket (0,7): docs 5,2 -> (2,5);
+    # bucket (1,9): doc 4 alone -> nothing
+    assert _run_shard_update(fn, st, [(0, 7, 5), (1, 9, 4), (0, 7, 2)]) == [
+        (2, 5)
+    ]
+    # batch 2: doc 1 into (0,7) pairs against both; doc 6 into (1,9)
+    # pairs against 4 — and bucket isolation holds (no cross pairs)
+    assert _run_shard_update(fn, st, [(0, 7, 1), (1, 9, 6)]) == [
+        (1, 2),
+        (1, 5),
+        (4, 6),
+    ]
+    # redelivery: no new pairs, no state growth
+    assert _run_shard_update(fn, st, [(0, 7, 2)]) == []
+    # skew cap: bucket (0,7) is full (3) -> new doc neither pairs nor joins
+    assert _run_shard_update(fn, st, [(0, 7, 9)]) == []
+    # state layout: both buckets present with their occupants
+    band_idxs, band_hashes, counts, flat, touch = st.get
+    got = {}
+    pos = 0
+    for bi, bh, n in zip(band_idxs, band_hashes, counts):
+        got[(bi, bh)] = list(flat[pos : pos + n])
+        pos += n
+    assert got == {(0, 7): [2, 5, 1], (1, 9): [4, 6]}
+    assert touch == [0, 0]  # no timeout -> pure-function state
+
+
+def test_shard_update_fn_per_bucket_idle_horizon():
+    """With idle_timeout_ms, each BUCKET is pruned independently at
+    the shard's next touch: a stale bucket's occupants never pair
+    against a re-arrival, while a fresh bucket in the same shard keeps
+    its state — the fine-grained eviction semantics."""
+    fn = neardedup.make_shard_update_fn(max_per_bucket=10, idle_timeout_ms=1000)
+    st = _FakeShardState()
+    assert _run_shard_update(fn, st, [(0, 7, 1), (1, 9, 3)], now_ms=0) == []
+    assert st.timeout_set == 1000
+    # t=500: bucket (1,9) touched again (stays fresh)
+    assert _run_shard_update(fn, st, [(1, 9, 4)], now_ms=500) == [(3, 4)]
+    # t=1200: (0,7) is idle > 1000 -> pruned before pairing: doc 2
+    # starts a FRESH bucket (no pair against forgotten doc 1);
+    # (1,9) is 700ms idle -> keeps state, doc 5 pairs against 3 and 4
+    assert _run_shard_update(
+        fn, st, [(0, 7, 2), (1, 9, 5)], now_ms=1200
+    ) == [(3, 5), (4, 5)]
+    # shard-level timeout: a fully idle shard is removed outright
+    st.hasTimedOut = True
+    assert list(fn((0,), iter([]), st)) == []
+    assert st.removed and not st.exists
