@@ -7840,7 +7840,8 @@ def q_stream_near_dedup(spark, sf_dir):
     found = verify_candidate_pairs(cand, docs)
     exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
     out = _near_dedup_audit(exact, found)
-    return carry_caches(out, exact)
+    # `found` now owns the verifier's restricted-shingle cache (r16)
+    return carry_caches(out, exact, found)
 
 
 ORACLE_SQL["stream_near_dedup"] = ORACLE_SQL["near_dedup"]
@@ -7873,7 +7874,8 @@ def q_stream_near_dedup_join(spark, sf_dir):
     found = verify_candidate_pairs(cand, docs)
     exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
     out = _near_dedup_audit(exact, found)
-    return carry_caches(out, exact)
+    # `found` now owns the verifier's restricted-shingle cache (r16)
+    return carry_caches(out, exact, found)
 
 
 ORACLE_SQL["stream_near_dedup_join"] = ORACLE_SQL["near_dedup"]
@@ -7960,7 +7962,8 @@ def q_stream_near_dedup_blocklist(spark, sf_dir):
             (F.coalesce("n_spam_pairs", F.lit(0)) == 0).alias("spam_blocked"),
         )
     )
-    return carry_caches(out, exact)
+    # `found` now owns the verifier's restricted-shingle cache (r16)
+    return carry_caches(out, exact, found)
 
 
 ORACLE_SQL["stream_near_dedup_blocklist"] = ORACLE_SQL["near_dedup"].replace(

@@ -552,14 +552,37 @@ def verify_candidate_pairs(
 ) -> DataFrame:
     """Exact-Jaccard verification of streamed candidate pairs against
     the corpus store — identical math to the batch operator's
-    verification leg, so precision is structural."""
-    sh = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(
-            word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
-        ).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    verification leg, so precision is structural.
+
+    The corpus is semi-joined down to docs that appear in a candidate
+    pair BEFORE shingling (r16, guide §8: compute the heavy text
+    derivation only for rows that need it): candidate docs are a
+    small fraction of the corpus, and the former shape shingled the
+    FULL corpus twice — once per join leg. Restriction changes
+    nothing semantically (docs absent from every pair cannot
+    contribute to an inner join), and the small restricted shingle
+    frame is persisted so the two legs share one computation."""
+    from elb_log_to_mysql_spark.session import unpersist_on_gc
+
     cand = candidates.dropDuplicates(["doc_id_a", "doc_id_b"])
+    cand_ids = (
+        cand.select(F.col("doc_id_a").alias("_cand_doc_id"))
+        .union(cand.select(F.col("doc_id_b").alias("_cand_doc_id")))
+        .distinct()
+    )
+    sh = (
+        documents.join(
+            cand_ids, F.col(id_col) == F.col("_cand_doc_id"), "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.transform(
+                word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s)
+            ).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .persist()  # feeds both join legs — shingle candidate docs once
+    )
     joined = cand.join(
         sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")),
         "doc_id_a",
@@ -569,8 +592,9 @@ def verify_candidate_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         joined.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
     )
+    return unpersist_on_gc(out, sh)
