@@ -1776,6 +1776,32 @@ def q_near_dedup(spark, sf_dir):
     return carry_caches(out, exact, found)
 
 
+def _overlap_materialize(df):
+    """Materialize `df` (noop sink) on a driver thread and return the
+    thread (guide §2.6: overlap independent jobs).
+
+    The stream audit entries run a BLOCKING bounded stream whose
+    stateful stages cannot use every core; the exact-Jaccard ground
+    truth is an independent batch leg, so materializing it
+    concurrently hides its wall under the stream's. Callers persist
+    `df` first so the audit reuses the materialized result instead of
+    recomputing. Failures are swallowed: the overlap is an
+    optimization only — the audit plan still computes `df` lazily if
+    the warm-up died (the persist makes that a recompute, never a
+    wrong answer)."""
+    import threading
+
+    def _run():
+        try:
+            df.write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=_run, daemon=True)
+    t.start()
+    return t
+
+
 def _near_dedup_audit(exact, found):
     """The near-dedup family's shared audit frame: `n_exact` (the
     oracle recomputes it independently), `false_pairs` (must be 0 —
@@ -7833,15 +7859,22 @@ def q_stream_near_dedup(spark, sf_dir):
 
     path = os.path.join(sf_dir, "documents.parquet")
     schema = raw_parquet_schema(spark, path)
+    # The exact ground truth is independent of the stream: persist it
+    # and materialize on a side thread while the bounded stream runs,
+    # so its wall hides under the stream's (r16, guide §2.6). The
+    # cached pair set is small (the audit's own output volume class)
+    # and GC-scoped like every other in-query cache.
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6).persist()
+    warm = _overlap_materialize(exact)
     cand = run_stream_to_batch(
         spark, path, stream_band_collisions, schema, output_mode="append"
     )
-    docs = _t(spark, sf_dir, "documents")
+    warm.join()
     found = verify_candidate_pairs(cand, docs)
-    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
     out = _near_dedup_audit(exact, found)
-    # `found` now owns the verifier's restricted-shingle cache (r16)
-    return carry_caches(out, exact, found)
+    # `found` owns the verifier's restricted-shingle cache (r16)
+    return carry_caches(unpersist_on_gc(out, exact), exact, found)
 
 
 ORACLE_SQL["stream_near_dedup"] = ORACLE_SQL["near_dedup"]
@@ -7867,15 +7900,19 @@ def q_stream_near_dedup_join(spark, sf_dir):
 
     path = os.path.join(sf_dir, "documents.parquet")
     schema = raw_parquet_schema(spark, path)
+    # same overlap as stream_near_dedup: the exact leg materializes
+    # on a side thread while the bounded stream runs (guide §2.6)
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6).persist()
+    warm = _overlap_materialize(exact)
     cand = run_stream_to_batch(
         spark, path, stream_band_collisions_join, schema, output_mode="append"
     )
-    docs = _t(spark, sf_dir, "documents")
+    warm.join()
     found = verify_candidate_pairs(cand, docs)
-    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
     out = _near_dedup_audit(exact, found)
-    # `found` now owns the verifier's restricted-shingle cache (r16)
-    return carry_caches(out, exact, found)
+    # `found` owns the verifier's restricted-shingle cache (r16)
+    return carry_caches(unpersist_on_gc(out, exact), exact, found)
 
 
 ORACLE_SQL["stream_near_dedup_join"] = ORACLE_SQL["near_dedup"]
@@ -7932,6 +7969,11 @@ def q_stream_near_dedup_blocklist(spark, sf_dir):
     corpus_batch = spark.read.parquet(corpus_dir)
 
     bl = hot_bucket_blocklist(corpus_batch, max_bucket=20)
+    # overlap the exact ground truth (over the UNMODIFIED documents
+    # table — the natural-pair contract) with the bounded stream run,
+    # as in the other two stream audit entries (guide §2.6)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6).persist()
+    warm = _overlap_materialize(exact)
     cand = run_stream_to_batch(
         spark,
         corpus_dir,
@@ -7939,6 +7981,7 @@ def q_stream_near_dedup_blocklist(spark, sf_dir):
         corpus_batch.schema,
         output_mode="append",
     )
+    warm.join()
     found = verify_candidate_pairs(cand, corpus_batch)
     spam_stats = found.agg(
         F.sum(
@@ -7951,7 +7994,6 @@ def q_stream_near_dedup_blocklist(spark, sf_dir):
     found_nat = found.filter(
         (F.col("doc_id_a") < spam_base) & (F.col("doc_id_b") < spam_base)
     )
-    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
     out = (
         _near_dedup_audit(exact, found_nat)
         .crossJoin(F.broadcast(spam_stats))
@@ -7962,8 +8004,8 @@ def q_stream_near_dedup_blocklist(spark, sf_dir):
             (F.coalesce("n_spam_pairs", F.lit(0)) == 0).alias("spam_blocked"),
         )
     )
-    # `found` now owns the verifier's restricted-shingle cache (r16)
-    return carry_caches(out, exact, found)
+    # `found` owns the verifier's restricted-shingle cache (r16)
+    return carry_caches(unpersist_on_gc(out, exact), exact, found)
 
 
 ORACLE_SQL["stream_near_dedup_blocklist"] = ORACLE_SQL["near_dedup"].replace(
